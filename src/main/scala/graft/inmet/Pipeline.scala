@@ -1,0 +1,67 @@
+package graft.inmet
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sequential end-to-end pipeline replicating the reference DAG's phase
+  * order (dag_inmet.py:210-220): ingest CSVs -> stage parquet -> analytic
+  * tables. Airflow/HDFS/Snowflake collapse into plain method calls + local
+  * FS + the Spark session (SURVEY.md §3 EP2/EP3 — those layers were
+  * transport, not semantics).
+  *
+  * Scale: `previsoes` is written partitioned-by-nothing here (matching the
+  * reference's layout contract), but the plan upstream is one distributed
+  * scan; for a 100 TB deployment the single knob to add is
+  * `.partitionBy("ano","mes")` (or bucketing by wmo) on the stage write —
+  * the readers below are layout-agnostic.
+  */
+object Pipeline {
+
+  final case class Stage(cidades: DataFrame, previsoes: DataFrame,
+                         datas: DataFrame)
+  final case class Analytics(dimCidadeAtributos: DataFrame,
+                             fatoAggPrevisoesDia: DataFrame,
+                             cidadeKpisMensal: DataFrame)
+
+  /** Parse every INMET CSV under `inputGlob` into the three stage tables
+    * (pure transformation — nothing is written or collected). */
+  def stage(spark: SparkSession, inputGlob: String): Stage = {
+    val lines = Ingest.readLines(spark, inputGlob)
+    val prev = Ingest.previsoes(spark, lines)
+    Stage(
+      cidades = Ingest.cidades(Ingest.stationHeadersRaw(lines)),
+      previsoes = prev,
+      datas = Ingest.datas(prev))
+  }
+
+  /** Derive the three analytic tables from stage inputs. */
+  def analytics(stage: Stage): Analytics = {
+    val dim = Warehouse.dimCidadeAtributos(stage.cidades)
+    val fatoDia = Warehouse.fatoAggPrevisoesDia(stage.previsoes, dim)
+    Analytics(dim, fatoDia,
+      Warehouse.cidadeKpisMensal(fatoDia, dim, stage.datas))
+  }
+
+  /** Full run: CSV glob -> stage parquet dir -> analytic parquet dir.
+    * Stage tables are re-read from parquet before the warehouse phase (as
+    * the reference does via its load step), which also truncates the
+    * lineage so the analytic plans scan columnar storage, not raw CSV. */
+  def run(spark: SparkSession, inputGlob: String, stageDir: String,
+          analyticDir: String): Unit = {
+    val st = stage(spark, inputGlob)
+    st.cidades.write.mode("overwrite").parquet(s"$stageDir/cidades")
+    st.previsoes.write.mode("overwrite").parquet(s"$stageDir/previsoes")
+    st.datas.write.mode("overwrite").parquet(s"$stageDir/datas")
+
+    val staged = Stage(
+      cidades = spark.read.parquet(s"$stageDir/cidades"),
+      previsoes = spark.read.parquet(s"$stageDir/previsoes"),
+      datas = spark.read.parquet(s"$stageDir/datas"))
+    val an = analytics(staged)
+    an.dimCidadeAtributos.write.mode("overwrite")
+      .parquet(s"$analyticDir/dim_cidade_atributos")
+    an.fatoAggPrevisoesDia.write.mode("overwrite")
+      .parquet(s"$analyticDir/fato_agg_previsoes_dia")
+    an.cidadeKpisMensal.write.mode("overwrite")
+      .parquet(s"$analyticDir/cidade_kpis_mensal")
+  }
+}
