@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered engine capability: the Spark implementation plus (when
+  * SQL-expressible) the equivalent DuckDB oracle SQL over the same tables.
+  * `SparkEntry.queries` / `oracleSql` are derived from this list. */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Registry {
+  def all: Seq[QueryDef] =
+    operators.Relational.defs ++
+      operators.TextAnalysis.defs ++
+      operators.Dedup.defs ++
+      operators.Similarity.defs ++
+      operators.InmetQueries.defs
+}

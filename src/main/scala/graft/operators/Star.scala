@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Loaders + determinism helpers for the harness star schema
+  * (`/root/testdata/sf*`, see TESTDATA.md).
+  *
+  * Determinism doctrine: every floating-point aggregate the engine exposes
+  * for oracle comparison is computed as an EXACT decimal sum (order-
+  * independent) cast back to double, optionally divided by a count. This
+  * makes results bit-identical across partitionings, engines (Spark vs
+  * DuckDB), and cluster sizes — a property plain double summation does not
+  * have. The same helpers are mirrored on the SQL side (`Sql` object).
+  */
+object Star {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` carries parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read it as long nanos and convert to a micro-precision
+    * timestamp (identical to DuckDB's nanos->micros truncation). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      case _ => raw
+    }
+  }
+
+  /** Order-independent exact sum of a double measure: cast each value to
+    * DECIMAL(18,4) (exact for the 2-decimal money / integer-ish measures in
+    * the star schema), sum exactly, return as double. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Deterministic average = exact sum / group size (COUNT(*)). */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Deterministic average over non-null values only (null-skipping). */
+  def davgNonNull(c: Column): Column = dsum(c) / count(c)
+
+  /** 2-decimal money double -> exact integer cents (BIGINT). The raw money
+    * columns carry exactly 2 decimals, so `round(x*100)` lands on the same
+    * integer in every engine — the basis for exact product arithmetic.
+    * (Casting COMPUTED doubles to decimals is NOT portable: engines round
+    * shortest-decimal-repr vs binary-multiply and disagree near ties.) */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Exact integer floor division of non-negative integer-valued columns.
+    * Portable determinism: floor of an integer quotient is unambiguous in
+    * every engine, unlike rounding a computed double. Bounds for exactness
+    * (enforced by choosing scalings at call sites): num < 2^53 and
+    * num * 1.2e-16 < 1/den, comfortably true for all registered queries up
+    * to sf >= 10. */
+  def idiv(num: Column, den: Column): Column =
+    floor(num.cast("double") / den.cast("double")).cast("long")
+
+  /** Rational num/den emitted as a double with exact 1e-6 floor
+    * quantization (num bounded by ~1e9 for exactness). */
+  def ratio6(num: Column, den: Column): Column =
+    idiv(num.cast("long") * 1000000L, den).cast("double") / 1000000.0
+
+  /** SQL-side mirrors of the helpers, DuckDB dialect. */
+  object Sql {
+    def dsum(c: String): String =
+      s"CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
+    def davg(c: String): String = s"(${dsum(c)} / COUNT(*))"
+    def davgNonNull(c: String): String = s"(${dsum(c)} / COUNT($c))"
+    def cents(c: String): String = s"CAST(round($c * 100) AS BIGINT)"
+    def idiv(num: String, den: String): String = s"(($num) // ($den))"
+    def ratio6(num: String, den: String): String =
+      s"(CAST((CAST($num AS BIGINT) * 1000000) // CAST($den AS BIGINT) AS DOUBLE) / 1000000.0)"
+  }
+}

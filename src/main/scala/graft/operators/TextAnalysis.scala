@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/** Text-analysis operators for LLM training-data pipelines, over the
+  * `documents` table. All per-document metrics are pure codegen'd column
+  * expressions (no UDFs), so they run inside WholeStageCodegen and scale
+  * linearly with the scan — the shape you want for a 100 TB corpus pass.
+  * Each query has an exact DuckDB oracle (same arithmetic, same regexes).
+  */
+object TextAnalysis {
+
+  /** Occurrences of `marker` in `c` via length arithmetic — identical
+    * semantics in Spark and DuckDB (replace-all). */
+  private def occurrences(c: Column, marker: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(marker), "")))
+      / marker.length).cast("long")
+
+  private def occSql(c: String, marker: String): String = {
+    val escaped = marker.replace("'", "''")
+    s"CAST((length($c) - length(replace($c, '$escaped', ''))) / ${marker.length} AS BIGINT)"
+  }
+
+  /** Token statistics per document (whitespace tokenization). */
+  def textTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = Star.table(spark, dir, "documents")
+    val tokens = split(trim(col("text")), "\\s+")
+    d.select(
+      col("doc_id"),
+      size(tokens).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_text"),
+      Star.ratio6(length(regexp_replace(col("text"), "\\s+", "")),
+        size(tokens)).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  private val textTokensSql =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars_text,
+       |  ${Star.Sql.ratio6("length(regexp_replace(text, '\\s+', '', 'g'))",
+            "len(regexp_split_to_array(trim(text), '\\s+'))")} AS avg_token_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: stopword density, punctuation, length — combined into
+    * a deterministic score (the ratios a corpus-filtering pass gates on). */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Star.table(spark, dir, "documents")
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val tokens = split(trim(col("text")), "\\s+")
+    val nTokens = size(tokens).cast("double")
+    val stopHits = (occurrences(padded, " the ") + occurrences(padded, " a ") +
+      occurrences(padded, " and ")).cast("double")
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long")
+    d.select(
+      col("doc_id"),
+      stopHits.cast("long").as("stop_hits"),
+      punct.as("n_punct"),
+      Star.ratio6(stopHits, nTokens).as("stop_ratio"),
+      round(least(lit(1.0), nTokens / lit(50.0)) * lit(0.5)
+        + least(lit(1.0), stopHits / lit(5.0)) * lit(0.5), 6).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  private val textQualitySql = {
+    val stop = s"(${occSql("p", " the ")} + ${occSql("p", " a ")} + ${occSql("p", " and ")})"
+    s"""WITH t AS (
+       |  SELECT doc_id, text, CONCAT(' ', text, ' ') AS p,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tokens
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST($stop AS BIGINT) AS stop_hits,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |  ${Star.Sql.ratio6(stop, "n_tokens")} AS stop_ratio,
+       |  round(least(1.0, n_tokens / 50.0) * 0.5
+       |        + least(1.0, CAST($stop AS DOUBLE) / 5.0) * 0.5, 6) AS quality_score
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** N-gram-marker language ID heuristic, evaluated against the labeled
+    * `lang` column (confusion counts). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Star.table(spark, dir, "documents")
+    val p = concat(lit(" "), col("text"), lit(" "))
+    val en = occurrences(p, " the ") + occurrences(p, " a ")
+    val predicted = when(en > 0, lit("en")).otherwise(lit("other"))
+    d.select(col("lang"), predicted.as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  private val langIdSql = {
+    val en = s"(${occSql("p", " the ")} + ${occSql("p", " a ")})"
+    s"""WITH t AS (SELECT lang, CONCAT(' ', text, ' ') AS p FROM documents),
+       |c AS (SELECT lang,
+       |        CASE WHEN $en > 0 THEN 'en' ELSE 'other' END AS predicted
+       |      FROM t)
+       |SELECT lang, predicted, COUNT(*) AS n FROM c
+       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  }
+
+  /** Canonical-form document fingerprint (md5 of normalized text). */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Star.table(spark, dir, "documents")
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  private val textFingerprintSql =
+    """SELECT doc_id, md5(lower(trim(text))) AS fp, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Multimodal plumbing: opaque binary payload column + typed metadata —
+    * the schema/partition shape for image/audio columns. The payload here is
+    * the utf-8 encoding of `text` (deterministic stand-in for real media
+    * bytes; see graft.multimodal for the decode stubs). */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Star.table(spark, dir, "documents")
+    val payload = col("text").cast("binary")
+    d.select(
+      col("doc_id"),
+      length(payload).cast("long").as("byte_len"),
+      md5(payload).as("payload_md5"),
+      col("source"))
+      .orderBy("doc_id")
+  }
+
+  private val binaryMetaSql =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  md5(text) AS payload_md5, source
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_text_tokens", textTokens, Some(textTokensSql)),
+    QueryDef("q_text_quality", textQuality, Some(textQualitySql)),
+    QueryDef("q_lang_id", langId, Some(langIdSql)),
+    QueryDef("q_text_fingerprint", textFingerprint, Some(textFingerprintSql)),
+    QueryDef("q_binary_meta", binaryMeta, Some(binaryMetaSql)),
+  )
+}
