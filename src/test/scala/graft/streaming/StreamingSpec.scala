@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.operators.{Relational, Star}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The streaming plans must agree with their batch twins when fed the same
+  * data through a file source + memory sink. */
+class StreamingSpec extends SparkSuite {
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val eventsDir: String = {
+    val d = Files.createTempDirectory("graft_events").toString
+    // copy the raw parquet (keeps the ns-long ts the stream reader expects)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").write
+      .mode("overwrite").parquet(d)
+    d
+  }
+
+  test("streaming hourly window == batch date_trunc aggregation") {
+    val stream = EventsStreaming.readEvents(spark, eventsDir)
+    val q = EventsStreaming.hourlyWindowed(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hourly_out")
+        .select(col("bucket"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val want = Relational.timeBucket(spark, dir)
+        .select(col("bucket"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer accumulates per-user counts") {
+    import spark.implicits._
+    val stream = EventsStreaming.readEvents(spark, eventsDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventsStreaming.Event]
+    val q = EventsStreaming.userSessions(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_out")
+        .groupBy("user_id").agg(max("n_events").as("n_events"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Star.events(spark, dir).groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sessions === want)
+    } finally q.stop()
+  }
+}
