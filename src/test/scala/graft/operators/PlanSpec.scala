@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Plan-shape regression tests: the physical properties that make these
+  * queries scale (pushdown into the parquet scan, broadcast joins, column
+  * pruning, whole-stage codegen) are asserted so a refactor can't silently
+  * trade them away. */
+class PlanSpec extends SparkSuite {
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("aggPricing: shipdate filter pushed to parquet, columns pruned") {
+    val p = plan(Relational.aggPricing(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // pruned scan: schema must not include unused columns like l_comment-ish
+    assert(p.contains("l_returnflag"), p)
+    assert(!p.contains("l_orderkey"), "scan should prune l_orderkey\n" + p)
+  }
+
+  test("filterPushdown: every predicate reaches the scan") {
+    val p = plan(Relational.filterPushdown(spark, dir))
+    // PushedFilters renders truncated in toString; assert the scan pushes
+    // (PushedFilters non-trivial) and the Filter carries all predicates.
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    Seq(">= 1996-01-01", "< 1997-01-01", ">= 0.03", "<= 0.07", "< 24.0")
+      .foreach(f => assert(p.contains(f), s"missing predicate $f\n$p"))
+    // only needed columns read
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"), p)
+  }
+
+  test("joinBroadcast / joinMulti / semiJoin: dims broadcast, fact never shuffled for the join") {
+    val p1 = plan(Relational.joinBroadcast(spark, dir))
+    assert(p1.contains("BroadcastHashJoin"), p1)
+    val p2 = plan(Relational.joinMulti(spark, dir))
+    assert(p2.contains("BroadcastHashJoin"), p2)
+    assert(!p2.contains("SortMergeJoin"), "multi-join should not sort-merge\n" + p2)
+    val p3 = plan(Relational.semiJoin(spark, dir))
+    assert(p3.contains("LeftSemi"), p3)
+  }
+
+  test("aggregates run partial->final (map-side combine before shuffle)") {
+    val p = plan(Relational.aggPricing(spark, dir))
+    assert(p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate\n" + p)
+  }
+
+  test("hot paths stay inside WholeStageCodegen") {
+    Seq(
+      Relational.aggPricing(spark, dir),
+      Relational.filterPushdown(spark, dir),
+      TextAnalysis.textTokens(spark, dir),
+      Dedup.dedupExact(spark, dir)
+    ).foreach { df =>
+      df.collect() // finalize the adaptive plan so codegen stages are visible
+      val p = plan(df)
+      // '*(n)' prefixes mark WholeStageCodegen stages in plan toString
+      assert(p.contains("*(1)"), p)
+    }
+  }
+
+  test("INMET ingest: one distributed text scan, no per-file plans") {
+    val st = graft.inmet.Pipeline.stage(spark,
+      resourcePath("/inmet") + "/*.csv")
+    val p = plan(st.previsoes)
+    // single FileScan text feeding the parse (plus tiny broadcast of the
+    // per-file index map) — not one scan per input file
+    assert("FileScan text".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+  }
+}
