@@ -147,11 +147,41 @@ object Dedup {
       bits.reduce(_.bitwiseOR(_)).as("simhash")).orderBy("doc_id")
   }
 
+  /** Near-dup pairs via winnowing sketches (the custom Catalyst expression
+    * graft.functions.WinnowFingerprint): inverted-index join on sketch
+    * hashes, containment = shared / min(|a|, |b|). The sketch is ~1/w the
+    * size of the shingle set, so the candidate join shuffles proportionally
+    * less than the exact-Jaccard path at the same recall point. */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WinnowFunctions
+    val d = Star.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        WinnowFunctions.winnowFingerprint(col("text"), 8, 4).as("sk"))
+    val f = d.select(col("doc_id"), explode(col("sk")).as("h"))
+    val cnt = d.select(col("doc_id"), size(col("sk")).cast("long").as("c"))
+    val pairs = f.as("a")
+      .join(f.as("b"), col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(cnt.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("c", "ca"), "id_a")
+      .join(cnt.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("c", "cb"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Star.ratio6(col("shared"), least(col("ca"), col("cb")))
+          .as("containment"))
+      .filter(col("containment") >= 0.6)
+      .orderBy("id_a", "id_b")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("q_dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("q_dedup_minhash", minhashSignatures, None),
     QueryDef("q_dedup_minhash_pairs", minhashLshPairs, None),
     QueryDef("q_dedup_simhash", simhash, None),
+    QueryDef("q_dedup_winnow_pairs", winnowPairs, None),
   )
 }
