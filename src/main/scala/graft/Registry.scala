@@ -16,5 +16,6 @@ object Registry {
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
+      operators.Skew.defs ++
       operators.InmetQueries.defs
 }

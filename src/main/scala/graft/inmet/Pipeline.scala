@@ -41,6 +41,37 @@ object Pipeline {
       Warehouse.cidadeKpisMensal(fatoDia, dim, stage.datas))
   }
 
+  /** Reference-parity catalog run (SURVEY.md §2 S8-S10): stage tables are
+    * saved into the session catalog's `stage` schema, then the three
+    * analytic tables are built by SQL CTAS into `analitic` — the
+    * reference's Snowflake DDL chain replayed on Spark's own catalog
+    * (CREATE OR REPLACE TABLE becomes DROP + CREATE ... USING PARQUET AS,
+    * the v1-session-catalog equivalent). Requires a writable
+    * `spark.sql.warehouse.dir`. */
+  def runCatalog(spark: SparkSession, inputGlob: String): Unit = {
+    val st = stage(spark, inputGlob)
+    spark.sql("CREATE DATABASE IF NOT EXISTS stage")
+    spark.sql("CREATE DATABASE IF NOT EXISTS analitic")
+    st.cidades.write.mode("overwrite").format("parquet")
+      .saveAsTable("stage.dim_cidades")
+    st.previsoes.write.mode("overwrite").format("parquet")
+      .saveAsTable("stage.fato_previsoes")
+    st.datas.write.mode("overwrite").format("parquet")
+      .saveAsTable("stage.dim_datas")
+    def ctas(table: String, select: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"CREATE TABLE $table USING PARQUET AS $select")
+    }
+    ctas("analitic.dim_cidade_atributos",
+      Warehouse.dimCidadeAtributosSqlFor("stage.dim_cidades"))
+    ctas("analitic.fato_agg_previsoes_dia",
+      Warehouse.fatoAggPrevisoesDiaSqlFor("stage.fato_previsoes",
+        "analitic.dim_cidade_atributos"))
+    ctas("analitic.cidade_kpis_mensal",
+      Warehouse.cidadeKpisMensalSqlFor("analitic.fato_agg_previsoes_dia",
+        "analitic.dim_cidade_atributos", "stage.dim_datas"))
+  }
+
   /** Full run: CSV glob -> stage parquet dir -> analytic parquet dir.
     * Stage tables are re-read from parquet before the warehouse phase (as
     * the reference does via its load step), which also truncates the

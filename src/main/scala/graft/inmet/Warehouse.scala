@@ -64,45 +64,52 @@ object Warehouse {
         sum("precip_total_mm").as("mensal_precip_total"),
         count(when(col("precip_total_mm") > 0, 1)).as("dias_com_precip"))
 
-  /** The same three statements as SQL text over registered temp views
-    * `fato_previsoes`, `dim_cidades`, `dim_datas` — the reference-parity
-    * `spark.sql` path (COUNT_IF is Spark-native). Views for the derived
-    * tables are registered as they are produced, so the texts can run in
-    * order exactly like the reference DAG. */
-  val dimCidadeAtributosSql: String =
-    """SELECT
-      |  CONCAT(TRIM(UPPER(COALESCE(wmo,''))), '-',
-      |         TRIM(UPPER(COALESCE(uf,''))), '-',
-      |         TRIM(UPPER(COALESCE(estacao,'')))) AS cidade_sk,
-      |  wmo, uf, estacao, regiao, latitude, longitude, altitude, data_fundacao
-      |FROM dim_cidades""".stripMargin
+  /** The same three statements as SQL text (COUNT_IF is Spark-native) —
+    * parameterized by source table names so they run both over temp views
+    * (reference-parity `spark.sql` path) and over catalog tables
+    * (`stage.`/`analitic.`-qualified, see Pipeline.runCatalog). */
+  def dimCidadeAtributosSqlFor(dimCidades: String): String =
+    s"""SELECT
+       |  CONCAT(TRIM(UPPER(COALESCE(wmo,''))), '-',
+       |         TRIM(UPPER(COALESCE(uf,''))), '-',
+       |         TRIM(UPPER(COALESCE(estacao,'')))) AS cidade_sk,
+       |  wmo, uf, estacao, regiao, latitude, longitude, altitude, data_fundacao
+       |FROM $dimCidades""".stripMargin
 
+  def fatoAggPrevisoesDiaSqlFor(fatoPrevisoes: String,
+                                dimCidadeAtributos: String): String =
+    s"""SELECT
+       |  f.wmo, c.cidade_sk, f.data_medicao,
+       |  MIN(f.temperatura_c) AS temp_min_c,
+       |  MAX(f.temperatura_c) AS temp_max_c,
+       |  AVG(f.temperatura_c) AS temp_avg_c,
+       |  SUM(f.precipitacao_mm) AS precip_total_mm,
+       |  AVG(f.pressao_atm_kpa) AS pressao_avg_kpa,
+       |  AVG(f.vento_mps) AS vento_avg_mps,
+       |  AVG(f.umidade_porcentagem) AS umidade_avg_pct,
+       |  COUNT(*) AS registros_horarios
+       |FROM $fatoPrevisoes f
+       |JOIN $dimCidadeAtributos c ON f.wmo = c.wmo
+       |GROUP BY f.wmo, c.cidade_sk, f.data_medicao""".stripMargin
+
+  def cidadeKpisMensalSqlFor(fatoAggDia: String, dimCidadeAtributos: String,
+                             dimDatas: String): String =
+    s"""SELECT
+       |  c.cidade_sk, dt.ano, dt.mes,
+       |  AVG(d.temp_avg_c) AS mensal_temp_media,
+       |  MAX(d.temp_max_c) AS mensal_temp_max,
+       |  SUM(d.precip_total_mm) AS mensal_precip_total,
+       |  COUNT_IF(d.precip_total_mm > 0) AS dias_com_precip
+       |FROM $fatoAggDia d
+       |JOIN $dimCidadeAtributos c ON d.wmo = c.wmo
+       |JOIN $dimDatas dt ON d.data_medicao = dt.data_medicao
+       |GROUP BY c.cidade_sk, dt.ano, dt.mes""".stripMargin
+
+  val dimCidadeAtributosSql: String = dimCidadeAtributosSqlFor("dim_cidades")
   val fatoAggPrevisoesDiaSql: String =
-    """SELECT
-      |  f.wmo, c.cidade_sk, f.data_medicao,
-      |  MIN(f.temperatura_c) AS temp_min_c,
-      |  MAX(f.temperatura_c) AS temp_max_c,
-      |  AVG(f.temperatura_c) AS temp_avg_c,
-      |  SUM(f.precipitacao_mm) AS precip_total_mm,
-      |  AVG(f.pressao_atm_kpa) AS pressao_avg_kpa,
-      |  AVG(f.vento_mps) AS vento_avg_mps,
-      |  AVG(f.umidade_porcentagem) AS umidade_avg_pct,
-      |  COUNT(*) AS registros_horarios
-      |FROM fato_previsoes f
-      |JOIN dim_cidade_atributos c ON f.wmo = c.wmo
-      |GROUP BY f.wmo, c.cidade_sk, f.data_medicao""".stripMargin
-
-  val cidadeKpisMensalSql: String =
-    """SELECT
-      |  c.cidade_sk, dt.ano, dt.mes,
-      |  AVG(d.temp_avg_c) AS mensal_temp_media,
-      |  MAX(d.temp_max_c) AS mensal_temp_max,
-      |  SUM(d.precip_total_mm) AS mensal_precip_total,
-      |  COUNT_IF(d.precip_total_mm > 0) AS dias_com_precip
-      |FROM fato_agg_previsoes_dia d
-      |JOIN dim_cidade_atributos c ON d.wmo = c.wmo
-      |JOIN dim_datas dt ON d.data_medicao = dt.data_medicao
-      |GROUP BY c.cidade_sk, dt.ano, dt.mes""".stripMargin
+    fatoAggPrevisoesDiaSqlFor("fato_previsoes", "dim_cidade_atributos")
+  val cidadeKpisMensalSql: String = cidadeKpisMensalSqlFor(
+    "fato_agg_previsoes_dia", "dim_cidade_atributos", "dim_datas")
 
   /** Runs the CTAS chain via `spark.sql` over temp views, in DAG order
     * (dag_inmet.py:210-220 in the reference). Returns the three results. */
