@@ -463,8 +463,58 @@ object Relational {
       |  COUNT(*) AS n
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Semi-structured extraction: schema'd JSON parse of the `props`
+    * column (from_json — codegen'd, no UDF), aggregated per event type. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Star.events(spark, dir)
+    val k = from_json(col("props"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))).getField("k")
+    ev.select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(
+        sum(col("k")).as("sum_k"),
+        (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"),
+        countDistinct(col("k")).as("n_distinct_k"),
+        count(when(col("k").isNull, 1)).as("n_null"))
+      .orderBy("event_type")
+  }
+
+  private val jsonExtractSql =
+    """SELECT event_type,
+      |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)
+      |    / COUNT(*) AS avg_k,
+      |  COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_distinct_k,
+      |  COUNT_IF(json_extract(props, '$.k') IS NULL) AS n_null
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Hierarchical totals via ROLLUP (subtotals + grand total), with
+    * GROUPING ids so null-valued rollup rows are unambiguous. */
+  def rollupOrders(spark: SparkSession, dir: String): DataFrame =
+    Star.table(spark, dir, "orders")
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(asc_nulls_first("o_orderpriority"),
+        asc_nulls_first("o_orderstatus"), col("gid"))
+
+  private val rollupOrdersSql =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, gid""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_agg_pricing", aggPricing, Some(aggPricingSql)),
+    QueryDef("q_json_extract", jsonExtract, Some(jsonExtractSql)),
+    QueryDef("q_rollup", rollupOrders, Some(rollupOrdersSql)),
     QueryDef("q_scalar_minmax", scalarMinmax, Some(scalarMinmaxSql)),
     QueryDef("q_join_broadcast", joinBroadcast, Some(joinBroadcastSql)),
     QueryDef("q_join_multi", joinMulti, Some(joinMultiSql)),

@@ -73,6 +73,21 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(mean >= 0.5, s"mean LSH recall@3 too low: $mean ($recalls)")
   }
 
+  test("similarity: IVF ANN recalls most brute-force neighbors") {
+    val bf = Similarity.annBruteforce(spark, dir)
+      .filter(col("rnk") <= 3).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf = Similarity.annIvf(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(ivf.nonEmpty, "IVF returned no candidates")
+    val recalls = bf.keys.toSeq.map { q =>
+      val hit = ivf.getOrElse(q, Set.empty)
+      bf(q).count(hit.contains).toDouble / bf(q).size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.5, s"mean IVF recall@3 too low: $mean ($recalls)")
+  }
+
   test("similarity: cosine self-similarity sanity via norms") {
     val norms = Similarity.embeddingNorms(spark, dir).collect()
     assert(norms.length === 500)
