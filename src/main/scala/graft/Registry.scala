@@ -13,6 +13,7 @@ final case class QueryDef(
 object Registry {
   def all: Seq[QueryDef] =
     operators.Relational.defs ++
+      operators.Analytics.defs ++
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
