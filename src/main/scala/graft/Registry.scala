@@ -18,5 +18,6 @@ object Registry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.Skew.defs ++
+      operators.AsOf.defs ++
       operators.InmetQueries.defs
 }
