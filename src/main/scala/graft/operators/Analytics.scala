@@ -116,7 +116,26 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Top-3 events per user through the custom TopKPerGroup physical
+    * operator (graft.plans) — proving the partial-heap plan produces
+    * oracle-exact results. The oracle is the plain window formulation. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerGroup.topK(
+      Star.events(spark, dir).select("user_id", "event_id", "value"),
+      Seq("user_id"), Seq(("value", true), ("event_id", false)), 3)
+      .orderBy(col("user_id"), col("value").desc, col("event_id"))
+
+  private val topkPerGroupSql =
+    """SELECT user_id, event_id, value FROM (
+      |  SELECT user_id, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY value DESC, event_id) AS rn
+      |  FROM events) t
+      |WHERE rn <= 3
+      |ORDER BY user_id, value DESC, event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_topk_per_group", topkPerGroup, Some(topkPerGroupSql)),
     QueryDef("q_pivot", pivotOrders, Some(pivotOrdersSql)),
     QueryDef("q_string_funcs", stringFuncs, Some(stringFuncsSql)),
     QueryDef("q_date_math", dateMath, Some(dateMathSql)),
