@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   *     n-gram-Jaccard and MinHash-LSH paths explode documents into
   *     (signature-fragment, doc) rows and self-join on the fragment, so the
   *     shuffle carries only fragment matches (inverted-index join). Skewed
-  *     hot shingles are the known hazard; the Jaccard path drops shingles
-  *     shared by more than `maxShingleDf` docs (stopword-shingle cap), the
-  *     standard mitigation.
+  *     hot fragments are the known hazard: the winnowing path applies a
+  *     document-frequency cap (see winnowPairs); the exact-Jaccard path is
+  *     kept cap-free because it is the oracle-matched reference —
+  *     production deployments would apply the same cap there.
   */
 object Dedup {
 
@@ -156,9 +157,20 @@ object Dedup {
     import graft.functions.WinnowFunctions
     val d = Star.table(spark, dir, "documents")
       .select(col("doc_id"),
-        WinnowFunctions.winnowFingerprint(col("text"), 8, 4).as("sk"))
-    val f = d.select(col("doc_id"), explode(col("sk")).as("h"))
-    val cnt = d.select(col("doc_id"), size(col("sk")).cast("long").as("c"))
+        WinnowFunctions.winnowFingerprint(col("text"), 12, 4).as("sk"))
+    val all = d.select(col("doc_id"), explode(col("sk")).as("h"))
+    // Document-frequency cap: a sketch hash present in >1% of the corpus
+    // (stopword grams) carries no near-dup signal but quadratically
+    // explodes the candidate join — drop such hashes before pairing.
+    // The cap is computed in-plan (no driver action) and the containment
+    // denominator uses the SAME filtered hash space on both sides.
+    val total = d.agg(count(lit(1)).as("n_docs"))
+    val rare = all.groupBy("h").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .filter(col("df") <= greatest(lit(16L), (col("n_docs") / 100).cast("long")))
+      .select("h")
+    val f = all.join(rare, "h")
+    val cnt = f.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val pairs = f.as("a")
       .join(f.as("b"), col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id"))
