@@ -99,9 +99,16 @@ object WinnowFunctions {
       exprs => exprs match {
         case Seq(e) => WinnowFingerprint(e, 8, 4)
         case Seq(e, kLit, wLit) =>
-          WinnowFingerprint(e,
-            kLit.eval().asInstanceOf[Number].intValue(),
-            wLit.eval().asInstanceOf[Number].intValue())
+          def intArg(a: Expression, name: String): Int = {
+            if (!a.foldable) throw new IllegalArgumentException(
+              s"winnow_fingerprint: $name must be a constant integer, got ${a.sql}")
+            a.eval() match {
+              case n: Number => n.intValue()
+              case other => throw new IllegalArgumentException(
+                s"winnow_fingerprint: $name must be a constant integer, got $other")
+            }
+          }
+          WinnowFingerprint(e, intArg(kLit, "k"), intArg(wLit, "w"))
         case _ => throw new IllegalArgumentException(
           "winnow_fingerprint(text[, k, w])")
       },

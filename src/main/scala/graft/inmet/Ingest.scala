@@ -76,9 +76,13 @@ object Ingest {
       .otherwise(lit(null).cast("date"))
   }
 
-  /** ANSI-safe 1-based array element access (null when out of bounds). */
+  /** ANSI-safe 1-based array element access: null when out of bounds OR
+    * when the index is the missing-column sentinel (< 1) from
+    * fileColumnIndex — without the lower bound, `element_at(arr, -1)`
+    * would silently read the row's LAST field. */
   private def at(arr: Column, idx: Column): Column =
-    when(size(arr) >= idx, element_at(arr, idx)).otherwise(lit(null))
+    when(idx >= 1 && size(arr) >= idx, element_at(arr, idx))
+      .otherwise(lit(null))
 
   /** One text scan over every CSV in `inputGlob`, each line tagged with its
     * source file. The single upstream relation for both sections. */
@@ -139,11 +143,17 @@ object Ingest {
     val wanted = "data" +: measureRenames.map(_._1)
     val hdrs = lines.filter(col("value").startsWith("Data;"))
       .select("file", "value").distinct().collect()
-    val rows = hdrs.map { r =>
-      val names = r.getString(1).split(";", -1).map(sanitize)
-      val idx = names.zipWithIndex.toMap // later duplicate wins; wanted names are unique
-      (r.getString(0), wanted.map(w => idx.get(w).map(_ + 1).getOrElse(-1)))
-    }.toSeq
+    val rows = hdrs
+      // a corrupted file with several conflicting header lines must not
+      // fan out its data rows through a multi-row join: keep one header
+      // per file, deterministically (lexicographically smallest)
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getString(1)).min).toSeq
+      .map { case (file, header) =>
+        val names = header.split(";", -1).map(sanitize)
+        val idx = names.zipWithIndex.toMap // later duplicate wins; wanted names are unique
+        (file, wanted.map(w => idx.get(w).map(_ + 1).getOrElse(-1)))
+      }
     rows.map { case (f, is) => (f, is(0), is(1), is(2), is(3), is(4), is(5)) }
       .toDF("file", "i_data", "i_precip", "i_pressao", "i_temp", "i_umid", "i_vento")
   }

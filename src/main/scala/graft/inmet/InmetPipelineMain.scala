@@ -30,11 +30,13 @@ object InmetPipelineMain {
       val st = Pipeline.stage(spark, inputGlob)
       st.cidades.write.mode("overwrite").parquet(s"$stageDir/cidades")
       graft.sources.Layout.previsoesPartitioned(st.previsoes, s"$stageDir/previsoes")
-      st.datas.write.mode("overwrite").parquet(s"$stageDir/datas")
+      val stagedPrevisoes = spark.read.parquet(s"$stageDir/previsoes")
+        .drop("ano", "mes")
+      Ingest.datas(stagedPrevisoes).write.mode("overwrite")
+        .parquet(s"$stageDir/datas")
       val staged = Pipeline.Stage(
         cidades = spark.read.parquet(s"$stageDir/cidades"),
-        previsoes = spark.read.parquet(s"$stageDir/previsoes")
-          .drop("ano", "mes"),
+        previsoes = stagedPrevisoes,
         datas = spark.read.parquet(s"$stageDir/datas"))
       val an = Pipeline.analytics(staged)
       an.dimCidadeAtributos.write.mode("overwrite")

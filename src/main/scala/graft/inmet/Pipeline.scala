@@ -81,11 +81,16 @@ object Pipeline {
     val st = stage(spark, inputGlob)
     st.cidades.write.mode("overwrite").parquet(s"$stageDir/cidades")
     st.previsoes.write.mode("overwrite").parquet(s"$stageDir/previsoes")
-    st.datas.write.mode("overwrite").parquet(s"$stageDir/datas")
+    // derive the calendar from the already-written columnar fact — its
+    // min/max agg then reads parquet statistics instead of re-running the
+    // whole raw-CSV parse lineage a second time
+    val stagedPrevisoes = spark.read.parquet(s"$stageDir/previsoes")
+    Ingest.datas(stagedPrevisoes).write.mode("overwrite")
+      .parquet(s"$stageDir/datas")
 
     val staged = Stage(
       cidades = spark.read.parquet(s"$stageDir/cidades"),
-      previsoes = spark.read.parquet(s"$stageDir/previsoes"),
+      previsoes = stagedPrevisoes,
       datas = spark.read.parquet(s"$stageDir/datas"))
     val an = analytics(staged)
     an.dimCidadeAtributos.write.mode("overwrite")

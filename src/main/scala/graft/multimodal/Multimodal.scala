@@ -82,13 +82,17 @@ object Multimodal {
 
   /** Frame-sampling plumbing for variable-length media: explode a payload
     * into fixed-size chunk "frames" with indices (pure column exprs — the
-    * chunking pattern used to shard large media across tasks). */
+    * chunking pattern used to shard large media across tasks). Zero-byte
+    * or null-length media yield zero frames (sequence(0, -1) would flip to
+    * a DESCENDING sequence, emitting phantom frames — guarded). */
   def sampleFrames(media: DataFrame, frameBytes: Int): DataFrame =
     media
       .select(col("media_id"), col("meta.byte_len").as("byte_len"),
         posexplode(expr(
-          s"transform(sequence(0, CAST((meta.byte_len - 1) DIV $frameBytes AS INT)), " +
-            s"i -> substring(payload, i * $frameBytes + 1, $frameBytes))")))
+          s"CASE WHEN coalesce(meta.byte_len, 0) > 0 THEN " +
+            s"transform(sequence(0, CAST((meta.byte_len - 1) DIV $frameBytes AS INT)), " +
+            s"i -> substring(payload, i * $frameBytes + 1, $frameBytes)) " +
+            s"ELSE CAST(array() AS ARRAY<BINARY>) END")))
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame_payload")
 }

@@ -22,27 +22,41 @@ object AsOf {
   /** Left rows matched with the latest right row whose `rightTs <= leftTs`
     * for the same `key`. Output: all `left` columns + `rightPayload`
     * columns (null when no prior right row exists — left-join semantics).
-    * Payload columns must not collide with left column names. */
+    * Payload columns must not collide with left column names.
+    *
+    * The right payload is carried as ONE struct, so the matched columns
+    * always come from the same right row — carrying columns independently
+    * with last(ignoreNulls) would stitch values from different rows when
+    * a payload field is null (row tearing). Right rows tied on timestamp
+    * are resolved deterministically by the largest payload struct. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
                rightPayload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
-    val payloadNulls = rightPayload.map(c => lit(null).as(c))
-    val lAligned = l.select(
-      (col(key) +: col("__ts") +: col("__side") +:
-        leftCols.filterNot(_ == key).map(col)) ++ payloadNulls: _*)
-    val r = right.withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
-    val rAligned = r.select(
-      (col(key) +: col("__ts") +: col("__side") +:
-        leftCols.filterNot(_ == key).map(c => lit(null).cast(
-          left.schema(c).dataType).as(c))) ++ rightPayload.map(col): _*)
-    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c).copy(name = c)))
+    val lAligned = left
+      .withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+      .select(
+        (col(key) +: col("__ts") +: col("__side") +:
+          leftCols.filterNot(_ == key).map(col)) :+
+          lit(null).cast(payloadType).as("__payload"): _*)
+    val rAligned = right
+      .withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
+      .select(
+        (col(key) +: col("__ts") +: col("__side") +:
+          leftCols.filterNot(_ == key).map(c => lit(null).cast(
+            left.schema(c).dataType).as(c))) :+
+          struct(rightPayload.map(col): _*).as("__payload"): _*)
+    val w = Window.partitionBy(key)
+      .orderBy(col("__ts"), col("__side"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(lAligned.unionByName(rAligned)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__ts", "__side")
+    lAligned.unionByName(rAligned)
+      .withColumn("__payload",
+        last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col(s"__payload.$c").as(c)): _*)
   }
 
   /** Registered instance: for every purchase event, the latest click by

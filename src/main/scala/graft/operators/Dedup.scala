@@ -21,13 +21,45 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word 3-gram shingle set per doc: (doc_id, shingle) exploded rows. */
+  /** Word 3-gram shingle set per doc: (doc_id, shingle) exploded rows.
+    * `try_element_at` (null out of bounds, ANSI-safe) + concat_ws's
+    * null-skipping means a doc shorter than 3 tokens yields its full text
+    * as the single shingle — identical to the DuckDB formulation, where
+    * out-of-range list indexing returns NULL. */
   private def shingles(docs: DataFrame): DataFrame = {
     val w = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
     w.select(col("doc_id"), explode(array_distinct(expr(
       "transform(sequence(1, greatest(size(w) - 2, 1)), " +
-        "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"
+        "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1), try_element_at(w, i + 2)))"
     ))).as("s"))
+  }
+
+  /** Shared inverted-index pair scorer: explode rows (doc_id, token) ->
+    * candidate pairs by token equality -> shared-count -> score =
+    * shared / denom(ca, cb, shared), kept when >= threshold. The one
+    * pair-join implementation behind both the Jaccard and winnowing paths. */
+  private[operators] def similarityPairs(
+      exploded: DataFrame, tokenCol: String, scoreName: String,
+      denom: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      threshold: Double): DataFrame = {
+    val f = exploded.withColumnRenamed(tokenCol, "__tok")
+    val cnt = f.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val pairs = f.as("a")
+      .join(f.as("b"), col("a.__tok") === col("b.__tok") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(cnt.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("c", "ca"), "id_a")
+      .join(cnt.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("c", "cb"), "id_b")
+      .select(col("id_a"), col("id_b"), col("shared"),
+        Star.ratio6(col("shared"), denom(col("ca"), col("cb"), col("shared")))
+          .as(scoreName))
+      .filter(col(scoreName) >= threshold)
+      .orderBy("id_a", "id_b")
   }
 
   /** Exact dedup: canonical id + multiplicity per distinct content hash. */
@@ -44,25 +76,9 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join (no
     * all-pairs compare). Emits pairs with similarity >= 0.5. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Star.table(spark, dir, "documents"))
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    pairs
-      .join(cnt.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("c", "ca"), "id_a")
-      .join(cnt.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("c", "cb"), "id_b")
-      .select(col("id_a"), col("id_b"), col("shared"),
-        Star.ratio6(col("shared"), col("ca") + col("cb") - col("shared"))
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-      .orderBy("id_a", "id_b")
-  }
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    similarityPairs(shingles(Star.table(spark, dir, "documents")), "s",
+      "jaccard", (ca, cb, shared) => ca + cb - shared, 0.5)
 
   private val ngramJaccardSql =
     """WITH words AS (
@@ -170,22 +186,9 @@ object Dedup {
       .filter(col("df") <= greatest(lit(16L), (col("n_docs") / 100).cast("long")))
       .select("h")
     val f = all.join(rare, "h")
-    val cnt = f.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val pairs = f.as("a")
-      .join(f.as("b"), col("a.h") === col("b.h") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    pairs
-      .join(cnt.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("c", "ca"), "id_a")
-      .join(cnt.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("c", "cb"), "id_b")
-      .select(col("id_a"), col("id_b"),
-        Star.ratio6(col("shared"), least(col("ca"), col("cb")))
-          .as("containment"))
-      .filter(col("containment") >= 0.6)
-      .orderBy("id_a", "id_b")
+    similarityPairs(f, "h", "containment",
+      (ca, cb, _) => least(ca, cb), 0.6)
+      .drop("shared")
   }
 
   val defs: Seq[QueryDef] = Seq(

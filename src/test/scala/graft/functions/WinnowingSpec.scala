@@ -49,6 +49,30 @@ class WinnowingSpec extends SparkSuite {
     assert(viaSql === viaCol)
   }
 
+  test("SQL registration rejects non-constant k/w with a clear error") {
+    WinnowFunctions.register(spark)
+    Seq((1L, "some reasonably long sketchable text here")).toDF("id", "text")
+      .createOrReplaceTempView("winnow_badargs")
+    val e = intercept[Exception] {
+      spark.sql("SELECT winnow_fingerprint(text, id, 4) FROM winnow_badargs")
+        .collect()
+    }
+    assert(e.getMessage.contains("constant integer"), e.getMessage)
+  }
+
+  test("short documents (< 3 tokens) sketch without crashing under ANSI") {
+    val tmp = java.nio.file.Files.createTempDirectory("docs_short").toString
+    Seq((1L, "single"), (2L, "two words"), (3L, "three token text"),
+      (4L, "three token text"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // ngramJaccard's shingle expression must not throw INVALID_ARRAY_INDEX
+    val pairs = graft.operators.Dedup.ngramJaccard(spark, tmp).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((3L, 4L)))
+    val sigs = graft.operators.Dedup.minhashSignatures(spark, tmp).collect()
+    assert(sigs.length === 4)
+  }
+
   test("null input yields null, not a crash") {
     val df = Seq(Some("a reasonably long string for sketching"), None)
       .toDF("text")

@@ -50,4 +50,28 @@ class RobustnessSpec extends SparkSuite {
     // the good file is fully intact alongside
     assert(st.previsoes.count() === 4344L + 3L)
   }
+
+  test("a file with conflicting duplicate header lines does not fan out rows") {
+    val dir = Files.createTempDirectory("inmet_dup")
+    val twoHeaders =
+      """REGIAO:;XX
+        |UF:;YY
+        |ESTACAO:;GLUED
+        |CODIGO (WMO):;C111
+        |LATITUDE:;-10,0
+        |LONGITUDE:;-40,0
+        |ALTITUDE:;100,0
+        |DATA DE FUNDACAO:;01/01/2020
+        |Data;Hora UTC;PRECIPITACAO TOTAL, HORARIO (mm);X;PRESSAO ATMOSFERICA MAX.NA HORA ANT. (AUT) (mB);Y;Z;TEMPERATURA DO AR - BULBO SECO, HORARIA (C);A;B;C;D;E;F;G;UMIDADE RELATIVA DO AR, HORARIA (%);H;I;VENTO, VELOCIDADE HORARIA (m/s)
+        |2025/01/01;0000 UTC;1,0;;900;;;20,0;;;;;;;;80;;;2,0
+        |Data;Hora UTC;DIFFERENT HEADER SECOND TIME;X;P;Y;Z;T;A;B;C;D;E;F;G;U;H;I;V
+        |2025/01/02;0100 UTC;2,0;;901;;;21,0;;;;;;;;81;;;2,1
+        |""".stripMargin
+    Files.write(dir.resolve("INMET_XX_YY_C111_GLUED.csv"),
+      twoHeaders.getBytes(StandardCharsets.UTF_8))
+    val st = Pipeline.stage(spark, dir.toString + "/*.csv")
+    // 2 data rows in, exactly 2 rows out — no join fan-out from the
+    // duplicate header
+    assert(st.previsoes.count() === 2L)
+  }
 }

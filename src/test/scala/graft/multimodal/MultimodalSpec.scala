@@ -30,6 +30,16 @@ class MultimodalSpec extends SparkSuite {
     assert(f1.size === 500)
   }
 
+  test("frame sampling: zero-byte media yields zero frames, not phantoms") {
+    import spark.implicits._
+    val m = Multimodal.fromDocuments(
+      Seq((1L, "", "en", "s", 0L), (2L, "abcde", "en", "s", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val frames = Multimodal.sampleFrames(m, 2).collect()
+    assert(!frames.exists(_.getLong(0) == 1L), "empty payload produced frames")
+    assert(frames.count(_.getLong(0) == 2L) === 3) // ceil(5/2)
+  }
+
   test("frame sampling chunks payloads with correct coverage") {
     val frames = Multimodal.sampleFrames(media, 100)
     val agg = frames.groupBy("media_id").agg(

@@ -31,6 +31,32 @@ class AsOfSpec extends SparkSuite {
     assert(out("p3") === None)      // key absent from right side
   }
 
+  test("asofJoin: payload columns never mix values from different right rows") {
+    val left = Seq((1L, ts("2024-01-01 03:00:00"), "p")).toDF("k", "lts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 01:00:00"), Some(5L), Some(10L)),
+      (1L, ts("2024-01-01 02:00:00"), None, Some(20L)), // latest; a is null
+    ).toDF("k", "rts", "a", "b")
+    val r = AsOf.asofJoin(left, right, "k", "lts", "rts", Seq("a", "b"))
+      .select("a", "b").collect()(0)
+    // correct semantics: the LATEST row atomically -> (null, 20), never (5, 20)
+    assert(r.isNullAt(0) && r.getLong(1) === 20L)
+  }
+
+  test("asofJoin: equal-timestamp right rows resolve deterministically") {
+    val left = Seq((1L, ts("2024-01-01 03:00:00"), "p")).toDF("k", "lts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 02:00:00"), 7L),
+      (1L, ts("2024-01-01 02:00:00"), 9L),
+    ).toDF("k", "rts", "payload")
+    val picks = (1 to 3).map { i =>
+      AsOf.asofJoin(left, right.repartition(i), "k", "lts", "rts",
+        Seq("payload")).select("payload").collect()(0).getLong(0)
+    }
+    assert(picks.distinct.size === 1, s"nondeterministic tie: $picks")
+    assert(picks.head === 9L) // largest payload struct wins the tie
+  }
+
   test("asofJoin plans one shuffle on the key (no nested-loop explosion)") {
     val ev = Star.events(spark, "/root/testdata/sf0.001")
     val p = AsOf.asofPurchaseClick(spark, "/root/testdata/sf0.001")
