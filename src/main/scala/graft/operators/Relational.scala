@@ -511,10 +511,56 @@ object Relational {
       |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
       |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, gid""".stripMargin
 
+  /** Gap-based sessionization: a new session starts when a user is idle
+    * longer than 30 minutes. Pure window arithmetic in exact integer
+    * microseconds (lag -> gap flag -> running sum = session id), one
+    * shuffle on user_id — the batch twin of the stateful streaming
+    * sessionizer. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 30L * 60 * 1000000
+    val ev = Star.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val flagged = ev.withColumn("new_session",
+      when(col("us") - lag(col("us"), 1).over(w) > gapUs || lag(col("us"), 1).over(w).isNull, 1L)
+        .otherwise(0L))
+    flagged
+      .withColumn("session_id", sum(col("new_session"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("session_start_us"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  private val sessionizeSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN us - lag(us) OVER w > 1800000000
+      |              OR lag(us) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sess AS (
+      |  SELECT user_id, us,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events,
+      |  MIN(us) AS session_start_us,
+      |  MAX(us) - MIN(us) AS duration_us
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_agg_pricing", aggPricing, Some(aggPricingSql)),
     QueryDef("q_json_extract", jsonExtract, Some(jsonExtractSql)),
     QueryDef("q_rollup", rollupOrders, Some(rollupOrdersSql)),
+    QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q_scalar_minmax", scalarMinmax, Some(scalarMinmaxSql)),
     QueryDef("q_join_broadcast", joinBroadcast, Some(joinBroadcastSql)),
     QueryDef("q_join_multi", joinMulti, Some(joinMultiSql)),

@@ -116,4 +116,21 @@ class ExtensionOpsSpec extends SparkSuite {
   test("entry: flagship query returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
+
+  test("stats sketch: HLL estimate within 10% of exact; stddev consistent") {
+    val sk = Analytics.statsSketch(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = Star.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, d) =>
+      val est = sk(k).getAs[Long]("approx_parts")
+      assert(math.abs(est - d).toDouble / d < 0.1,
+        s"HLL estimate $est vs exact $d for $k")
+      val sd = sk(k).getAs[Double]("price_stddev")
+      val v = sk(k).getAs[Double]("price_var")
+      assert(approx(sd * sd, v, 1e-9))
+    }
+  }
 }

@@ -38,6 +38,26 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark drops replayed events") {
+    import spark.implicits._
+    val stream = EventsStreaming.readEvents(spark, eventsDir)
+    // replay the stream against itself: a second identical batch arrives
+    val q = stream
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy("event_type").count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = Star.events(spark, dir).groupBy("event_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer accumulates per-user counts") {
     import spark.implicits._
     val stream = EventsStreaming.readEvents(spark, eventsDir)
