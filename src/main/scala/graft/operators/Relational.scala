@@ -556,7 +556,59 @@ object Relational {
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** INTERSECT / EXCEPT: nations having customers vs suppliers. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val custNations = Star.table(spark, dir, "customer")
+      .select(col("c_nationkey").as("nationkey")).distinct()
+    val suppNations = Star.table(spark, dir, "supplier")
+      .select(col("s_nationkey").as("nationkey")).distinct()
+    val both = custNations.intersect(suppNations)
+      .withColumn("which", lit("both"))
+    val custOnly = custNations.except(suppNations)
+      .withColumn("which", lit("customers_only"))
+    both.unionByName(custOnly).orderBy("which", "nationkey")
+  }
+
+  private val setOpsSql =
+    """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+      |s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+      |SELECT nationkey, 'both' AS which FROM (SELECT * FROM c INTERSECT SELECT * FROM s)
+      |UNION ALL
+      |SELECT nationkey, 'customers_only' FROM (SELECT * FROM c EXCEPT SELECT * FROM s)
+      |ORDER BY which, nationkey""".stripMargin
+
+  /** Scalar + correlated subqueries: customers above the global average
+    * balance, with their order counts via a correlated count. */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Star.table(spark, dir, "customer")
+      .createOrReplaceTempView("__customer_sq")
+    Star.table(spark, dir, "orders")
+      .createOrReplaceTempView("__orders_sq")
+    // exact deterministic global average: cents-sum / count
+    spark.sql(
+      """SELECT c_custkey, c_name, c_acctbal,
+        |  (SELECT COUNT(*) FROM __orders_sq o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM __customer_sq c
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+        |                          / 100.0 / COUNT(*)
+        |                   FROM __customer_sq)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val scalarSubquerySql =
+    """SELECT c_custkey, c_name, c_acctbal,
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+      |                          / 100.0 / COUNT(*)
+      |                   FROM customer)
+      |ORDER BY c_custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_set_ops", setOps, Some(setOpsSql)),
+    QueryDef("q_scalar_subquery", scalarSubquery, Some(scalarSubquerySql)),
     QueryDef("q_agg_pricing", aggPricing, Some(aggPricingSql)),
     QueryDef("q_json_extract", jsonExtract, Some(jsonExtractSql)),
     QueryDef("q_rollup", rollupOrders, Some(rollupOrdersSql)),
