@@ -68,7 +68,8 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType)
+    if (child.dataType == StringType ||
+        child.dataType == org.apache.spark.sql.types.NullType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"winnow_fingerprint expects STRING, got ${child.dataType.sql}")

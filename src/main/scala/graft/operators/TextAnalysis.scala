@@ -134,7 +134,31 @@ object TextAnalysis {
       |  md5(text) AS payload_md5, source
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Corpus text normalization (accent-strip via the custom StripAccents
+    * expression, lowercase, whitespace collapse) with before/after
+    * fingerprints. Oracle: DuckDB's native strip_accents. */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextNormalize
+    Star.table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp_raw"),
+        md5(TextNormalize.normalize(col("text"))).as("fp_normalized"),
+        length(TextNormalize.normalize(col("text"))).cast("long")
+          .as("n_chars_normalized"))
+      .orderBy("doc_id")
+  }
+
+  private val textNormalizeSql =
+    """SELECT doc_id, md5(text) AS fp_raw,
+      |  md5(trim(regexp_replace(lower(strip_accents(text)), '\s+', ' ', 'g')))
+      |    AS fp_normalized,
+      |  CAST(length(trim(regexp_replace(lower(strip_accents(text)), '\s+', ' ', 'g')))
+      |    AS BIGINT) AS n_chars_normalized
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_text_normalize", textNormalize, Some(textNormalizeSql)),
     QueryDef("q_text_tokens", textTokens, Some(textTokensSql)),
     QueryDef("q_text_quality", textQuality, Some(textQualitySql)),
     QueryDef("q_lang_id", langId, Some(langIdSql)),
