@@ -103,19 +103,47 @@ object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   }
 }
 
+/** Optimizer rule: push column pruning through TopKPerGroup. The node
+  * passes its child's schema through, so without this rule a projection
+  * above it can never narrow the scan — the operator would read every
+  * column of a wide table to emit two. Keeps group/order references plus
+  * whatever the projection needs; reaches a fixed point once the child
+  * output equals the needed set. */
+object PruneThroughTopK
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(projList, topk @ TopKPerGroup(g, o, _, child))
+        if projList.forall(_.deterministic) =>
+      val needed = AttributeSet(projList.flatMap(_.references)) ++
+        AttributeSet(g.flatMap(_.references)) ++
+        AttributeSet(o.flatMap(_.references))
+      if (child.output.forall(needed.contains)) p
+      else p.copy(child = topk.copy(child =
+        Project(child.output.filter(needed.contains), child)))
+  }
+}
+
 /** Config-file registration: `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectOptimizerRule(_ => PruneThroughTopK)
+  }
 }
 
 object TopKPerGroup {
-  /** Ensure the strategy is present on an already-built session. */
+  /** Ensure the strategy + pruning rule are present on an already-built
+    * session. */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(TopKStrategy))
       spark.experimental.extraStrategies = cur :+ TopKStrategy
+    val opt = spark.experimental.extraOptimizations
+    if (!opt.contains(PruneThroughTopK))
+      spark.experimental.extraOptimizations = opt :+ PruneThroughTopK
   }
 
   /** Public API: first `k` rows per group under (col, direction) sort

@@ -42,6 +42,19 @@ class TopKPerGroupSpec extends SparkSuite {
       s"expected final above exchange above partial\n$p")
   }
 
+  test("PruneThroughTopK: projection above the operator narrows the scan") {
+    val ev = Star.events(spark, dir) // 6 columns incl. props, event_type
+    val df = TopKPerGroup.topK(ev, Seq("user_id"), Seq(("value", true)), 3)
+      .select("user_id", "value")
+    val same = df.collect()
+    assert(same.nonEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("props"), "scan should not read pruned column props\n" + p)
+    assert(!p.contains("event_type"),
+      "scan should not read pruned column event_type\n" + p)
+  }
+
   test("ties, k larger than group, single-row groups") {
     import spark.implicits._
     val df = Seq(
