@@ -606,7 +606,70 @@ object Relational {
       |                   FROM customer)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Banded temporal range self-join: pairs of same-user events within 60
+    * seconds. A naive inequality join becomes a nested-loop at scale;
+    * instead each event lands in a coarse time bucket and its neighbor
+    * buckets (explode x3), candidates equi-join on (user, bucket), and the
+    * exact |dt| <= 60s predicate filters — one hash join, no BNLJ
+    * (plan-asserted in tests). Exact integer microseconds throughout. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bandUs = 60L * 1000000
+    val ev = Star.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val bucketed = ev.withColumn("bucket", expr(s"us DIV $bandUs"))
+    val a = bucketed.select(col("user_id"), col("event_id").as("id_a"),
+      col("us").as("us_a"), col("bucket"))
+    val b = bucketed.select(col("user_id"), col("event_id").as("id_b"),
+      col("us").as("us_b"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1))
+        .as("bucket"))
+    a.join(b, Seq("user_id", "bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("us_a") - col("us_b")) <= bandUs)
+      .select("user_id", "id_a", "id_b")
+      .distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("n_close_pairs"))
+      .orderBy("user_id")
+  }
+
+  private val rangeJoinSql =
+    """SELECT a.user_id, COUNT(*) AS n_close_pairs
+      |FROM (SELECT user_id, event_id AS id_a, epoch_us(ts) AS us_a FROM events) a
+      |JOIN (SELECT user_id, event_id AS id_b, epoch_us(ts) AS us_b FROM events) b
+      |  ON a.user_id = b.user_id AND a.id_a < b.id_b
+      |  AND abs(a.us_a - b.us_b) <= 60000000
+      |GROUP BY a.user_id
+      |ORDER BY a.user_id""".stripMargin
+
+  /** RANGE-frame window: per-user rolling 1-hour sum of value (exact
+    * decimal cents over an integer-microsecond range frame). */
+  def windowRange(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Star.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), Star.cents(col("value")).as("v_c"))
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-3600L * 1000000, 0)
+    ev.select(col("user_id"), col("event_id"),
+      (sum(col("v_c")).over(w).cast("double") / 100.0).as("rolling_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val windowRangeSql =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us,
+       |    ${Star.Sql.cents("value")} AS v_c
+       |  FROM events)
+       |SELECT user_id, event_id,
+       |  CAST(SUM(v_c) OVER (PARTITION BY user_id ORDER BY us
+       |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    / 100.0 AS rolling_1h
+       |FROM ev
+       |ORDER BY user_id, event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_range_join", rangeJoin, Some(rangeJoinSql)),
+    QueryDef("q_window_range", windowRange, Some(windowRangeSql)),
     QueryDef("q_set_ops", setOps, Some(setOpsSql)),
     QueryDef("q_scalar_subquery", scalarSubquery, Some(scalarSubquerySql)),
     QueryDef("q_agg_pricing", aggPricing, Some(aggPricingSql)),

@@ -62,6 +62,13 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("banded range join: hash join, never a nested loop") {
+    val p = plan(Relational.rangeJoin(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+  }
+
   test("INMET ingest: one distributed text scan, no per-file plans") {
     val st = graft.inmet.Pipeline.stage(spark,
       resourcePath("/inmet") + "/*.csv")
