@@ -9,15 +9,19 @@ import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Accent/diacritic stripping — a text-normalization scalar Spark lacks
-  * natively (DuckDB ships `strip_accents`). NFKD-decompose then drop
-  * combining marks: 'São Paulo' -> 'Sao Paulo'. Catalyst `Expression`
-  * with codegen (static call), not a UDF. */
+  * natively (DuckDB ships `strip_accents`). CANONICAL decomposition (NFD)
+  * then drop combining marks: 'São Paulo' -> 'Sao Paulo'. NFD, not NFKD:
+  * DuckDB's strip_accents is utf8proc canonical decompose+stripmark, so
+  * compatibility characters (NBSP, ligatures, '²') pass through unchanged
+  * in both engines — NFKD here would silently break oracle bit-parity on
+  * any corpus containing them. Catalyst `Expression` with codegen (static
+  * call), not a UDF. */
 object AccentStrip {
   private val marks = java.util.regex.Pattern.compile("\\p{M}+")
 
   def strip(s: UTF8String): UTF8String = {
     val norm = java.text.Normalizer.normalize(
-      s.toString, java.text.Normalizer.Form.NFKD)
+      s.toString, java.text.Normalizer.Form.NFD)
     UTF8String.fromString(marks.matcher(norm).replaceAll(""))
   }
 }

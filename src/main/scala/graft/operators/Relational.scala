@@ -580,20 +580,29 @@ object Relational {
   /** Scalar + correlated subqueries: customers above the global average
     * balance, with their order counts via a correlated count. */
   def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
-    Star.table(spark, dir, "customer")
-      .createOrReplaceTempView("__customer_sq")
-    Star.table(spark, dir, "orders")
-      .createOrReplaceTempView("__orders_sq")
-    // exact deterministic global average: cents-sum / count
-    spark.sql(
-      """SELECT c_custkey, c_name, c_acctbal,
-        |  (SELECT COUNT(*) FROM __orders_sq o
-        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
-        |FROM __customer_sq c
-        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
-        |                          / 100.0 / COUNT(*)
-        |                   FROM __customer_sq)
-        |ORDER BY c_custkey""".stripMargin)
+    // unique view names + drop-after-analysis: spark.sql resolves the
+    // views eagerly, so the returned plan is self-contained and the
+    // session catalog is left unchanged (no cross-invocation races)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val cv = s"customer_sq_$tag"
+    val ov = s"orders_sq_$tag"
+    Star.table(spark, dir, "customer").createOrReplaceTempView(cv)
+    Star.table(spark, dir, "orders").createOrReplaceTempView(ov)
+    try {
+      // exact deterministic global average: cents-sum / count
+      spark.sql(
+        s"""SELECT c_custkey, c_name, c_acctbal,
+           |  (SELECT COUNT(*) FROM $ov o
+           |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+           |FROM $cv c
+           |WHERE c_acctbal > (SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+           |                          / 100.0 / COUNT(*)
+           |                   FROM $cv)
+           |ORDER BY c_custkey""".stripMargin)
+    } finally {
+      spark.catalog.dropTempView(cv)
+      spark.catalog.dropTempView(ov)
+    }
   }
 
   private val scalarSubquerySql =
@@ -626,8 +635,8 @@ object Relational {
     a.join(b, Seq("user_id", "bucket"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("us_a") - col("us_b")) <= bandUs)
-      .select("user_id", "id_a", "id_b")
-      .distinct()
+      // no distinct needed: a's single bucket meets b's three distinct
+      // exploded buckets at most once per (a, b) pair
       .groupBy("user_id").agg(count(lit(1)).as("n_close_pairs"))
       .orderBy("user_id")
   }

@@ -15,11 +15,17 @@ class TextNormalizeSpec extends SparkSuite {
   }
 
   test("strip_accents agrees with DuckDB semantics on mixed unicode") {
-    // values cross-checked against DuckDB strip_accents
+    // values cross-checked against DuckDB strip_accents; the last three
+    // pin CANONICAL (NFD) semantics — compatibility characters (NBSP,
+    // ligatures, superscripts) must pass through unchanged, as in DuckDB.
+    // NFKD would fold them and silently break oracle bit-parity.
     val cases = Map(
       "naïve résumé" -> "naive resume",
       "Mënchengladbach" -> "Menchengladbach",
-      "ÀÉÎÕÜ àéîõü" -> "AEIOU aeiou")
+      "ÀÉÎÕÜ àéîõü" -> "AEIOU aeiou",
+      "a b" -> "a b",
+      "ﬁle" -> "ﬁle",
+      "x²" -> "x²")
     val got = cases.keys.toSeq.toDF("s")
       .select($"s", TextNormalize.stripAccents($"s")).as[(String, String)]
       .collect().toMap

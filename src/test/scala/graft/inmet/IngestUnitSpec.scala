@@ -57,13 +57,19 @@ class IngestUnitSpec extends SparkSuite {
       java.nio.file.Files.write(dir.resolve(s"INMET_SE_MG_${code}_GEN$i.csv"),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    val st = Pipeline.stage(spark, dir.toString + "/*.csv")
-    assert(st.cidades.count() === 20L)
-    assert(st.previsoes.count() === 20L * 4344L)
-    assert(st.previsoes.select("wmo").distinct().count() === 20L)
-    val an = Pipeline.analytics(st)
-    assert(an.fatoAggPrevisoesDia.count() === 20L * 181L)
-    assert(an.cidadeKpisMensal.count() === 20L * 6L)
+    try {
+      val st = Pipeline.stage(spark, dir.toString + "/*.csv")
+      assert(st.cidades.count() === 20L)
+      assert(st.previsoes.count() === 20L * 4344L)
+      assert(st.previsoes.select("wmo").distinct().count() === 20L)
+      val an = Pipeline.analytics(st)
+      assert(an.fatoAggPrevisoesDia.count() === 20L * 181L)
+      assert(an.cidadeKpisMensal.count() === 20L * 6L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("parseDateFlexible: all three INMET formats + coerce-to-null") {

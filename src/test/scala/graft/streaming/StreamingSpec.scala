@@ -39,10 +39,14 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("streaming dedup within watermark drops replayed events") {
-    import spark.implicits._
-    val stream = EventsStreaming.readEvents(spark, eventsDir)
-    // replay the stream against itself: a second identical batch arrives
-    val q = stream
+    // a directory holding the SAME events twice (two files, identical
+    // event_ids) — without dedup the counts would double
+    val replayDir = Files.createTempDirectory("graft_events_replay").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.write.mode("overwrite").parquet(replayDir)
+    raw.write.mode("append").parquet(replayDir)
+    val q = EventsStreaming.readEvents(spark, replayDir)
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy("event_type").count()
@@ -54,7 +58,10 @@ class StreamingSpec extends SparkSuite {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val want = Star.events(spark, dir).groupBy("event_type").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      assert(got === want)
+      assert(got === want) // deduped back to single-copy counts
+      // sanity: the input really contained duplicates
+      val total = spark.read.parquet(replayDir).count()
+      assert(total === 2 * want.values.sum)
     } finally q.stop()
   }
 
