@@ -157,7 +157,36 @@ object TextAnalysis {
       |    AS BIGINT) AS n_chars_normalized
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** GPT-2-style BPE-ish pre-tokenization count: contractions, letter
+    * runs, digit runs, punctuation runs, whitespace — the regex both
+    * engines (Java regex / RE2) interpret identically. The closer proxy
+    * for LLM token budgeting than whitespace splitting. */
+  private val bpePattern =
+    "'(?:s|d|m|t|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = Star.table(spark, dir, "documents")
+    val ws = size(split(trim(col("text")), "\\s+")).cast("long")
+    val bpe = regexp_count(col("text"), lit(bpePattern)).cast("long")
+    d.select(col("doc_id"), ws.as("n_ws_tokens"), bpe.as("n_bpe_tokens"),
+      Star.ratio6(bpe, ws).as("bpe_per_ws"))
+      .orderBy("doc_id")
+  }
+
+  private val bpeTokensSql = {
+    val sqlPat = bpePattern.replace("\\", "\\").replace("'", "''")
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       |    AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$sqlPat')) AS BIGINT)
+       |    AS n_bpe_tokens,
+       |  ${Star.Sql.ratio6(s"len(regexp_extract_all(text, '$sqlPat'))",
+            "len(regexp_split_to_array(trim(text), '\\s+'))")} AS bpe_per_ws
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     QueryDef("q_text_normalize", textNormalize, Some(textNormalizeSql)),
     QueryDef("q_text_tokens", textTokens, Some(textTokensSql)),
     QueryDef("q_text_quality", textQuality, Some(textQualitySql)),
