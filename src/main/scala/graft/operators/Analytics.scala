@@ -134,7 +134,57 @@ object Analytics {
       |WHERE rn <= 3
       |ORDER BY user_id, value DESC, event_id""".stripMargin
 
+  /** CUBE: all grouping-set combinations of (priority, status). */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    Star.table(spark, dir, "orders")
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        Star.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(asc_nulls_first("o_orderpriority"),
+        asc_nulls_first("o_orderstatus"), col("gid"))
+
+  private val cubeOrdersSql =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, gid""".stripMargin
+
+  /** argmin/argmax: the order id holding each priority's price extreme.
+    * Ties are broken deterministically by folding the unique key into the
+    * ordering value (cents * 10^7 + orderkey — exact in BIGINT for the
+    * harness scale range). */
+  def argExtremes(spark: SparkSession, dir: String): DataFrame = {
+    val o = Star.table(spark, dir, "orders")
+      .withColumn("rank_val",
+        Star.cents(col("o_totalprice")) * 10000000L + col("o_orderkey"))
+    o.groupBy("o_orderpriority")
+      .agg(
+        max_by(col("o_orderkey"), col("rank_val")).as("max_price_order"),
+        min_by(col("o_orderkey"), col("rank_val")).as("min_price_order"),
+        max(Star.cents(col("o_totalprice"))).as("max_price_c"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val argExtremesSql =
+    s"""WITH o AS (
+       |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+       |    ${Star.Sql.cents("o_totalprice")} * 10000000 + o_orderkey AS rank_val
+       |  FROM orders)
+       |SELECT o_orderpriority,
+       |  arg_max(o_orderkey, rank_val) AS max_price_order,
+       |  arg_min(o_orderkey, rank_val) AS min_price_order,
+       |  MAX(${Star.Sql.cents("o_totalprice")}) AS max_price_c,
+       |  COUNT(*) AS n
+       |FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_cube", cubeOrders, Some(cubeOrdersSql)),
+    QueryDef("q_arg_extremes", argExtremes, Some(argExtremesSql)),
     QueryDef("q_topk_per_group", topkPerGroup, Some(topkPerGroupSql)),
     QueryDef("q_pivot", pivotOrders, Some(pivotOrdersSql)),
     QueryDef("q_string_funcs", stringFuncs, Some(stringFuncsSql)),
