@@ -28,9 +28,9 @@ object Analytics {
 
   private val pivotOrdersSql =
     """SELECT o_orderpriority,
-      |  COUNT_IF(o_orderstatus = 'F') AS F,
-      |  COUNT_IF(o_orderstatus = 'O') AS O,
-      |  COUNT_IF(o_orderstatus = 'P') AS P
+      |  CAST(COUNT_IF(o_orderstatus = 'F') AS BIGINT) AS F,
+      |  CAST(COUNT_IF(o_orderstatus = 'O') AS BIGINT) AS O,
+      |  CAST(COUNT_IF(o_orderstatus = 'P') AS BIGINT) AS P
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 

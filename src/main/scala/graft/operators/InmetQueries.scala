@@ -144,7 +144,7 @@ object InmetQueries {
        |  CAST(SUM(temp_avg_u) // COUNT(*) AS DOUBLE) / 1e6 AS mensal_temp_media,
        |  MAX(temp_max_c) AS mensal_temp_max,
        |  CAST(SUM(precip_c) AS DOUBLE) / 100.0 AS mensal_precip_total,
-       |  COUNT_IF(precip_c > 0) AS dias_com_precip
+       |  CAST(COUNT_IF(precip_c > 0) AS BIGINT) AS dias_com_precip
        |FROM daily
        |GROUP BY cidade_sk, ano, mes
        |ORDER BY cidade_sk, ano, mes""".stripMargin

@@ -164,7 +164,7 @@ object Relational {
        |SELECT CAST(year(data) AS BIGINT) AS ano, CAST(month(data) AS BIGINT) AS mes,
        |  CAST(SUM(avg_u) // COUNT(*) AS DOUBLE) / 1e4 AS mensal_avg_of_daily,
        |  CAST(SUM(total_c) AS DOUBLE) / 100.0 AS mensal_total,
-       |  COUNT_IF(total_c > 10000000) AS dias_altos
+       |  CAST(COUNT_IF(total_c > 10000000) AS BIGINT) AS dias_altos
        |FROM d2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** F9: surrogate-key construction (CONCAT/TRIM/UPPER/COALESCE). */
@@ -458,8 +458,8 @@ object Relational {
 
   private val countIfSql =
     """SELECT c_mktsegment,
-      |  COUNT_IF(c_acctbal < 0) AS n_negative,
-      |  COUNT_IF(c_acctbal >= 5000) AS n_high,
+      |  CAST(COUNT_IF(c_acctbal < 0) AS BIGINT) AS n_negative,
+      |  CAST(COUNT_IF(c_acctbal >= 5000) AS BIGINT) AS n_high,
       |  COUNT(*) AS n
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
@@ -483,11 +483,11 @@ object Relational {
 
   private val jsonExtractSql =
     """SELECT event_type,
-      |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)
       |    / COUNT(*) AS avg_k,
       |  COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_distinct_k,
-      |  COUNT_IF(json_extract(props, '$.k') IS NULL) AS n_null
+      |  CAST(COUNT_IF(json_extract(props, '$.k') IS NULL) AS BIGINT) AS n_null
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Hierarchical totals via ROLLUP (subtotals + grand total), with
