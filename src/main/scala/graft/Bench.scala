@@ -15,7 +15,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -35,7 +35,10 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
     }
 
+    // SPARK_GRAFT_ONLY=q_a,q_b narrows the run for focused iteration.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     (1 to warmup).foreach(_ => names.foreach(exec))
     val results = names.map(n => n -> exec(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -81,16 +81,21 @@ object Analytics {
       |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
       |ORDER BY d""".stripMargin
 
-  /** Exact quartiles of extended price (cents domain, dyadic fractions). */
+  /** Exact quartiles of extended price (cents domain, dyadic fractions).
+    * One array-form percentile accumulation — a single value buffer and
+    * sort per group, not one per requested quantile. */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
-    Star.table(spark, dir, "lineitem")
+    Star.fan(spark, Star.table(spark, dir, "lineitem"))
       .withColumn("price_c", Star.cents(col("l_extendedprice")))
       .groupBy("l_returnflag")
       .agg(
-        (expr("percentile(price_c, 0.25)") / 100.0).as("p25"),
-        (expr("percentile(price_c, 0.5)") / 100.0).as("p50"),
-        (expr("percentile(price_c, 0.75)") / 100.0).as("p75"),
+        expr("percentile(price_c, array(0.25D, 0.5D, 0.75D))").as("ps"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        (col("ps").getItem(0) / 100.0).as("p25"),
+        (col("ps").getItem(1) / 100.0).as("p50"),
+        (col("ps").getItem(2) / 100.0).as("p75"),
+        col("n"))
       .orderBy("l_returnflag")
 
   private val percentilesSql =

@@ -27,7 +27,9 @@ object Dedup {
     * as the single shingle — identical to the DuckDB formulation, where
     * out-of-range list indexing returns NULL. */
   private def shingles(docs: DataFrame): DataFrame = {
-    val w = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+    // tokenize + 100x shingle explode is the heavy map side — fan it out
+    val w = Star.fan(docs.sparkSession, docs)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
     w.select(col("doc_id"), explode(array_distinct(expr(
       "transform(sequence(1, greatest(size(w) - 2, 1)), " +
         "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1), try_element_at(w, i + 2)))"
@@ -171,7 +173,7 @@ object Dedup {
     * less than the exact-Jaccard path at the same recall point. */
   def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.WinnowFunctions
-    val d = Star.table(spark, dir, "documents")
+    val d = Star.fan(spark, Star.table(spark, dir, "documents"))
       .select(col("doc_id"),
         WinnowFunctions.winnowFingerprint(col("text"), 12, 4).as("sk"))
     val all = d.select(col("doc_id"), explode(col("sk")).as("h"))

@@ -19,6 +19,19 @@ object Star {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Local testdata parquet is written as ONE row group per file, so a scan
+    * yields a single split — map-side work would run on 1 core no matter
+    * how many the session has. On a cluster the same table arrives as
+    * thousands of splits. `fan` recovers scan parallelism locally with an
+    * explicit round-robin repartition (AQE never coalesces an explicit
+    * count; filters and pruning still push through it into the scan).
+    * Apply it ONLY where per-row/per-pair compute dominates the extra
+    * shuffle — an always-on fan-out taxes every cheap single-stage query
+    * with one more exchange, which full-bench measurement showed is a net
+    * loss. */
+  def fan(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
+
   /** `events` carries parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; read it as long nanos and convert to a micro-precision
     * timestamp (identical to DuckDB's nanos->micros truncation). */
