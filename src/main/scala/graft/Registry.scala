@@ -14,6 +14,7 @@ object Registry {
   def all: Seq[QueryDef] =
     operators.Relational.defs ++
       operators.Analytics.defs ++
+      operators.Breadth.defs ++
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++

@@ -1,0 +1,466 @@
+package graft.operators
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Breadth batch (round 2): the relational/windowing/text surface beyond
+  * the round-1 set — outer/cross joins, SQL-path EXISTS, lead/lag, ntile +
+  * distribution ranks, window frames (first/last/nth), collect_set
+  * aggregation, UNPIVOT, GROUPING SETS, edit distance, regexp_extract_all,
+  * TF-IDF top-k terms, day-1 retention, signup->purchase funnel, and a
+  * fixed-bound histogram.
+  *
+  * Determinism doctrine as in [[Star]]: every float output is either an
+  * exact integer ratio (ratio6 / IEEE division of exact small ints) or an
+  * exact decimal sum; every window ORDER BY carries a unique tie-breaker;
+  * every DuckDB aggregate that would widen to HUGEINT is cast back to
+  * BIGINT (pandas turns HUGEINT into float64 and the driver's hash then
+  * sees 10.0 vs 10).
+  */
+object Breadth {
+
+  // ---------------------------------------------------------------- joins
+
+  /** FULL OUTER over two filtered views of customer, so both sides are
+    * guaranteed unmatched rows at every SF (all custkeys appear in orders,
+    * so a customer/orders full-outer would degenerate to inner). */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Star.table(spark, dir, "customer")
+    val a = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("bal_a"))
+    val b = c.filter(col("c_acctbal") >= 5000)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("bal_b"))
+    a.join(b, Seq("key"), "full_outer")
+      .select(col("key"),
+        col("bal_a").isNotNull.cast("long").as("in_building"),
+        col("bal_b").isNotNull.cast("long").as("in_high"),
+        coalesce(col("bal_a"), col("bal_b")).as("bal"))
+      .orderBy("key")
+  }
+
+  private val fullOuterJoinSql =
+    """WITH a AS (SELECT c_custkey AS key, c_acctbal AS bal_a FROM customer
+      |           WHERE c_mktsegment = 'BUILDING'),
+      |b AS (SELECT c_custkey AS key, c_acctbal AS bal_b FROM customer
+      |      WHERE c_acctbal >= 5000)
+      |SELECT COALESCE(a.key, b.key) AS key,
+      |  CAST(a.bal_a IS NOT NULL AS BIGINT) AS in_building,
+      |  CAST(b.bal_b IS NOT NULL AS BIGINT) AS in_high,
+      |  COALESCE(a.bal_a, b.bal_b) AS bal
+      |FROM a FULL JOIN b ON a.key = b.key
+      |ORDER BY key""".stripMargin
+
+  /** Cartesian product of two tiny dims (explicit crossJoin — the only
+    * join shape where a nested loop is the RIGHT plan). */
+  def crossJoin(spark: SparkSession, dir: String): DataFrame = {
+    val r = Star.table(spark, dir, "region").select(col("r_name"))
+    val s = Star.table(spark, dir, "customer")
+      .select(col("c_mktsegment").as("segment")).distinct()
+    r.crossJoin(s).orderBy("r_name", "segment")
+  }
+
+  private val crossJoinSql =
+    """SELECT r_name, segment
+      |FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment AS segment
+      |                        FROM customer) s
+      |ORDER BY r_name, segment""".stripMargin
+
+  /** Correlated EXISTS / NOT EXISTS through the SQL front-end (planned by
+    * Catalyst as semi/anti joins — asserted in PlanSpec). */
+  def existsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Star.table(spark, dir, "customer").createOrReplaceTempView("b_customer")
+    Star.table(spark, dir, "orders").createOrReplaceTempView("b_orders")
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment
+        |FROM b_customer c
+        |WHERE EXISTS (SELECT 1 FROM b_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM b_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val existsSubquerySql =
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------- windows
+
+  /** lag/lead navigation: per-customer order history with day gaps.
+    * ORDER BY (o_orderdate, o_orderkey) — the key makes ties deterministic. */
+  def windowLeadLag(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Star.table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), col("prev_date")).cast("long"))
+      .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  private val windowLeadLagSql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  lag(o_orderdate, 1) OVER w AS prev_date,
+      |  CAST(date_diff('day', lag(o_orderdate, 1) OVER w, o_orderdate)
+      |       AS BIGINT) AS gap_days,
+      |  lead(o_orderdate, 1) OVER w AS next_date
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** Distribution ranks: ntile quartiles + percent_rank + cume_dist over
+    * a unique (c_acctbal, c_custkey) order. percent_rank/cume_dist are
+    * IEEE divisions of exact small integers — bit-identical cross-engine. */
+  def ntileRanks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("c_acctbal", "c_custkey")
+    Star.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy("c_acctbal", "c_custkey")
+  }
+
+  private val ntileRanksSql =
+    """SELECT c_custkey, c_acctbal,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_acctbal, c_custkey""".stripMargin
+
+  /** Whole-partition frames: earliest/latest/second-earliest ship date
+    * per order. The window orders by the OUTPUT column first (then
+    * linenumber), so tied sort keys can never flip the picked value —
+    * (l_orderkey, l_linenumber) is not unique in the generated data. */
+  def firstLastValue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_shipdate", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Star.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .withColumn("first_ship", first(col("l_shipdate")).over(w))
+      .withColumn("last_ship", last(col("l_shipdate")).over(w))
+      .withColumn("second_ship", nth_value(col("l_shipdate"), 2).over(w))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("line"),
+        col("l_shipdate"), col("first_ship"), col("last_ship"),
+        col("second_ship"))
+      .orderBy("l_orderkey", "line")
+  }
+
+  private val firstLastValueSql =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line, l_shipdate,
+      |  first_value(l_shipdate) OVER w AS first_ship,
+      |  last_value(l_shipdate) OVER w AS last_ship,
+      |  nth_value(l_shipdate, 2) OVER w AS second_ship
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_orderkey
+      |             ORDER BY l_shipdate, l_linenumber
+      |             ROWS BETWEEN UNBOUNDED PRECEDING
+      |             AND UNBOUNDED FOLLOWING)
+      |ORDER BY l_orderkey, line""".stripMargin
+
+  // ----------------------------------------------------- shaping / groups
+
+  /** collect_set aggregation emitted as a canonical sorted string (arrays
+    * hash unreliably across engines; the string form is exact). */
+  def arrayAgg(spark: SparkSession, dir: String): DataFrame =
+    Star.table(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("o_orderstatus"))))
+          .as("statuses"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
+  private val arrayAggSql =
+    """SELECT o_custkey,
+      |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+      |    AS statuses,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** UNPIVOT (wide -> long) of the pivoted status counts — exercises both
+    * directions of the reshape in one plan. */
+  def unpivotOrders(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Star.table(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+    wide.unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")),
+        "status", "n")
+      .orderBy("o_orderpriority", "status")
+  }
+
+  private val unpivotOrdersSql =
+    """WITH wide AS (
+      |  SELECT o_orderpriority,
+      |    CAST(COUNT_IF(o_orderstatus = 'F') AS BIGINT) AS f,
+      |    CAST(COUNT_IF(o_orderstatus = 'O') AS BIGINT) AS o,
+      |    CAST(COUNT_IF(o_orderstatus = 'P') AS BIGINT) AS p
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, 'F' AS status, f AS n FROM wide
+      |UNION ALL
+      |SELECT o_orderpriority, 'O', o FROM wide
+      |UNION ALL
+      |SELECT o_orderpriority, 'P', p FROM wide
+      |ORDER BY o_orderpriority, status""".stripMargin
+
+  /** Explicit GROUPING SETS (the third grouping-sets shape next to the
+    * registered CUBE and ROLLUP), labeled via COALESCE so the output needs
+    * no engine-specific grouping_id numbering. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Star.table(spark, dir, "lineitem").createOrReplaceTempView("b_lineitem")
+    spark.sql(
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+         |  COALESCE(l_linestatus, 'ALL') AS lstatus,
+         |  COUNT(*) AS n,
+         |  ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM b_lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+         |                        (l_returnflag), ())
+         |ORDER BY rflag, lstatus""".stripMargin)
+  }
+
+  // Spark + DuckDB share the decimal-exact sum spelling
+  private def sqlDsum(c: String): String =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
+
+  private val groupingSetsSql =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+       |  COALESCE(l_linestatus, 'ALL') AS lstatus,
+       |  COUNT(*) AS n,
+       |  ${Star.Sql.dsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+       |                        (l_returnflag), ())
+       |ORDER BY rflag, lstatus""".stripMargin
+
+  // ----------------------------------------------------------------- text
+
+  /** Edit-distance near-dup pairs (levenshtein on a fixed prefix over a
+    * bounded id range — at corpus scale the same predicate runs over
+    * blocking-key candidates, mirroring the MinHash-LSH candidate shape). */
+  def levenshteinPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Star.table(spark, dir, "documents")
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("p"))
+    d.select(col("doc_id").as("id_a"), col("p").as("pa"))
+      .join(d.select(col("doc_id").as("id_b"), col("p").as("pb")),
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
+      .filter(col("dist") <= 14)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val levenshteinPairsSql =
+    """WITH d AS (SELECT doc_id, substr(text, 1, 24) AS p FROM documents
+      |           WHERE doc_id < 60)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+      |FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |WHERE levenshtein(a.p, b.p) <= 14
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** regexp_extract_all over the JSON props — all digit runs, first one
+    * recovered as the k value (cross-validates the from_json path). */
+  def regexpExtractAll(spark: SparkSession, dir: String): DataFrame =
+    Star.events(spark, dir)
+      .select(col("event_type"),
+        expr("regexp_extract_all(props, '[0-9]+', 0)").as("nums"))
+      .select(col("event_type"),
+        size(col("nums")).cast("long").as("n_nums"),
+        expr("CAST(try_element_at(nums, 1) AS BIGINT)").as("k"))
+      .groupBy("event_type")
+      .agg(
+        sum(col("n_nums")).as("total_nums"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"),
+        count(when(col("k").isNull, 1)).as("n_null"))
+      .orderBy("event_type")
+
+  private val regexpExtractAllSql =
+    """WITH t AS (
+      |  SELECT event_type, regexp_extract_all(props, '[0-9]+') AS nums
+      |  FROM events),
+      |u AS (SELECT event_type, CAST(len(nums) AS BIGINT) AS n_nums,
+      |        CAST(nums[1] AS BIGINT) AS k
+      |      FROM t)
+      |SELECT event_type,
+      |  CAST(SUM(n_nums) AS BIGINT) AS total_nums,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  MAX(k) AS max_k,
+      |  CAST(COUNT_IF(k IS NULL) AS BIGINT) AS n_null
+      |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Per-doc top-3 terms by TF-IDF, integer-rational idf
+    * (idf_u = N*1e6 // df) so scores are bit-stable across engines. */
+  def tfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Star.table(spark, dir, "documents")
+    val tok = Star.fan(spark, docs)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df_, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("idf_u", Star.idiv(col("n_docs") * 1000000L, col("df")))
+      .withColumn("score", col("tf") * col("idf_u"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "term", "tf", "score", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
+  private val tfidfTopkSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf,
+      |    CAST(tf.tf * ((n.n_docs * 1000000) // df.df) AS BIGINT) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+      |        PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rnk
+      |      FROM scored)
+      |SELECT doc_id, term, tf, score, rnk FROM r WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
+  // ----------------------------------------------------------- behavioral
+
+  /** Day-1 retention: users active on day d who return on d+1. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val d = Star.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+    val nxt = d.select(col("user_id"), col("day").as("next_day"))
+    val j = d.join(nxt,
+      d("user_id") === nxt("user_id") &&
+        nxt("next_day") === date_add(d("day"), 1), "left")
+    j.groupBy(d("day"))
+      .agg(
+        count(lit(1)).as("dau"),
+        count(col("next_day")).as("retained"))
+      .withColumn("retention_rate",
+        Star.ratio6(col("retained"), col("dau")))
+      .orderBy("day")
+  }
+
+  private val retentionSql =
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |           FROM events),
+      |j AS (SELECT a.day, a.user_id, b.day AS next_day
+      |      FROM d a LEFT JOIN d b
+      |        ON a.user_id = b.user_id AND b.day = a.day + 1)
+      |SELECT day, COUNT(*) AS dau, COUNT(next_day) AS retained,
+      |  (CAST((CAST(COUNT(next_day) AS BIGINT) * 1000000)
+      |     // CAST(COUNT(*) AS BIGINT) AS DOUBLE) / 1000000.0)
+      |    AS retention_rate
+      |FROM j GROUP BY day ORDER BY day""".stripMargin
+
+  /** Signup -> purchase funnel by signup week: of the users whose first
+    * signup lands in week w, how many purchase within 7 days. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Star.events(spark, dir)
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("signup_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val conv = s.join(p,
+        s("user_id") === p("user_id") &&
+          col("p_ts") > col("signup_ts") &&
+          col("p_ts") <= col("signup_ts") + expr("INTERVAL 7 DAYS"), "left")
+      .groupBy(s("user_id"), col("signup_ts"))
+      .agg(max(col("p_ts").isNotNull.cast("long")).as("converted"))
+    conv.groupBy(date_trunc("week", col("signup_ts")).cast("date").as("week"))
+      .agg(
+        count(lit(1)).as("n_signups"),
+        sum(col("converted")).as("n_converted"))
+      .withColumn("conv_rate", Star.ratio6(col("n_converted"), col("n_signups")))
+      .orderBy("week")
+  }
+
+  private val funnelSql =
+    """WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+      |           WHERE event_type = 'signup' GROUP BY user_id),
+      |p AS (SELECT user_id, ts AS p_ts FROM events
+      |      WHERE event_type = 'purchase'),
+      |conv AS (
+      |  SELECT s.user_id, s.signup_ts,
+      |    MAX(CAST(p.p_ts IS NOT NULL AS BIGINT)) AS converted
+      |  FROM s LEFT JOIN p
+      |    ON s.user_id = p.user_id
+      |   AND p.p_ts > s.signup_ts
+      |   AND p.p_ts <= s.signup_ts + INTERVAL 7 DAY
+      |  GROUP BY s.user_id, s.signup_ts)
+      |SELECT CAST(date_trunc('week', signup_ts) AS DATE) AS week,
+      |  COUNT(*) AS n_signups,
+      |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+      |  (CAST((CAST(SUM(converted) AS BIGINT) * 1000000)
+      |     // CAST(COUNT(*) AS BIGINT) AS DOUBLE) / 1000000.0) AS conv_rate
+      |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Fixed-bound histogram of order totals: 10 x $50k bins in exact cents
+    * arithmetic (integer bin ids, decimal-exact bin totals). */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Star.table(spark, dir, "orders")
+      .withColumn("price_c", Star.cents(col("o_totalprice")))
+      .withColumn("bin",
+        least(lit(9L), Star.idiv(col("price_c"), lit(5000000L))))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("price_c")).cast("double") / 100.0).as("bin_total"))
+      .orderBy("bin")
+
+  private val histogramSql =
+    s"""WITH t AS (
+       |  SELECT least(9, ${Star.Sql.cents("o_totalprice")} // 5000000) AS bin,
+       |    ${Star.Sql.cents("o_totalprice")} AS price_c
+       |  FROM orders)
+       |SELECT bin, COUNT(*) AS n,
+       |  CAST(SUM(price_c) AS DOUBLE) / 100.0 AS bin_total
+       |FROM t GROUP BY bin ORDER BY bin""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_full_outer_join", fullOuterJoin, Some(fullOuterJoinSql)),
+    QueryDef("q_cross_join", crossJoin, Some(crossJoinSql)),
+    QueryDef("q_exists_subquery", existsSubquery, Some(existsSubquerySql)),
+    QueryDef("q_window_lead_lag", windowLeadLag, Some(windowLeadLagSql)),
+    QueryDef("q_ntile_ranks", ntileRanks, Some(ntileRanksSql)),
+    QueryDef("q_first_last_value", firstLastValue, Some(firstLastValueSql)),
+    QueryDef("q_array_agg", arrayAgg, Some(arrayAggSql)),
+    QueryDef("q_unpivot", unpivotOrders, Some(unpivotOrdersSql)),
+    QueryDef("q_grouping_sets", groupingSets, Some(groupingSetsSql)),
+    QueryDef("q_levenshtein", levenshteinPairs, Some(levenshteinPairsSql)),
+    QueryDef("q_regexp_extract_all", regexpExtractAll, Some(regexpExtractAllSql)),
+    QueryDef("q_tfidf_topk", tfidfTopk, Some(tfidfTopkSql)),
+    QueryDef("q_retention", retention, Some(retentionSql)),
+    QueryDef("q_funnel", funnel, Some(funnelSql)),
+    QueryDef("q_histogram", histogram, Some(histogramSql)),
+  )
+}
