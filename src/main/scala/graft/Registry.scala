@@ -20,5 +20,6 @@ object Registry {
       operators.Similarity.defs ++
       operators.Skew.defs ++
       operators.AsOf.defs ++
-      operators.InmetQueries.defs
+      operators.InmetQueries.defs ++
+      streaming.StreamingQueries.defs
 }

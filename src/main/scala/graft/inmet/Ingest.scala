@@ -56,8 +56,16 @@ object Ingest {
     * (job_parquet.py:149-173). Accepts leading-comma fractions (`,7` = 0.7).
     * ANSI-safe: the cast only runs on strings the regex proves numeric. */
   def commaDouble(c: Column): Column = {
-    val dotted = regexp_replace(trim(c), ",", ".")
-    when(dotted.rlike("^-?(\\d+\\.?\\d*|\\.\\d+)$"), dotted.cast("double"))
+    val dotted = translate(trim(c), ",", ".")
+    // Strict-numeral guard without regex on the hot path: strip digits and
+    // accept only pure sign/point residues. This rejects the alternate
+    // spellings try_cast would otherwise admit ('nan', 'Infinity', '1e5')
+    // while false-positive residues ('1-2' -> '-') still null out in
+    // try_cast itself. Equivalent to the old ^-?(\d+\.?\d*|\.\d+)$ rlike,
+    // at translate cost instead of two regex evaluations per value.
+    val residue = translate(dotted, "0123456789", "")
+    when(residue.isin("", ".", "-", "-."),
+      dotted.try_cast(org.apache.spark.sql.types.DoubleType))
       .otherwise(lit(null).cast("double"))
   }
 

@@ -121,6 +121,59 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Exact second-moment statistics, oracle-checked — the deterministic
+    * counterpart of the rows-only sketch above. Moments are accumulated as
+    * EXACT integers (quantity and discount-percent are small ints;
+    * order-independent, partitioning-independent), then the variance /
+    * stddev / correlation formulas are evaluated over those integers with
+    * IDENTICAL double expression trees in Spark and DuckDB — IEEE 754 makes
+    * the results bit-equal. (Price moments would overflow BIGINT under
+    * ANSI at sf>=0.1, which is why the price stats stay in the sketch.)
+    * Bounds: n*sxx < 2^63 holds to ~sf10. */
+  def statsExact(spark: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity").cast("long")
+    val d = Star.cents(col("l_discount")) // 0..10 (percent as exact int)
+    val moments = Star.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), q.as("q"), d.as("d"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sq"), sum(col("q") * col("q")).as("sqq"),
+        sum(col("d")).as("sd"), sum(col("d") * col("d")).as("sdd"),
+        sum(col("q") * col("d")).as("sqd"))
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val nQ = col("n") * col("sqq") - col("sq") * col("sq")
+    val nD = col("n") * col("sdd") - col("sd") * col("sd")
+    val nQD = col("n") * col("sqd") - col("sq") * col("sd")
+    moments.select(
+        col("l_returnflag"), col("n"),
+        (dbl(nQ) / dbl(col("n") * (col("n") - 1))).as("qty_var"),
+        sqrt(dbl(nQ) / dbl(col("n") * (col("n") - 1))).as("qty_stddev"),
+        (dbl(nD) / dbl(col("n") * (col("n") - 1))).as("disc_var"),
+        (dbl(nQD) / sqrt(dbl(nQ) * dbl(nD))).as("qty_disc_corr"))
+      .orderBy("l_returnflag")
+  }
+
+  private val statsExactSql =
+    s"""WITH m AS (
+       |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(q*q) AS BIGINT) AS sqq,
+       |    CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(d*d) AS BIGINT) AS sdd,
+       |    CAST(SUM(q*d) AS BIGINT) AS sqd
+       |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+       |          ${Star.Sql.cents("l_discount")} AS d
+       |        FROM lineitem)
+       |  GROUP BY l_returnflag)
+       |SELECT l_returnflag, n,
+       |  CAST(n*sqq - sq*sq AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) AS qty_var,
+       |  sqrt(CAST(n*sqq - sq*sq AS DOUBLE) / CAST(n*(n-1) AS DOUBLE))
+       |    AS qty_stddev,
+       |  CAST(n*sdd - sd*sd AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) AS disc_var,
+       |  CAST(n*sqd - sq*sd AS DOUBLE)
+       |    / sqrt(CAST(n*sqq - sq*sq AS DOUBLE) * CAST(n*sdd - sd*sd AS DOUBLE))
+       |    AS qty_disc_corr
+       |FROM m ORDER BY l_returnflag""".stripMargin
+
   /** Top-3 events per user through the custom TopKPerGroup physical
     * operator (graft.plans) — proving the partial-heap plan produces
     * oracle-exact results. The oracle is the plain window formulation. */
@@ -196,5 +249,6 @@ object Analytics {
     QueryDef("q_date_math", dateMath, Some(dateMathSql)),
     QueryDef("q_percentiles", percentiles, Some(percentilesSql)),
     QueryDef("q_stats_sketch", statsSketch, None),
+    QueryDef("q_stats_exact", statsExact, Some(statsExactSql)),
   )
 }

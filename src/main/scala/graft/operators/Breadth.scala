@@ -446,7 +446,36 @@ object Breadth {
        |  CAST(SUM(price_c) AS DOUBLE) / 100.0 AS bin_total
        |FROM t GROUP BY bin ORDER BY bin""".stripMargin
 
+  // -------------------------------------------------------------- sources
+
+  /** JSON source surface: `spark.read.json` over a Dataset[String] (the
+    * event props), schema inferred by the source — the JSON-lines
+    * equivalent of the CSV-from-lines INMET path (SURVEY §2 S5). */
+  def jsonSource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = Star.events(spark, dir)
+      .filter(col("props").isNotNull)
+      .select("props").as[String]
+    val parsed = spark.read.json(lines)
+    parsed.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("k")).as("n_k"),
+      sum(col("k")).as("sum_k"),
+      min(col("k")).as("min_k"),
+      max(col("k")).as("max_k"))
+  }
+
+  private val jsonSourceSql =
+    """SELECT COUNT(*) AS n_rows,
+      |  COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_k,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS sum_k,
+      |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events WHERE props IS NOT NULL""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_json_source", jsonSource, Some(jsonSourceSql)),
     QueryDef("q_full_outer_join", fullOuterJoin, Some(fullOuterJoinSql)),
     QueryDef("q_cross_join", crossJoin, Some(crossJoinSql)),
     QueryDef("q_exists_subquery", existsSubquery, Some(existsSubquerySql)),

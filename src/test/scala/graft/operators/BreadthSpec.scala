@@ -119,6 +119,41 @@ class BreadthSpec extends SparkSuite {
     assert(df.count() > 0)
   }
 
+  test("statsExact agrees with Spark's built-in var_samp/stddev/corr") {
+    val exact = Analytics.statsExact(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(5)))
+      .toMap
+    val builtin = Star.table(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"),
+        Star.cents(col("l_discount")).as("d"))
+      .groupBy("l_returnflag")
+      .agg(var_samp(col("q")), stddev_samp(col("q")), corr(col("q"), col("d")))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(exact.keySet === builtin.keySet)
+    exact.foreach { case (k, (v1, s1, c1)) =>
+      val (v2, s2, c2) = builtin(k)
+      assert(approx(v1, v2, 1e-9) && approx(s1, s2, 1e-9) && approx(c1, c2, 1e-6),
+        s"$k: exact=($v1,$s1,$c1) builtin=($v2,$s2,$c2)")
+    }
+  }
+
+  test("jsonSource row counts line up with the events table") {
+    val r = Breadth.jsonSource(spark, sf).collect().head
+    val expected = Star.events(spark, sf).filter(col("props").isNotNull).count()
+    assert(r.getLong(0) === expected)
+    assert(r.getLong(1) <= r.getLong(0))
+  }
+
+  test("streaming time-bucket converges to the batch twin") {
+    val streamed = graft.streaming.StreamingQueries.streamTimeBucket(spark, sf)
+    val batch = Relational.timeBucket(spark, sf)
+      .withColumnRenamed("bucket", "bucket")
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("histogram covers all orders exactly once") {
     val df = Breadth.histogram(spark, sf)
     val n = df.agg(sum("n")).as[Long](spark.implicits.newLongEncoder).head()
