@@ -27,6 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] with heavy shuffles needs headroom: an 8g heap showed
-  // multi-second GC spikes on individual bench queries (128 GiB available)
+  // multi-second GC spikes on individual bench queries (128 GiB available).
+  // ZGC keeps collection concurrent so pauses don't land on a random
+  // query mid-measurement (G1 showed roving multi-second outliers;
+  // an explicit System.gc() barrier was worse — it cold-starts codegen).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  "-XX:+UseZGC",
 )

@@ -21,5 +21,6 @@ object Registry {
       operators.Skew.defs ++
       operators.AsOf.defs ++
       operators.InmetQueries.defs ++
-      streaming.StreamingQueries.defs
+      streaming.StreamingQueries.defs ++
+      multimodal.Multimodal.defs
 }

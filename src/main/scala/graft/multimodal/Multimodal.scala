@@ -80,6 +80,51 @@ object Multimodal {
       }
   }
 
+  /** Frame-sampling invariants as an oracle-checked query: per media item,
+    * the number of fixed-size frames its payload shards into and the total
+    * bytes across frames (which must reassemble to the payload length).
+    * The byte math is SQL-expressible (octet_length over the UTF-8 text
+    * stand-in), so the multimodal chunking plumbing sits in the DuckDB
+    * correctness gate, not just in tests. */
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    val media = fromDocuments(
+      graft.operators.Star.table(spark, dir, "documents"))
+    sampleFrames(media, 256)
+      .groupBy("media_id")
+      .agg(
+        max(col("byte_len")).as("byte_len"),
+        count(lit(1)).as("n_frames"),
+        sum(length(col("frame_payload")).cast("long")).as("frame_bytes"),
+        max(col("frame_idx")).cast("long").as("last_idx"))
+      .orderBy("media_id")
+  }
+
+  private val mediaFramesSql =
+    """SELECT doc_id AS media_id,
+      |  CAST(strlen(text) AS BIGINT) AS byte_len,
+      |  CAST((strlen(text) + 255) // 256 AS BIGINT) AS n_frames,
+      |  CAST(strlen(text) AS BIGINT) AS frame_bytes,
+      |  CAST((strlen(text) - 1) // 256 AS BIGINT) AS last_idx
+      |FROM documents WHERE strlen(text) > 0
+      |ORDER BY media_id""".stripMargin
+
+  /** The batched per-partition featurize stage in the gate (rows-only —
+    * the stub features are engine-specific): id, length, and the first
+    * pseudo-feature per media item. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = fromDocuments(
+      graft.operators.Star.table(spark, dir, "documents"))
+    extractFeatures(media, 8).toDF()
+      .select(col("media_id"), col("byte_len"),
+        round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+      .orderBy("media_id")
+  }
+
+  val defs: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef("q_media_frames", mediaFrames, Some(mediaFramesSql)),
+    graft.QueryDef("q_media_features", mediaFeatures, None),
+  )
+
   /** Frame-sampling plumbing for variable-length media: explode a payload
     * into fixed-size chunk "frames" with indices (pure column exprs — the
     * chunking pattern used to shard large media across tasks). Zero-byte

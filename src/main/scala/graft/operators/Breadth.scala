@@ -474,7 +474,37 @@ object Breadth {
       |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
       |FROM events WHERE props IS NOT NULL""".stripMargin
 
+  /** Higher-order array functions (filter/transform/aggregate/slice over
+    * the token array) — lambdas evaluate per doc, no explode/shuffle. */
+  def higherOrder(spark: SparkSession, dir: String): DataFrame =
+    Star.table(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        expr("size(filter(w, x -> length(x) > 3))").cast("long")
+          .as("n_long_tokens"),
+        expr("concat_ws(',', transform(slice(w, 1, 3), x -> upper(x)))")
+          .as("head3_upper"),
+        expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").as("total_chars"))
+      .orderBy("doc_id")
+
+  private val higherOrderSql =
+    """WITH t AS (SELECT doc_id,
+      |             regexp_split_to_array(trim(text), '\s+') AS w
+      |           FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(w, x -> length(x) > 3)) AS BIGINT)
+      |    AS n_long_tokens,
+      |  array_to_string(list_transform(w[1:3], x -> upper(x)), ',')
+      |    AS head3_upper,
+      |  CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+      |    AS total_chars
+      |FROM t ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_higher_order", higherOrder, Some(higherOrderSql)),
     QueryDef("q_json_source", jsonSource, Some(jsonSourceSql)),
     QueryDef("q_full_outer_join", fullOuterJoin, Some(fullOuterJoinSql)),
     QueryDef("q_cross_join", crossJoin, Some(crossJoinSql)),

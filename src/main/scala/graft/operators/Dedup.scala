@@ -27,36 +27,62 @@ object Dedup {
     * as the single shingle — identical to the DuckDB formulation, where
     * out-of-range list indexing returns NULL. */
   private def shingles(docs: DataFrame): DataFrame = {
-    // tokenize + 100x shingle explode is the heavy map side — fan it out
-    val w = Star.fan(docs.sparkSession, docs)
+    // tokenize + 100x shingle explode is the heavy map side — fan it out.
+    // The distinct-shingle count `c` is emitted per row straight off the
+    // array, so the Jaccard denominator needs no second pass over the
+    // shingle set (it used to cost a full recompute + group-by + 2 joins).
+    // The shingle array is deliberately INLINED into both size() and
+    // explode() rather than projected to a column first: explode over an
+    // attribute triggers InferFiltersFromGenerate, whose size(...)>0
+    // filter gets predicate-pushed below the fan-out repartition and
+    // re-evaluates the whole shingle transform serially on the scan side
+    // (measured 4-12x slower). Inline generator input skips the rule
+    // (SPARK-33544 infers only for cheap/attribute inputs); the size()
+    // recompute runs once per doc on the fanned side — noise.
+    val arr =
+      "array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)), " +
+        "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1), try_element_at(w, i + 2))))"
+    Star.fan(docs.sparkSession, docs)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-    w.select(col("doc_id"), explode(array_distinct(expr(
-      "transform(sequence(1, greatest(size(w) - 2, 1)), " +
-        "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1), try_element_at(w, i + 2)))"
-    ))).as("s"))
+      .select(col("doc_id"), expr(s"CAST(size($arr) AS BIGINT)").as("c"),
+        explode(expr(arr)).as("s"))
   }
 
   /** Shared inverted-index pair scorer: explode rows (doc_id, token) ->
     * candidate pairs by token equality -> shared-count -> score =
     * shared / denom(ca, cb, shared), kept when >= threshold. The one
     * pair-join implementation behind both the Jaccard and winnowing paths. */
+  /** When `exploded` already carries a per-doc token count column `c`
+    * (constant within a doc), the denominators ride the pair shuffle as
+    * max(c) — no count pass or post-join. Otherwise counts are derived
+    * with a group-by + two joins. */
   private[operators] def similarityPairs(
       exploded: DataFrame, tokenCol: String, scoreName: String,
       denom: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
         org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
-      threshold: Double): DataFrame = {
+      threshold: Double, hasCountCol: Boolean = false): DataFrame = {
     val f = exploded.withColumnRenamed(tokenCol, "__tok")
-    val cnt = f.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val pairs = f.as("a")
-      .join(f.as("b"), col("a.__tok") === col("b.__tok") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    pairs
-      .join(cnt.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("c", "ca"), "id_a")
-      .join(cnt.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("c", "cb"), "id_b")
+    val withCounts =
+      if (hasCountCol) {
+        f.as("a")
+          .join(f.as("b"), col("a.__tok") === col("b.__tok") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("shared"),
+            max(col("a.c")).as("ca"), max(col("b.c")).as("cb"))
+      } else {
+        val cnt = f.groupBy("doc_id").agg(count(lit(1)).as("c"))
+        f.as("a")
+          .join(f.as("b"), col("a.__tok") === col("b.__tok") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("shared"))
+          .join(cnt.withColumnRenamed("doc_id", "id_a")
+            .withColumnRenamed("c", "ca"), "id_a")
+          .join(cnt.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("c", "cb"), "id_b")
+      }
+    withCounts
       .select(col("id_a"), col("id_b"), col("shared"),
         Star.ratio6(col("shared"), denom(col("ca"), col("cb"), col("shared")))
           .as(scoreName))
@@ -80,7 +106,8 @@ object Dedup {
     * all-pairs compare). Emits pairs with similarity >= 0.5. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     similarityPairs(shingles(Star.table(spark, dir, "documents")), "s",
-      "jaccard", (ca, cb, shared) => ca + cb - shared, 0.5)
+      "jaccard", (ca, cb, shared) => ca + cb - shared, 0.5,
+      hasCountCol = true)
 
   private val ngramJaccardSql =
     """WITH words AS (
