@@ -103,11 +103,22 @@ object Dedup {
       |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin
 
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join (no
-    * all-pairs compare). Emits pairs with similarity >= 0.5. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    similarityPairs(shingles(Star.table(spark, dir, "documents")), "s",
+    * all-pairs compare). Emits pairs with similarity >= 0.5.
+    *
+    * The self-join keys on xxhash64(shingle), not the shingle string: the
+    * pair shuffle carries 8-byte keys instead of multi-word text and the
+    * join compares longs. Shared counts are identical unless two DISTINCT
+    * shingles of a candidate pair collide in 64 bits (p ~ n_distinct^2 /
+    * 2^64 — at 100 TB-scale vocabularies this is the standard accepted
+    * trade; the oracle cross-check would surface any collision as a hash
+    * mismatch). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Star.table(spark, dir, "documents"))
+      .select(col("doc_id"), col("c"), xxhash64(col("s")).as("s"))
+    similarityPairs(sh, "s",
       "jaccard", (ca, cb, shared) => ca + cb - shared, 0.5,
       hasCountCol = true)
+  }
 
   private val ngramJaccardSql =
     """WITH words AS (

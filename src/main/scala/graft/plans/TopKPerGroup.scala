@@ -126,11 +126,43 @@ object PruneThroughTopK
 }
 
 /** Config-file registration: `.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. Installs the
+  * TopK physical strategy + pruning rule and exposes the engine's custom
+  * codegen expressions to SQL:
+  * `graft_strip_accents(s)`, `graft_vector_dot(a, b)`,
+  * `graft_winnow_fingerprint(s, k, w)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectOptimizerRule(_ => PruneThroughTopK)
+    e.injectFunction((
+      FunctionIdentifier("graft_strip_accents"),
+      new ExpressionInfo(classOf[graft.functions.StripAccents].getName,
+        "graft_strip_accents"),
+      (args: Seq[Expression]) => graft.functions.StripAccents(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_vector_dot"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName,
+        "graft_vector_dot"),
+      (args: Seq[Expression]) =>
+        graft.functions.DotProduct(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_winnow_fingerprint"),
+      new ExpressionInfo(classOf[graft.functions.WinnowFingerprint].getName,
+        "graft_winnow_fingerprint"),
+      (args: Seq[Expression]) => graft.functions.WinnowFingerprint(
+        args.head,
+        if (args.length > 1) intArg(args(1), "k") else 8,
+        if (args.length > 2) intArg(args(2), "w") else 4)))
   }
 }
 
