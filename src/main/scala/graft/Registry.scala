@@ -15,6 +15,8 @@ object Registry {
     operators.Relational.defs ++
       operators.Analytics.defs ++
       operators.Breadth.defs ++
+      operators.Curation.defs ++
+      operators.Temporal.defs ++
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++

@@ -1,0 +1,211 @@
+package graft.operators
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-curation operators for LLM training-data pipelines: vocabulary
+  * building, PII scrubbing, repetition quality signals (Gopher-style),
+  * deterministic stratified sampling, and per-group feature scaling.
+  *
+  * Scale doctrine: every operator here is a scan → narrow transform →
+  * (at most) one keyed shuffle. Sampling is a pure filter (zero shuffle);
+  * the vocabulary build is the canonical word-count shape whose map-side
+  * partial aggregation collapses the explode before the exchange.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------- vocab
+
+  /** Corpus vocabulary top-k: the tokenizer-training primitive. Explode
+    * words → count → global top 100 with deterministic (count DESC, word)
+    * tiebreak. The groupBy runs partial aggregation on the explode side, so
+    * the shuffle carries one row per distinct word per partition — at
+    * 100 TB the exchange is vocabulary-sized, not corpus-sized; the final
+    * top-k is a TakeOrdered over per-partition heaps, never a full sort. */
+  def vocabTopk(spark: SparkSession, dir: String): DataFrame =
+    Star.fan(spark, Star.table(spark, dir, "documents"))
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(100)
+
+  private val vocabTopkSql =
+    """SELECT word, COUNT(*) AS n FROM (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      |  FROM documents) t
+      |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin
+
+  // ------------------------------------------------------------ pii scrub
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val urlRe = "https?://[^\\s]+"
+
+  /** PII redaction: count + replace emails and URLs with placeholder
+    * tokens. The synthetic corpus carries no PII, so each doc is first
+    * suffixed with deterministic doc_id-derived contact strings — the scrub
+    * then provably matches and rewrites them (the oracle recomputes the
+    * same construction). Pure per-row regexp work: no shuffle at any
+    * scale; emits a content fingerprint instead of the scrubbed body so
+    * the comparison surface stays small. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Star.table(spark, dir, "documents")
+      .select(col("doc_id"), concat(
+        col("text"), lit(" contact user"), col("doc_id"),
+        lit("@mail"), col("doc_id") % 7, lit(".example.com via https://host"),
+        col("doc_id") % 5, lit(".example/d/"), col("doc_id"),
+        lit("?ref=x")).as("raw"))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(col("raw"), emailRe, "[EMAIL]"),
+          urlRe, "[URL]"))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("raw"), lit(urlRe)).cast("long").as("n_urls"),
+        md5(col("clean")).as("clean_fp"),
+        length(col("clean")).cast("long").as("clean_len"))
+      .orderBy("doc_id")
+
+  private val piiScrubSql =
+    s"""WITH raw AS (
+       |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |    || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+       |    || '.example.com via https://host' || CAST(doc_id % 5 AS VARCHAR)
+       |    || '.example/d/' || CAST(doc_id AS VARCHAR) || '?ref=x' AS raw
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(raw, '$emailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(raw, '$urlRe')) AS BIGINT) AS n_urls,
+       |  md5(regexp_replace(regexp_replace(raw, '$emailRe', '[EMAIL]', 'g'),
+       |    '$urlRe', '[URL]', 'g')) AS clean_fp,
+       |  CAST(length(regexp_replace(regexp_replace(raw, '$emailRe', '[EMAIL]',
+       |    'g'), '$urlRe', '[URL]', 'g')) AS BIGINT) AS clean_len
+       |FROM raw ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- repetition (quality) sig
+
+  /** Gopher-style repetition signals per document: duplicate-word fraction
+    * and most-frequent-bigram mass. High values flag boilerplate /
+    * degenerate text for corpus filtering. Two-level aggregate keyed on
+    * doc_id — partial combine absorbs the bigram explode before the
+    * exchange, and all fractions use exact integer-rational quantization
+    * (Star.ratio6) so results are bit-stable across engines. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val bigramArr =
+      "transform(sequence(1, greatest(size(w) - 1, 1)), " +
+        "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1)))"
+    val base = Star.fan(spark, Star.table(spark, dir, "documents"))
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        explode(expr(bigramArr)).as("bg"))
+    base.groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("cnt"),
+        max("n_words").as("n_words"), max("n_distinct").as("n_distinct"))
+      .groupBy("doc_id")
+      .agg(max("n_words").as("n_words"),
+        sum("cnt").as("n_bigrams"), max("cnt").as("top_bigram_n"),
+        max("n_distinct").as("n_distinct"))
+      .select(col("doc_id"), col("n_words"),
+        Star.ratio6(col("n_words") - col("n_distinct"), col("n_words"))
+          .as("dup_word_frac"),
+        col("n_bigrams"), col("top_bigram_n"),
+        Star.ratio6(col("top_bigram_n"), col("n_bigrams"))
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val repetitionSignalsSql =
+    s"""WITH words AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+       |    unnest(list_transform(range(greatest(len(w) - 1, 1)),
+       |      i -> concat_ws(' ', w[i+1], w[i+2]))) AS bg
+       |  FROM words),
+       |bgc AS (
+       |  SELECT doc_id, bg, COUNT(*) AS cnt,
+       |    MAX(n_words) AS n_words, MAX(n_distinct) AS n_distinct
+       |  FROM base GROUP BY doc_id, bg),
+       |agg AS (
+       |  SELECT doc_id, MAX(n_words) AS n_words, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       |    MAX(cnt) AS top_bigram_n, MAX(n_distinct) AS n_distinct
+       |  FROM bgc GROUP BY doc_id)
+       |SELECT doc_id, n_words,
+       |  ${Star.Sql.ratio6("n_words - n_distinct", "n_words")} AS dup_word_frac,
+       |  n_bigrams, top_bigram_n,
+       |  ${Star.Sql.ratio6("top_bigram_n", "n_bigrams")} AS top_bigram_frac
+       |FROM agg ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- stratified sample
+
+  /** Deterministic stratified sampling: per-language rates applied via a
+    * multiplicative integer hash of the key — a pure scan-side filter.
+    * Zero shuffle, zero RNG state: the same row set falls out on any
+    * cluster size or retry (rand()-based sampling is neither reproducible
+    * nor oracle-checkable). Rates: en 10%, all other languages 20% —
+    * downsampling the majority stratum is the standard corpus-balancing
+    * move. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Star.table(spark, dir, "documents")
+      .withColumn("h", (col("doc_id") * lit(2654435761L)) % lit(4294967296L))
+      .filter(col("h") % 100 <
+        when(col("lang") === "en", 10).otherwise(20))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  private val sampleStratifiedSql =
+    """SELECT doc_id, lang FROM documents
+      |WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+      |  CASE WHEN lang = 'en' THEN 10 ELSE 20 END
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- minmax scale
+
+  /** Per-group min-max normalization (feature scaling): window min/max
+    * over the group key, one shuffle on l_partkey. Exact integer-cents
+    * arithmetic with rational quantization keeps the scaled values
+    * bit-identical across engines; constant groups map to 0. */
+  def minmaxScale(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_partkey")
+    val pc = Star.cents(col("l_extendedprice"))
+    Star.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") < lit("1995-07-01"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        pc.as("pc"))
+      .withColumn("mn", min("pc").over(w))
+      .withColumn("mx", max("pc").over(w))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        when(col("mx") === col("mn"), lit(0.0))
+          .otherwise(Star.ratio6(col("pc") - col("mn"), col("mx") - col("mn")))
+          .as("price_scaled"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val minmaxScaleSql =
+    s"""WITH t AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey,
+       |    ${Star.Sql.cents("l_extendedprice")} AS pc
+       |  FROM lineitem WHERE l_shipdate < DATE '1995-07-01'),
+       |w AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey, pc,
+       |    MIN(pc) OVER (PARTITION BY l_partkey) AS mn,
+       |    MAX(pc) OVER (PARTITION BY l_partkey) AS mx
+       |  FROM t)
+       |SELECT l_orderkey, l_linenumber, l_partkey,
+       |  CASE WHEN mx = mn THEN 0.0
+       |       ELSE ${Star.Sql.ratio6("pc - mn", "mx - mn")} END AS price_scaled
+       |FROM w ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_vocab_topk", vocabTopk, Some(vocabTopkSql)),
+    QueryDef("q_pii_scrub", piiScrub, Some(piiScrubSql)),
+    QueryDef("q_rep_signals", repetitionSignals, Some(repetitionSignalsSql)),
+    QueryDef("q_sample_stratified", sampleStratified,
+      Some(sampleStratifiedSql)),
+    QueryDef("q_minmax_scale", minmaxScale, Some(minmaxScaleSql)),
+  )
+}

@@ -231,8 +231,84 @@ object Dedup {
       .drop("shared")
   }
 
+  /** Connected components over an undirected edge list (id_a, id_b) →
+    * (doc_id, cluster_id = min doc_id reachable). Iterative min-label
+    * propagation: each round every node takes the min of its own label and
+    * its neighbors' labels; converges in O(graph diameter) rounds.
+    *
+    * Scale notes (the 100 TB story): this is the standard MapReduce-era CC
+    * formulation — per round one shuffle keyed on node id, state is one
+    * (node, label) row per node, never adjacency matrices. Near-dup graphs
+    * are overwhelmingly tiny star-shaped components (diameter 2-4), so the
+    * round count stays single-digit regardless of corpus size; a
+    * large-star/small-star rewrite (O(log n) rounds worst-case) is the
+    * upgrade path if adversarial chains appear. `localCheckpoint` truncates
+    * the per-round lineage so the plan does not grow with iterations. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = adj.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val prop = adj.join(labels, adj("dst") === labels("id"))
+        .select(adj("src").as("id"), col("comp"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .isEmpty
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+  }
+
+  /** Dedup cluster resolution: near-dup PAIRS are only half a dedup
+    * pipeline — keep-one-per-group needs transitive closure (a~b, b~c ⇒
+    * {a,b,c} one cluster). Components over the exact-Jaccard edge set,
+    * which keeps the whole chain (shingle → pair → cluster)
+    * oracle-checkable in SQL (DuckDB recursive CTE). */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(ngramJaccard(spark, dir).select("id_a", "id_b"))
+      .orderBy("doc_id")
+
+  private val dedupClustersSql =
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(greatest(len(w) - 2, 1)),
+      |    i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))) AS s
+      |  FROM words),
+      |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT id_a, id_b FROM pairs
+      |  JOIN cnt ca ON ca.doc_id = id_a
+      |  JOIN cnt cb ON cb.doc_id = id_b
+      |  WHERE (CAST((CAST(shared AS BIGINT) * 1000000)
+      |    // CAST(ca.c + cb.c - shared AS BIGINT) AS DOUBLE) / 1000000.0) >= 0.5),
+      |und AS (
+      |  SELECT id_a AS s, id_b AS d FROM edges
+      |  UNION ALL SELECT id_b, id_a FROM edges),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM (SELECT DISTINCT s FROM und)
+      |  UNION
+      |  SELECT u.d, reach.r FROM reach JOIN und u ON u.s = reach.id)
+      |SELECT id AS doc_id, MIN(r) AS cluster_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QueryDef("q_dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("q_dedup_minhash", minhashSignatures, None),
     QueryDef("q_dedup_minhash_pairs", minhashLshPairs, None),

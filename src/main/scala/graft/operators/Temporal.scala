@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Temporal warehouse operators: slowly-changing-dimension (type 2)
+  * history build, snapshot diffing (CDC without a log), and time-series
+  * gap-fill with linear interpolation.
+  */
+object Temporal {
+
+  /** SCD-2 dimension build from an event log: collapse each user's event
+    * stream into contiguous state intervals (valid_from, valid_to,
+    * is_current), keeping only rows where the state actually changed.
+    * Two window passes over the same (user_id × time) ordering — Catalyst
+    * plans them into a single sort + two window stages with no extra
+    * exchange, so the whole build is one shuffle keyed on user_id. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Star.events(spark, dir)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("user_id", "valid_from")
+  }
+
+  private val scd2Sql =
+    """WITH marked AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, event_type AS state, ts, event_id FROM marked
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, state, ts AS valid_from,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS valid_to,
+      |  (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+      |    AS is_current
+      |FROM changes ORDER BY user_id, valid_from""".stripMargin
+
+  /** Snapshot diff (CDC by comparison): aggregate per-customer order state
+    * at two historical cutoffs and classify the delta. The full-outer join
+    * keys both sides on the same column, so at scale the two aggregates
+    * and the join share one hash partitioning — a single shuffle of
+    * customer-grain rows (already reduced from order grain map-side). */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Star.table(spark, dir, "orders")
+    def snap(cutoff: String) = o
+      .filter(col("o_orderdate") < lit(cutoff))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum(Star.cents(col("o_totalprice"))).as("total_c"))
+    snap("1996-01-01").as("a")
+      .join(snap("1997-01-01").as("b"),
+        col("a.o_custkey") === col("b.o_custkey"), "full_outer")
+      .select(
+        coalesce(col("a.o_custkey"), col("b.o_custkey")).as("custkey"),
+        when(col("a.o_custkey").isNull, "added")
+          .when(col("b.o_custkey").isNull, "removed")
+          .when(col("a.n") =!= col("b.n") ||
+            col("a.total_c") =!= col("b.total_c"), "changed")
+          .otherwise("unchanged").as("change_type"),
+        col("a.n").as("orders_a"), col("b.n").as("orders_b"),
+        col("a.total_c").as("total_a_c"), col("b.total_c").as("total_b_c"))
+      .filter(col("change_type") =!= "unchanged")
+      .orderBy("custkey")
+  }
+
+  private val snapshotDiffSql =
+    s"""WITH a AS (
+       |  SELECT o_custkey, COUNT(*) AS n,
+       |    CAST(SUM(${Star.Sql.cents("o_totalprice")}) AS BIGINT) AS total_c
+       |  FROM orders WHERE o_orderdate < DATE '1996-01-01'
+       |  GROUP BY o_custkey),
+       |b AS (
+       |  SELECT o_custkey, COUNT(*) AS n,
+       |    CAST(SUM(${Star.Sql.cents("o_totalprice")}) AS BIGINT) AS total_c
+       |  FROM orders WHERE o_orderdate < DATE '1997-01-01'
+       |  GROUP BY o_custkey)
+       |SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+       |  CASE WHEN a.o_custkey IS NULL THEN 'added'
+       |       WHEN b.o_custkey IS NULL THEN 'removed'
+       |       WHEN a.n <> b.n OR a.total_c <> b.total_c THEN 'changed'
+       |       ELSE 'unchanged' END AS change_type,
+       |  a.n AS orders_a, b.n AS orders_b,
+       |  a.total_c AS total_a_c, b.total_c AS total_b_c
+       |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+       |WHERE (CASE WHEN a.o_custkey IS NULL THEN 'added'
+       |            WHEN b.o_custkey IS NULL THEN 'removed'
+       |            WHEN a.n <> b.n OR a.total_c <> b.total_c THEN 'changed'
+       |            ELSE 'unchanged' END) <> 'unchanged'
+       |ORDER BY custkey""".stripMargin
+
+  /** Time-series gap-fill + linear interpolation: bucket a sparse event
+    * stream by hour, densify against a generated hour calendar, and fill
+    * holes by interpolating between the nearest observed neighbors.
+    * Interpolated values use exact integer-rational arithmetic
+    * (counts × hour offsets, Star.ratio6) — bit-stable across engines.
+    *
+    * Scale note: the single unpartitioned window runs on the CALENDAR
+    * axis, whose cardinality is bounded by wall-clock time (≈ 9k rows per
+    * decade of hours), not by data volume — the 100 TB of events is
+    * reduced to that axis by the keyed group-by before any window runs.
+    * Series-per-key variants would partition the same windows by key. */
+  def gapfillInterp(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Star.events(spark, dir)
+    val hourly = ev
+      .filter(col("event_type") === "error" && col("value") > 80)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("observed"))
+    val cal = ev
+      .agg(date_trunc("hour", min("ts")).as("h0"),
+        date_trunc("hour", max("ts")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("interval 1 hour"))).as("h"))
+    val wPrev = Window.orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.orderBy("h")
+      .rowsBetween(1, Window.unboundedFollowing)
+    cal.join(hourly, Seq("h"), "left")
+      .withColumn("hrs", expr("unix_timestamp(h) DIV 3600"))
+      .withColumn("obs_hrs", when(col("observed").isNotNull, col("hrs")))
+      .withColumn("prev_v", last(col("observed"), ignoreNulls = true).over(wPrev))
+      .withColumn("prev_h", last(col("obs_hrs"), ignoreNulls = true).over(wPrev))
+      .withColumn("next_v", first(col("observed"), ignoreNulls = true).over(wNext))
+      .withColumn("next_h", first(col("obs_hrs"), ignoreNulls = true).over(wNext))
+      .select(col("h"), col("observed"),
+        when(col("observed").isNotNull, col("observed").cast("double"))
+          .when(col("prev_v").isNull || col("next_v").isNull, lit(null))
+          .otherwise(Star.ratio6(
+            col("prev_v") * (col("next_h") - col("hrs")) +
+              col("next_v") * (col("hrs") - col("prev_h")),
+            col("next_h") - col("prev_h"))).as("filled"))
+      .orderBy("h")
+  }
+
+  private val gapfillInterpSql =
+    s"""WITH span AS (
+       |  SELECT date_trunc('hour', MIN(ts)) AS h0,
+       |         date_trunc('hour', MAX(ts)) AS h1 FROM events),
+       |cal AS (
+       |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+       |  FROM span),
+       |obs AS (
+       |  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS observed
+       |  FROM events WHERE event_type = 'error' AND value > 80
+       |  GROUP BY 1),
+       |j AS (
+       |  SELECT cal.h, obs.observed,
+       |    epoch_us(cal.h) // 3600000000 AS hrs,
+       |    CASE WHEN obs.observed IS NOT NULL
+       |      THEN epoch_us(cal.h) // 3600000000 END AS obs_hrs
+       |  FROM cal LEFT JOIN obs ON obs.h = cal.h),
+       |f AS (
+       |  SELECT h, observed, hrs,
+       |    LAST_VALUE(observed IGNORE NULLS) OVER (ORDER BY h
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+       |    LAST_VALUE(obs_hrs IGNORE NULLS) OVER (ORDER BY h
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_h,
+       |    FIRST_VALUE(observed IGNORE NULLS) OVER (ORDER BY h
+       |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+       |    FIRST_VALUE(obs_hrs IGNORE NULLS) OVER (ORDER BY h
+       |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_h
+       |  FROM j)
+       |SELECT h, observed,
+       |  CASE WHEN observed IS NOT NULL THEN CAST(observed AS DOUBLE)
+       |       WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+       |       ELSE ${Star.Sql.ratio6(
+               "prev_v * (next_h - hrs) + next_v * (hrs - prev_h)",
+               "next_h - prev_h")} END AS filled
+       |FROM f ORDER BY h""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_scd2", scd2, Some(scd2Sql)),
+    QueryDef("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
+    QueryDef("q_gapfill_interp", gapfillInterp, Some(gapfillInterpSql)),
+  )
+}
