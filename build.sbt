@@ -26,11 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] with heavy shuffles needs headroom: an 8g heap showed
-  // multi-second GC spikes on individual bench queries (128 GiB available).
-  // ZGC keeps collection concurrent so pauses don't land on a random
-  // query mid-measurement (G1 showed roving multi-second outliers;
-  // an explicit System.gc() barrier was worse — it cold-starts codegen).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
-  "-XX:+UseZGC",
+  // GC/heap measured via A/B probe (graft.tools.Probe) on the heaviest
+  // shuffle+explode query at sf0.1, 4 reps per config:
+  //   ZGC 28g: 1.0-8.7 s bimodal (JDK 17 ZGC is non-generational;
+  //            allocation bursts trigger multi-second stalls);
+  //   ParallelGC 28g: 0.7-5.0 s;   G1 12g: 0.9-1.3 s, no outliers.
+  // G1 with a right-sized heap wins on BOTH mean and variance — a 28g
+  // heap just delays collection into huge mixed pauses mid-query.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "G1GC")}",
 )

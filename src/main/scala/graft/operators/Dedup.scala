@@ -27,25 +27,30 @@ object Dedup {
     * as the single shingle — identical to the DuckDB formulation, where
     * out-of-range list indexing returns NULL. */
   private def shingles(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // tokenize + 100x shingle explode is the heavy map side — fan it out.
-    // The distinct-shingle count `c` is emitted per row straight off the
-    // array, so the Jaccard denominator needs no second pass over the
-    // shingle set (it used to cost a full recompute + group-by + 2 joins).
-    // The shingle array is deliberately INLINED into both size() and
-    // explode() rather than projected to a column first: explode over an
-    // attribute triggers InferFiltersFromGenerate, whose size(...)>0
-    // filter gets predicate-pushed below the fan-out repartition and
-    // re-evaluates the whole shingle transform serially on the scan side
-    // (measured 4-12x slower). Inline generator input skips the rule
-    // (SPARK-33544 infers only for cheap/attribute inputs); the size()
-    // recompute runs once per doc on the fanned side — noise.
+    // The fan-out repartition keys on doc_id (not round-robin) so every
+    // downstream per-doc operation — the window count below, minhash's
+    // groupBy(doc_id) — reuses the partitioning with ZERO extra exchange.
+    // The shingle array is deliberately INLINED into explode() rather than
+    // projected to a column first: explode over an attribute triggers
+    // InferFiltersFromGenerate, whose size(...)>0 filter gets
+    // predicate-pushed below the fan-out repartition and re-evaluates the
+    // whole shingle transform serially on the scan side (measured 4-12x
+    // slower; SPARK-33544 infers only for cheap/attribute inputs).
+    // The distinct-shingle count `c` (the Jaccard denominator) is a window
+    // count over the exploded rows: computing it as `size(arr)` next to
+    // the explode re-evaluates the whole transform PER SHINGLE ROW (~50x
+    // redundant array builds — measured 4-20x slower with GC-stall
+    // variance); the window is a sort within already-co-partitioned data.
     val arr =
       "array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)), " +
         "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1), try_element_at(w, i + 2))))"
-    Star.fan(docs.sparkSession, docs)
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-      .select(col("doc_id"), expr(s"CAST(size($arr) AS BIGINT)").as("c"),
-        explode(expr(arr)).as("s"))
+      .select(col("doc_id"), explode(expr(arr)).as("s"))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("doc_id")))
   }
 
   /** Shared inverted-index pair scorer: explode rows (doc_id, token) ->
@@ -244,26 +249,48 @@ object Dedup {
     * large-star/small-star rewrite (O(log n) rounds worst-case) is the
     * upgrade path if adversarial chains appear. `localCheckpoint` truncates
     * the per-round lineage so the plan does not grow with iterations. */
+  /** Materialize a (small) iteration frontier: persist its row RDD, force
+    * computation, and wrap it back as a flat `LogicalRDD` plan. This does
+    * BOTH things an iterative algorithm needs and neither `persist` nor
+    * `localCheckpoint` alone provides: the logical lineage is truncated
+    * (each round references the previous frontier twice, so an
+    * un-truncated plan TREE doubles per round — AQE's explain-string
+    * rendering of round ~8 OOMed a 12g heap), and the returned `free`
+    * handle lets the loop release superseded blocks (leaked checkpoint
+    * blocks from earlier rounds were measured degrading every subsequent
+    * query in the session). */
+  private def materializeRound(df: DataFrame)
+      : (DataFrame, () => Unit) = {
+    val rdd = df.rdd.persist()
+    rdd.count()
+    (df.sparkSession.createDataFrame(rdd, df.schema),
+      () => { rdd.unpersist(blocking = false); () })
+  }
+
   def connectedComponents(edges: DataFrame): DataFrame = {
-    val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = adj.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint()
+    val (adj, freeAdj) = materializeRound(
+      edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var (labels, freeLabels) = materializeRound(
+      adj.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")))
     var converged = false
     while (!converged) {
       val prop = adj.join(labels, adj("dst") === labels("id"))
         .select(adj("src").as("id"), col("comp"))
-      val next = labels.union(prop)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint()
+      val (next, freeNext) = materializeRound(
+        labels.union(prop).groupBy("id").agg(min("comp").as("comp")))
       converged = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.comp") =!= col("o.comp"))
         .isEmpty
+      freeLabels()
       labels = next
+      freeLabels = freeNext
     }
+    freeAdj()
+    // the final frontier's RDD stays persisted until the returned frame is
+    // garbage-collected (ContextCleaner) — one label-table, not per-round.
     labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
   }
 
