@@ -240,7 +240,77 @@ object Analytics {
        |  COUNT(*) AS n
        |FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Pearson correlation matrix with EXACT moment accumulation: the five
+    * sums (Σx, Σy, Σxy, Σx², Σy²) are computed as wide decimals over
+    * integer cents — order-independent and engine-identical — and only the
+    * final closed-form combination runs in double arithmetic, evaluated by
+    * the same expression tree in both engines. `corr()` built-ins
+    * accumulate in floats and are NOT portable; this is, at the same
+    * single-shuffle cost (one partial+final aggregate). */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d18 = DecimalType(18, 0)
+    val qty = col("l_quantity").cast("long").cast(d18)
+    val price = Star.cents(col("l_extendedprice")).cast(d18)
+    val disc = Star.cents(col("l_discount")).cast(d18)
+    def corrCols(x: org.apache.spark.sql.Column,
+                 y: org.apache.spark.sql.Column, tag: String) = Seq(
+      sum(x).cast(DecimalType(38, 0)).as(s"sx_$tag"),
+      sum(y).cast(DecimalType(38, 0)).as(s"sy_$tag"),
+      sum(x * y).cast(DecimalType(38, 0)).as(s"sxy_$tag"),
+      sum(x * x).cast(DecimalType(38, 0)).as(s"sxx_$tag"),
+      sum(y * y).cast(DecimalType(38, 0)).as(s"syy_$tag"))
+    def corrOf(tag: String) = {
+      val n = col("n").cast("double")
+      def d(c: String) = col(s"${c}_$tag").cast("double")
+      ((n * d("sxy") - d("sx") * d("sy")) /
+        (sqrt(n * d("sxx") - d("sx") * d("sx")) *
+          sqrt(n * d("syy") - d("sy") * d("sy")))).as(s"corr_$tag")
+    }
+    Star.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        corrCols(qty, price, "qty_price") ++
+          corrCols(disc, price, "disc_price"): _*)
+      .select(col("l_returnflag"), col("n"),
+        corrOf("qty_price"), corrOf("disc_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val corrMatrixSql = {
+    def corrSql(x: String, y: String, tag: String) =
+      s"""CAST(SUM($x) AS DECIMAL(38,0)) AS sx_$tag,
+         |    CAST(SUM($y) AS DECIMAL(38,0)) AS sy_$tag,
+         |    CAST(SUM($x * $y) AS DECIMAL(38,0)) AS sxy_$tag,
+         |    CAST(SUM($x * $x) AS DECIMAL(38,0)) AS sxx_$tag,
+         |    CAST(SUM($y * $y) AS DECIMAL(38,0)) AS syy_$tag""".stripMargin
+    def combine(tag: String) =
+      s"""((CAST(n AS DOUBLE) * CAST(sxy_$tag AS DOUBLE)
+         |     - CAST(sx_$tag AS DOUBLE) * CAST(sy_$tag AS DOUBLE))
+         |   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx_$tag AS DOUBLE)
+         |           - CAST(sx_$tag AS DOUBLE) * CAST(sx_$tag AS DOUBLE))
+         |      * sqrt(CAST(n AS DOUBLE) * CAST(syy_$tag AS DOUBLE)
+         |             - CAST(sy_$tag AS DOUBLE) * CAST(sy_$tag AS DOUBLE))))
+         |    AS corr_$tag""".stripMargin
+    s"""WITH t AS (
+       |  SELECT l_returnflag,
+       |    CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(18,0)) AS qty,
+       |    CAST(${Star.Sql.cents("l_extendedprice")} AS DECIMAL(18,0)) AS price,
+       |    CAST(${Star.Sql.cents("l_discount")} AS DECIMAL(18,0)) AS disc
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    ${corrSql("qty", "price", "qty_price")},
+       |    ${corrSql("disc", "price", "disc_price")}
+       |  FROM t GROUP BY l_returnflag)
+       |SELECT l_returnflag, n,
+       |  ${combine("qty_price")},
+       |  ${combine("disc_price")}
+       |FROM m ORDER BY l_returnflag""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_corr_matrix", corrMatrix, Some(corrMatrixSql)),
     QueryDef("q_cube", cubeOrders, Some(cubeOrdersSql)),
     QueryDef("q_arg_extremes", argExtremes, Some(argExtremesSql)),
     QueryDef("q_topk_per_group", topkPerGroup, Some(topkPerGroupSql)),

@@ -333,9 +333,43 @@ object Dedup {
       |SELECT id AS doc_id, MIN(r) AS cluster_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** `dedupClustersSql` with its final SELECT swapped — shared
+    * recursive-CTE prefix, different consumer. */
+  private def withReachCtes(finalSelect: String): String = {
+    val marker = "SELECT id AS doc_id"
+    val prefix = dedupClustersSql.substring(
+      0, dedupClustersSql.indexOf(marker))
+    require(prefix.nonEmpty, "reach CTE prefix not found")
+    prefix + finalSelect
+  }
+
+  /** End of the dedup pipeline: keep one canonical document per near-dup
+    * cluster (the min-id member) plus every unclustered doc — an anti-join
+    * of the corpus against non-canonical cluster members. This is the
+    * operation a 100 TB curation run actually ships: the tiny
+    * cluster-member table broadcasts against the full corpus scan. */
+  def dedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val drop = dedupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    Star.table(spark, dir, "documents")
+      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  private val dedupKeepSql = withReachCtes(
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id NOT IN (
+      |  SELECT id FROM (
+      |    SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id) comp
+      |  WHERE id <> cluster_id)
+      |ORDER BY doc_id""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    QueryDef("q_dedup_keep", dedupKeep, Some(dedupKeepSql)),
     QueryDef("q_dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("q_dedup_minhash", minhashSignatures, None),
     QueryDef("q_dedup_minhash_pairs", minhashLshPairs, None),

@@ -50,7 +50,71 @@ object StreamingQueries {
        |  COUNT(*) AS n, ${Star.Sql.dsum("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Streaming gap-sessionization via the native session_window operator:
+    * per-user sessions merge while consecutive events are < 30 min apart —
+    * the streaming twin of `Relational.sessionize`, converging to the SAME
+    * oracle. Complete-mode bounded replay closes every session; ordinal
+    * session ids are assigned by a post-sink window (the sink table is
+    * session-grain — tiny — so the unpartitioned-looking window is
+    * actually partitioned by user).
+    *
+    * Scale note: session_window state is merged incrementally per key and
+    * evicted by watermark in append-mode deployments; state size is
+    * open-sessions x users, never event volume. */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream
+      .schema(EventsStreaming.eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    val agg = src
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("graft_stream_sessionize")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("graft_stream_sessionize")
+      .select(col("user_id"),
+        unix_micros(col("min_ts")).as("session_start_us"),
+        col("n_events"),
+        (unix_micros(col("max_ts")) - unix_micros(col("min_ts")))
+          .as("duration_us"))
+      .withColumn("session_id", row_number().over(
+        Window.partitionBy("user_id").orderBy("session_start_us")).cast("long"))
+      .select("user_id", "session_id", "n_events", "session_start_us",
+        "duration_us")
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Same oracle as the batch sessionizer — identical gap rule. */
+  private val streamSessionizeSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN us - lag(us) OVER w > 1800000000
+      |              OR lag(us) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sess AS (
+      |  SELECT user_id, us,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events, MIN(us) AS session_start_us,
+      |  MAX(us) - MIN(us) AS duration_us
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_stream_time_bucket", streamTimeBucket, Some(streamTimeBucketSql)),
+    QueryDef("q_stream_sessionize", streamSessionize, Some(streamSessionizeSql)),
   )
 }

@@ -43,6 +43,36 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("dedupKeep: exactly the canonical member of each cluster survives") {
+    val clusters = Dedup.dedupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val keptIds = Dedup.dedupKeep(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val total = Star.table(spark, sf, "documents").count()
+    val nonCanonical = clusters.count { case (id, c) => id != c }
+    assert(keptIds.size.toLong === total - nonCanonical)
+    clusters.foreach { case (id, c) =>
+      assert(keptIds.contains(id) === (id == c))
+    }
+  }
+
+  test("corrMatrix: exact-moment correlation tracks Spark's corr builtin") {
+    val got = Analytics.corrMatrix(spark, sf).collect()
+    assert(got.nonEmpty)
+    val builtin = Star.table(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c1"),
+        corr(col("l_discount"), col("l_extendedprice")).as("c2"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    got.foreach { r =>
+      val (c1, c2) = builtin(r.getString(0))
+      assert(math.abs(r.getDouble(2) - c1) < 1e-6)
+      assert(math.abs(r.getDouble(3) - c2) < 1e-6)
+      assert(math.abs(r.getDouble(2)) <= 1.0 && math.abs(r.getDouble(3)) <= 1.0)
+    }
+  }
+
   test("vocabTopk: deterministic top-100 with count-then-word tiebreak") {
     val got = Curation.vocabTopk(spark, sf).collect()
     val vocabSize = Star.table(spark, sf, "documents")

@@ -84,4 +84,15 @@ class StreamingSpec extends SparkSuite {
       assert(sessions === want)
     } finally q.stop()
   }
+
+  test("streaming session_window == batch gap sessionizer, row for row") {
+    val got = StreamingQueries.streamSessionize(spark, dir)
+      .collect().map(_.toSeq)
+    val want = Relational.sessionize(spark, dir)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("session_start_us"), col("duration_us"))
+      .collect().map(_.toSeq)
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+  }
 }
