@@ -503,7 +503,119 @@ object Breadth {
       |    AS total_chars
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Ordered string aggregation (LISTAGG/STRING_AGG): suppliers per
+    * nation, comma-joined in name order. Sorting INSIDE the aggregate
+    * (array_sort over the collected list) keeps the result independent of
+    * row arrival order — the only portable form of string aggregation. */
+  def listagg(spark: SparkSession, dir: String): DataFrame =
+    Star.table(spark, dir, "supplier")
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        concat_ws(",", array_sort(collect_list(col("s_name"))))
+          .as("supplier_names"))
+      .orderBy("s_nationkey")
+
+  private val listaggSql =
+    """SELECT s_nationkey, COUNT(*) AS n_suppliers,
+      |  string_agg(s_name, ',' ORDER BY s_name) AS supplier_names
+      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  /** DISTINCT aggregates: Catalyst plans these as a two-level expand +
+    * aggregate; the partial pass dedups (key, value) pairs map-side so the
+    * shuffle carries distinct pairs, not raw rows. */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Star.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        sum_distinct(Star.cents(col("l_quantity"))).as("sum_distinct_qty_c"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  private val distinctAggSql =
+    s"""SELECT l_returnflag,
+       |  COUNT(DISTINCT l_partkey) AS n_parts,
+       |  COUNT(DISTINCT l_suppkey) AS n_supps,
+       |  CAST(SUM(DISTINCT ${Star.Sql.cents("l_quantity")}) AS BIGINT)
+       |    AS sum_distinct_qty_c,
+       |  COUNT(*) AS n_rows
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Bounded sliding window frame (7-row trailing moving sum/avg) over the
+    * daily order-total series. The window is unpartitioned but runs on the
+    * DATE axis — cardinality bounded by wall-clock, the 100 TB of orders
+    * is reduced to it by the keyed group-by first. */
+  def windowSliding(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Star.table(spark, dir, "orders")
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(Star.cents(col("o_totalprice"))).as("day_c"))
+    val w = Window.orderBy("d").rowsBetween(-6, 0)
+    daily
+      .withColumn("mov_sum_c", sum(col("day_c")).over(w))
+      .withColumn("mov_n", count(lit(1)).over(w))
+      .select(col("d"), col("day_c"),
+        col("mov_sum_c"),
+        Star.ratio6(col("mov_sum_c"), col("mov_n")).as("mov_avg_c"))
+      .orderBy("d")
+  }
+
+  private val windowSlidingSql =
+    s"""WITH daily AS (
+       |  SELECT o_orderdate AS d,
+       |    CAST(SUM(${Star.Sql.cents("o_totalprice")}) AS BIGINT) AS day_c
+       |  FROM orders GROUP BY o_orderdate)
+       |SELECT d, day_c,
+       |  CAST(SUM(day_c) OVER w AS BIGINT) AS mov_sum_c,
+       |  ${Star.Sql.ratio6("SUM(day_c) OVER w", "COUNT(*) OVER w")}
+       |    AS mov_avg_c
+       |FROM daily
+       |WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+       |ORDER BY d""".stripMargin
+
+  /** Percent-of-total (ratio-to-report): each nation's revenue share
+    * within its region — a grouped aggregate re-scanned by a window sum
+    * partitioned on the coarser key. One shuffle for the group-by; the
+    * window reuses region-grain rows (region x nation cardinality). */
+  def pctOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Star.table(spark, dir, "orders").as("o")
+      .join(Star.table(spark, dir, "customer").as("c"),
+        col("o.o_custkey") === col("c.c_custkey"))
+      .join(broadcast(Star.table(spark, dir, "nation").as("n")),
+        col("c.c_nationkey") === col("n.n_nationkey"))
+      .join(broadcast(Star.table(spark, dir, "region").as("r")),
+        col("n.n_regionkey") === col("r.r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(Star.cents(col("o_totalprice"))).as("revenue_c"))
+    rev
+      .withColumn("region_c",
+        sum(col("revenue_c")).over(Window.partitionBy("r_name")))
+      .select(col("r_name"), col("n_name"), col("revenue_c"),
+        Star.ratio6(col("revenue_c"), col("region_c")).as("pct_of_region"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val pctOfTotalSql =
+    s"""WITH rev AS (
+       |  SELECT r_name, n_name,
+       |    CAST(SUM(${Star.Sql.cents("o_totalprice")}) AS BIGINT)
+       |      AS revenue_c
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  GROUP BY r_name, n_name)
+       |SELECT r_name, n_name, revenue_c,
+       |  ${Star.Sql.ratio6("revenue_c",
+           "SUM(revenue_c) OVER (PARTITION BY r_name)")} AS pct_of_region
+       |FROM rev ORDER BY r_name, n_name""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_listagg", listagg, Some(listaggSql)),
+    QueryDef("q_distinct_agg", distinctAgg, Some(distinctAggSql)),
+    QueryDef("q_window_sliding", windowSliding, Some(windowSlidingSql)),
+    QueryDef("q_pct_of_total", pctOfTotal, Some(pctOfTotalSql)),
     QueryDef("q_higher_order", higherOrder, Some(higherOrderSql)),
     QueryDef("q_json_source", jsonSource, Some(jsonSourceSql)),
     QueryDef("q_full_outer_join", fullOuterJoin, Some(fullOuterJoinSql)),

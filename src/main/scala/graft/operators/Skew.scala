@@ -83,7 +83,47 @@ object Skew {
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
 
+  /** Exact salted equi-join: the big side gets a random-but-deterministic
+    * salt, the small side is replicated across all `salts` values, and the
+    * join keys on (key, salt) — so one hot key spreads over `salts`
+    * reducers instead of pinning one. The replicate-small/salt-big form is
+    * the manual fix for skewed SHUFFLE joins whose build side is too big
+    * to broadcast; results are identical to the unsalted join for any
+    * row->salt assignment. (AQE's skew-join split covers most cases at
+    * runtime; the explicit form is for engines/paths where it can't, e.g.
+    * under a required output partitioning.) */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int = 16): DataFrame = {
+    require(salts >= 1)
+    val b = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Brand revenue via the salted join path; oracle = the plain join. */
+  def saltedBrandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Star.table(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p_partkey"),
+        Star.cents(col("l_extendedprice")).as("price_c"))
+    val part = Star.table(spark, dir, "part").select("p_partkey", "p_brand")
+    saltedJoin(li, part, "p_partkey")
+      .groupBy("p_brand")
+      .agg(sum(col("price_c")).as("revenue_c"), count(lit(1)).as("n"))
+      .orderBy("p_brand")
+  }
+
+  private val saltedBrandRevenueSql =
+    s"""SELECT p_brand,
+       |  CAST(SUM(${Star.Sql.cents("l_extendedprice")}) AS BIGINT)
+       |    AS revenue_c,
+       |  COUNT(*) AS n
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_salted_agg", saltedPricing, Some(saltedPricingSql)),
+    QueryDef("q_salted_join", saltedBrandRevenue, Some(saltedBrandRevenueSql)),
   )
 }

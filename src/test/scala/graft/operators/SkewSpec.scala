@@ -26,6 +26,23 @@ class SkewSpec extends SparkSuite {
     }
   }
 
+  test("saltedJoin == plain join on skewed keys, any salt count") {
+    val big = spark.range(20000).select(
+      when(col("id") % 10 === 0, col("id") % 50).otherwise(lit(7L)).as("k"),
+      col("id").as("v"))
+    val small = spark.range(50).select(col("id").as("k"),
+      concat(lit("dim"), col("id")).as("name"))
+    val direct = big.join(small, Seq("k"))
+      .groupBy("name").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Seq(1, 16).foreach { salts =>
+      val salted = Skew.saltedJoin(big, small, "k", salts)
+        .groupBy("name").agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(salted === direct, s"salts=$salts diverged")
+    }
+  }
+
   test("salted plan has two aggregation exchanges (spread then merge)") {
     val df = Skew.saltedPricing(spark, dir)
     val p = df.queryExecution.executedPlan.toString
