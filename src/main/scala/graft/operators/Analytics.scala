@@ -309,7 +309,63 @@ object Analytics {
        |FROM m ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Z-score outlier detection per event type: moments from exact decimal
+    * sums (order-independent), z computed by the same double expression in
+    * both engines, outliers = |z| >= 3. The per-type stats table is tiny
+    * and broadcast back onto the full scan — one aggregation shuffle
+    * total, the detection pass is map-side. */
+  def zscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val vc = Star.cents(col("value")).cast(DecimalType(18, 0))
+    val stats = Star.events(spark, dir)
+      .groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("n"),
+        sum(vc).cast(DecimalType(38, 0)).as("sx"),
+        sum(vc * vc).cast(DecimalType(38, 0)).as("sxx"))
+      .select(col("et"), col("n"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mean_c"),
+        sqrt((col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) /
+          (col("n").cast("double") * (col("n").cast("double") - 1)))
+          .as("std_c"))
+    Star.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        Star.cents(col("value")).as("v_c"))
+      .join(broadcast(stats), col("event_type") === col("et"))
+      .withColumn("z",
+        (col("v_c").cast("double") - col("mean_c")) / col("std_c"))
+      .filter(abs(col("z")) >= 3.0)
+      .select(col("event_id"), col("event_type"), col("v_c"),
+        round(col("z"), 4).as("z_r4"))
+      .orderBy("event_id")
+  }
+
+  private val zscoreOutliersSql =
+    s"""WITH stats AS (
+       |  SELECT event_type AS et, COUNT(*) AS n,
+       |    CAST(SUM(CAST(${Star.Sql.cents("value")} AS DECIMAL(18,0)))
+       |      AS DECIMAL(38,0)) AS sx,
+       |    CAST(SUM(CAST(${Star.Sql.cents("value")} AS DECIMAL(18,0))
+       |           * CAST(${Star.Sql.cents("value")} AS DECIMAL(18,0)))
+       |      AS DECIMAL(38,0)) AS sxx
+       |  FROM events GROUP BY event_type),
+       |m AS (
+       |  SELECT et, n, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+       |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS std_c
+       |  FROM stats)
+       |SELECT event_id, event_type,
+       |  ${Star.Sql.cents("value")} AS v_c,
+       |  round((CAST(${Star.Sql.cents("value")} AS DOUBLE) - mean_c)
+       |        / std_c, 4) AS z_r4
+       |FROM events JOIN m ON event_type = et
+       |WHERE abs((CAST(${Star.Sql.cents("value")} AS DOUBLE) - mean_c)
+       |          / std_c) >= 3.0
+       |ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql)),
     QueryDef("q_corr_matrix", corrMatrix, Some(corrMatrixSql)),
     QueryDef("q_cube", cubeOrders, Some(cubeOrdersSql)),
     QueryDef("q_arg_extremes", argExtremes, Some(argExtremesSql)),

@@ -178,7 +178,47 @@ object Temporal {
                "next_h - prev_h")} END AS filled
        |FROM f ORDER BY h""".stripMargin
 
+  /** OHLC bars (open/high/low/close) per day x event type: open/close via
+    * whole-partition first/last over the (ts, event_id) ordering, extremes
+    * and volume as plain aggregates. One shuffle on the bar key; the
+    * window and the group-by share the same partitioning. Values ride in
+    * exact integer cents. */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("d", "event_type")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Star.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        Star.cents(col("value")).as("v_c"))
+      .withColumn("open_c", first(col("v_c")).over(w))
+      .withColumn("close_c", last(col("v_c")).over(w))
+      .groupBy("d", "event_type")
+      .agg(max(col("open_c")).as("open_c"), max(col("v_c")).as("high_c"),
+        min(col("v_c")).as("low_c"), max(col("close_c")).as("close_c"),
+        count(lit(1)).as("n"), sum(col("v_c")).as("volume_c"))
+      .orderBy("d", "event_type")
+  }
+
+  private val ohlcBarsSql =
+    s"""WITH ev AS (
+       |  SELECT CAST(ts AS DATE) AS d, event_type, epoch_us(ts) AS us,
+       |    event_id, ${Star.Sql.cents("value")} AS v_c
+       |  FROM events),
+       |fl AS (
+       |  SELECT d, event_type, v_c,
+       |    FIRST_VALUE(v_c) OVER w AS open_c,
+       |    LAST_VALUE(v_c) OVER w AS close_c
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY d, event_type ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+       |SELECT d, event_type, MAX(open_c) AS open_c, MAX(v_c) AS high_c,
+       |  MIN(v_c) AS low_c, MAX(close_c) AS close_c, COUNT(*) AS n,
+       |  CAST(SUM(v_c) AS BIGINT) AS volume_c
+       |FROM fl GROUP BY d, event_type ORDER BY d, event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_ohlc_bars", ohlcBars, Some(ohlcBarsSql)),
     QueryDef("q_scd2", scd2, Some(scd2Sql)),
     QueryDef("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     QueryDef("q_gapfill_interp", gapfillInterp, Some(gapfillInterpSql)),

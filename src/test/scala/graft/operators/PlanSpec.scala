@@ -69,6 +69,33 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Join") || p.contains("HashJoin"), p)
   }
 
+  test("vocabTopk: partial combine before shuffle, heap top-k (no full sort)") {
+    val p = plan(Curation.vocabTopk(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "vocabulary count must combine map-side\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be a bounded heap, not a global sort + limit\n" + p)
+  }
+
+  test("dedupKeep: corpus anti-joins against a BROADCAST drop-list") {
+    val p = plan(Dedup.dedupKeep(spark, dir))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("zscoreOutliers: stats broadcast back, detection stays map-side") {
+    val p = plan(Analytics.zscoreOutliers(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("sampleStratified: pure scan-side filter, zero exchanges") {
+    val p = plan(Curation.sampleStratified(spark, dir))
+    // the sample itself adds no shuffle; the only exchange allowed is the
+    // final presentation orderBy's range partitioning
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+  }
+
   test("INMET ingest: one distributed text scan, no per-file plans") {
     val st = graft.inmet.Pipeline.stage(spark,
       resourcePath("/inmet") + "/*.csv")
