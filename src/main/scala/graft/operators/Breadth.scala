@@ -317,7 +317,11 @@ object Breadth {
   def tfidfTopk(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Star.table(spark, dir, "documents")
-    val tok = Star.fan(spark, docs)
+    // fan keyed on doc_id: the tf group-by (doc_id, term) and the per-doc
+    // rank window both reuse this partitioning — zero further exchanges
+    // on the doc axis
+    val tok = docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))

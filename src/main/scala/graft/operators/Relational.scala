@@ -32,6 +32,10 @@ object Relational {
     val pc = Star.cents(col("l_extendedprice"))
     val dc = Star.cents(col("l_discount"))
     val tc = Star.cents(col("l_tax"))
+    // NO fan-out here: a repartition before a reducible group-by ships raw
+    // rows where 6-group partials would do — measured a wash locally (the
+    // one-task shuffle write replaces the one-task partial agg) and an
+    // anti-pattern on a real multi-split table.
     li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
