@@ -364,7 +364,33 @@ object Analytics {
        |          / std_c) >= 3.0
        |ORDER BY event_id""".stripMargin
 
+  /** Quantity-weighted mean price per return flag through the typed
+    * `Aggregator` UDAF path (graft.functions.ExactAggregators): exact long
+    * accumulation in a Tungsten-encoded buffer, BigInt-widened rational
+    * finish. Plans as a normal partial+final ObjectHashAggregate — the
+    * custom aggregate rides map-side combine like a built-in. */
+  def weightedAvg(spark: SparkSession, dir: String): DataFrame =
+    Star.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        graft.functions.ExactAggregators.weightedMean(
+          col("l_quantity").cast("long"),
+          Star.cents(col("l_extendedprice"))).as("wavg_price_c"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  private val weightedAvgSql =
+    s"""SELECT l_returnflag,
+       |  CAST((CAST(SUM(CAST(l_quantity AS BIGINT)
+       |               * ${Star.Sql.cents("l_extendedprice")}) AS HUGEINT)
+       |        * 1000000)
+       |       // CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS BIGINT)
+       |    / 1000000.0 AS wavg_price_c,
+       |  COUNT(*) AS n
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_weighted_avg", weightedAvg, Some(weightedAvgSql)),
     QueryDef("q_zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql)),
     QueryDef("q_corr_matrix", corrMatrix, Some(corrMatrixSql)),
     QueryDef("q_cube", cubeOrders, Some(cubeOrdersSql)),
