@@ -217,7 +217,93 @@ object Temporal {
        |  CAST(SUM(v_c) AS BIGINT) AS volume_c
        |FROM fl GROUP BY d, event_type ORDER BY d, event_type""".stripMargin
 
+  /** MERGE/upsert emulation (no transactional table format in scope): the
+    * base dimension full-outer-joins a changes set; matched rows take the
+    * update, unmatched-by-source rows pass through, unmatched-by-target
+    * rows insert. One shuffle on the merge key — identical plan shape to
+    * what a MERGE INTO compiles to. The changes set is derived
+    * deterministically from orders (each customer's 1997+ order count and
+    * cents total). */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Star.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        Star.cents(col("c_acctbal")).as("acctbal_c"))
+    val changes = Star.table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Star.cents(col("o_totalprice"))).as("spend_c"))
+    base.as("b")
+      .join(changes.as("c"), col("b.c_custkey") === col("c.o_custkey"),
+        "full_outer")
+      .select(
+        coalesce(col("b.c_custkey"), col("c.o_custkey")).as("c_custkey"),
+        coalesce(col("b.c_name"), lit("UNKNOWN")).as("c_name"),
+        coalesce(col("b.c_mktsegment"), lit("UNKNOWN")).as("c_mktsegment"),
+        (coalesce(col("b.acctbal_c"), lit(0L)) -
+          coalesce(col("c.spend_c"), lit(0L))).as("acctbal_c"),
+        coalesce(col("c.n_orders"), lit(0L)).as("n_orders"),
+        when(col("b.c_custkey").isNull, "insert")
+          .when(col("c.o_custkey").isNull, "keep")
+          .otherwise("update").as("merge_action"))
+      .orderBy("c_custkey")
+  }
+
+  private val mergeUpsertSql =
+    s"""WITH changes AS (
+       |  SELECT o_custkey, COUNT(*) AS n_orders,
+       |    CAST(SUM(${Star.Sql.cents("o_totalprice")}) AS BIGINT) AS spend_c
+       |  FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+       |  GROUP BY o_custkey)
+       |SELECT COALESCE(b.c_custkey, c.o_custkey) AS c_custkey,
+       |  COALESCE(b.c_name, 'UNKNOWN') AS c_name,
+       |  COALESCE(b.c_mktsegment, 'UNKNOWN') AS c_mktsegment,
+       |  COALESCE(${Star.Sql.cents("b.c_acctbal")}, 0)
+       |    - COALESCE(c.spend_c, 0) AS acctbal_c,
+       |  COALESCE(c.n_orders, 0) AS n_orders,
+       |  CASE WHEN b.c_custkey IS NULL THEN 'insert'
+       |       WHEN c.o_custkey IS NULL THEN 'keep'
+       |       ELSE 'update' END AS merge_action
+       |FROM customer b FULL OUTER JOIN changes c ON b.c_custkey = c.o_custkey
+       |ORDER BY c_custkey""".stripMargin
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): null keys match
+    * each other — the join Spark plans as a hash join on a null-tolerant
+    * key, NOT a nested loop. Keys are made sparse-nullable from the order
+    * priority. */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Star.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_orderpriority") === "1-URGENT", lit(null))
+          .otherwise(col("o_orderpriority")).as("k"))
+    val dim = Star.table(spark, dir, "orders")
+      .groupBy(when(col("o_orderpriority") === "1-URGENT", lit(null))
+        .otherwise(col("o_orderpriority")).as("k"))
+      .agg(count(lit(1)).as("n_in_class"))
+    o.as("l").join(broadcast(dim).as("r"), col("l.k") <=> col("r.k"))
+      .groupBy(col("l.k").as("k"))
+      .agg(count(lit(1)).as("n_rows"), max(col("n_in_class")).as("n_in_class"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
+  private val nullSafeJoinSql =
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+      |         ELSE o_orderpriority END AS k
+      |  FROM orders),
+      |dim AS (
+      |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+      |              ELSE o_orderpriority END AS k,
+      |    COUNT(*) AS n_in_class
+      |  FROM orders GROUP BY 1)
+      |SELECT l.k, COUNT(*) AS n_rows, MAX(r.n_in_class) AS n_in_class
+      |FROM o l JOIN dim r ON l.k IS NOT DISTINCT FROM r.k
+      |GROUP BY l.k ORDER BY l.k NULLS FIRST""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
+    QueryDef("q_null_safe_join", nullSafeJoin, Some(nullSafeJoinSql)),
     QueryDef("q_ohlc_bars", ohlcBars, Some(ohlcBarsSql)),
     QueryDef("q_scd2", scd2, Some(scd2Sql)),
     QueryDef("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),

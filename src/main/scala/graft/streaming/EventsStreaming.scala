@@ -42,6 +42,29 @@ object EventsStreaming {
       .select(col("w.start").as("bucket"), col("event_type"), col("n"),
         col("sum_value"))
 
+  /** Stream-stream interval join: each click joins the same user's
+    * purchases landing within [click, click + 30 min]. Both sides carry
+    * watermarks, so the join state (buffered unmatched rows) is evicted
+    * once event time passes watermark + interval — bounded regardless of
+    * stream length; the join itself is keyed on user_id so it shuffles
+    * both streams once. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("interval 30 minutes"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("c_ts"), col("p_ts"), col("value"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
                          user_id: Long, event_type: String, value: Double)
   final case class UserSession(user_id: Long, n_events: Long,

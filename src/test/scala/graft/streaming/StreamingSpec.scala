@@ -85,6 +85,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val stream = EventsStreaming.readEvents(spark, eventsDir)
+    val q = EventsStreaming.clickPurchaseJoin(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ss_join_out")
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ev = Star.events(spark, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"),
+          col("event_id").as("cid"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"),
+          col("event_id").as("pid"))
+      val want = clicks.join(purchases,
+        col("cu") === col("pu") && col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("interval 30 minutes"))
+        .select("cid", "pid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty)
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming session_window == batch gap sessionizer, row for row") {
     val got = StreamingQueries.streamSessionize(spark, dir)
       .collect().map(_.toSeq)
