@@ -615,7 +615,75 @@ object Breadth {
            "SUM(revenue_c) OVER (PARTITION BY r_name)")} AS pct_of_region
        |FROM rev ORDER BY r_name, n_name""".stripMargin
 
+  /** Deterministic per-group mode: most frequent order priority per market
+    * segment, ties toward the lexicographically smaller value. Built as
+    * count + rank rather than `mode()` (whose tie behavior is
+    * engine-arbitrary). Two bounded aggregations — the second runs on
+    * (segment x priority) grain. */
+  def modePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = Star.table(spark, dir, "orders").as("o")
+      .join(Star.table(spark, dir, "customer").as("c"),
+        col("o.o_custkey") === col("c.c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("cnt").desc, col("o_orderpriority"))
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_mktsegment"), col("o_orderpriority").as("mode_priority"),
+        col("cnt").as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val modePerGroupSql =
+    """WITH cnts AS (
+      |  SELECT c_mktsegment, o_orderpriority, COUNT(*) AS cnt
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2)
+      |SELECT c_mktsegment, o_orderpriority AS mode_priority, cnt AS n
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |        ORDER BY cnt DESC, o_orderpriority) AS rn FROM cnts) t
+      |WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin
+
+  /** First-order Markov transition matrix of the event stream: per-user
+    * (state -> next state) bigram counts and row-normalized probabilities.
+    * One shuffle on user_id for the lead window; the matrix itself is
+    * |types|^2 — constant-size output from any input volume. */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Star.events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("row_n",
+        sum(col("n")).over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"), col("n"),
+        Star.ratio6(col("n"), col("row_n")).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val transitionMatrixSql =
+    s"""WITH pairs AS (
+       |  SELECT event_type AS from_type,
+       |    LEAD(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |cnts AS (
+       |  SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+       |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+       |SELECT from_type, to_type, n,
+       |  ${Star.Sql.ratio6("n", "SUM(n) OVER (PARTITION BY from_type)")} AS p
+       |FROM cnts ORDER BY from_type, to_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_mode_per_group", modePerGroup, Some(modePerGroupSql)),
+    QueryDef("q_transition_matrix", transitionMatrix,
+      Some(transitionMatrixSql)),
     QueryDef("q_listagg", listagg, Some(listaggSql)),
     QueryDef("q_distinct_agg", distinctAgg, Some(distinctAggSql)),
     QueryDef("q_window_sliding", windowSliding, Some(windowSlidingSql)),

@@ -301,7 +301,66 @@ object Temporal {
       |FROM o l JOIN dim r ON l.k IS NOT DISTINCT FROM r.k
       |GROUP BY l.k ORDER BY l.k NULLS FIRST""".stripMargin
 
+  /** Merged-interval coverage (the classic gaps-and-islands sweep): each
+    * order opens a 30-day interval; per customer, total days covered by
+    * the UNION of intervals (overlaps merged). Island detection via the
+    * running max of interval ends — one shuffle on the entity key, pure
+    * integer date arithmetic. */
+  def intervalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Star.table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("s"))
+      .withColumn("e", date_add(col("s"), 30))
+    val w = Window.partitionBy("o_custkey").orderBy(col("s"), col("e"))
+    val islands = iv
+      .withColumn("prev_max_e", max(col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    islands
+      .groupBy("o_custkey", "island")
+      .agg(min(col("s")).as("is_s"), max(col("e")).as("is_e"),
+        count(lit(1)).as("n_iv"))
+      .groupBy("o_custkey")
+      .agg(sum(datediff(col("is_e"), col("is_s"))).cast("long")
+          .as("covered_days"),
+        count(lit(1)).as("n_islands"),
+        sum(col("n_iv")).cast("long").as("n_orders"))
+      .orderBy("o_custkey")
+  }
+
+  private val intervalCoverageSql =
+    """WITH iv AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS s,
+      |    CAST(o_orderdate AS DATE) + 30 AS e
+      |  FROM orders),
+      |marked AS (
+      |  SELECT o_custkey, s, e,
+      |    MAX(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+      |  FROM iv),
+      |islands AS (
+      |  SELECT o_custkey, s, e,
+      |    SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+      |             THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY o_custkey ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM marked),
+      |per_island AS (
+      |  SELECT o_custkey, island, MIN(s) AS is_s, MAX(e) AS is_e,
+      |    COUNT(*) AS n_iv
+      |  FROM islands GROUP BY o_custkey, island)
+      |SELECT o_custkey,
+      |  CAST(SUM(date_diff('day', is_s, is_e)) AS BIGINT) AS covered_days,
+      |  COUNT(*) AS n_islands,
+      |  CAST(SUM(n_iv) AS BIGINT) AS n_orders
+      |FROM per_island GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_interval_coverage", intervalCoverage,
+      Some(intervalCoverageSql)),
     QueryDef("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     QueryDef("q_null_safe_join", nullSafeJoin, Some(nullSafeJoinSql)),
     QueryDef("q_ohlc_bars", ohlcBars, Some(ohlcBarsSql)),
