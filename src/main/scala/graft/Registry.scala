@@ -13,6 +13,7 @@ final case class QueryDef(
 object Registry {
   def all: Seq[QueryDef] =
     operators.Relational.defs ++
+      operators.TpchClassic.defs ++
       operators.Analytics.defs ++
       operators.Breadth.defs ++
       operators.Curation.defs ++

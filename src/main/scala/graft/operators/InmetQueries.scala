@@ -149,8 +149,61 @@ object InmetQueries {
        |GROUP BY cidade_sk, ano, mes
        |ORDER BY cidade_sk, ano, mes""".stripMargin
 
+  /** Pairwise great-circle distance between the stations, from the
+    * header-block coordinates (geo over the station dimension — tiny by
+    * nature; at fleet scale this is a broadcast self-join of the station
+    * dim, never the fact table). The haversine expression is written with
+    * IDENTICAL operand order in both engines so the doubles agree before
+    * the 1e-3 rounding. */
+  def inmetStationDistance(spark: SparkSession, dir: String): DataFrame = {
+    val st = Pipeline.stage(spark, fixtureGlob).cidades
+      .select(col("wmo"), col("latitude"), col("longitude"))
+    val hav =
+      "round(2.0 * 6371.0 * asin(sqrt(" +
+        "pow(sin(radians(b.latitude - a.latitude) / 2), 2) + " +
+        "cos(radians(a.latitude)) * cos(radians(b.latitude)) * " +
+        "pow(sin(radians(b.longitude - a.longitude) / 2), 2))), 3)"
+    st.as("a").join(st.as("b"), col("a.wmo") < col("b.wmo"))
+      .select(col("a.wmo").as("wmo_a"), col("b.wmo").as("wmo_b"),
+        expr(hav).as("dist_km"))
+      .orderBy("wmo_a", "wmo_b")
+  }
+
+  private val inmetStationDistanceSql =
+    s"""WITH lines AS (
+       |  SELECT filename, column0 AS line
+       |  FROM read_csv('$fixtureGlob', delim='\\t', header=false, quote='',
+       |                escape='', all_varchar=true, filename=true,
+       |                columns={'column0':'VARCHAR'})
+       |),
+       |meta AS (
+       |  SELECT filename,
+       |    lower(trim(split_part(line, ':;', 1))) AS k,
+       |    trim(split_part(line, ':;', 2)) AS v
+       |  FROM lines WHERE regexp_matches(line, '^[^;]+:;')
+       |),
+       |st AS (
+       |  SELECT filename,
+       |    max(CASE WHEN k = 'codigo (wmo)' THEN v END) AS wmo,
+       |    TRY_CAST(replace(max(CASE WHEN k = 'latitude' THEN v END),
+       |      ',', '.') AS DOUBLE) AS latitude,
+       |    TRY_CAST(replace(max(CASE WHEN k = 'longitude' THEN v END),
+       |      ',', '.') AS DOUBLE) AS longitude
+       |  FROM meta GROUP BY filename
+       |)
+       |SELECT a.wmo AS wmo_a, b.wmo AS wmo_b,
+       |  round(2.0 * 6371.0 * asin(sqrt(
+       |    pow(sin(radians(b.latitude - a.latitude) / 2), 2) +
+       |    cos(radians(a.latitude)) * cos(radians(b.latitude)) *
+       |    pow(sin(radians(b.longitude - a.longitude) / 2), 2))), 3)
+       |    AS dist_km
+       |FROM st a JOIN st b ON a.wmo < b.wmo
+       |ORDER BY wmo_a, wmo_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_inmet_daily", inmetDaily, Some(inmetDailySql)),
     QueryDef("q_inmet_kpis", inmetKpis, Some(inmetKpisSql)),
+    QueryDef("q_inmet_station_distance", inmetStationDistance,
+      Some(inmetStationDistanceSql)),
   )
 }
