@@ -260,33 +260,39 @@ object Dedup {
     * blocks from earlier rounds were measured degrading every subsequent
     * query in the session). */
   private def materializeRound(df: DataFrame)
-      : (DataFrame, () => Unit) = {
+      : (DataFrame, () => Unit, Long) = {
     val rdd = df.rdd.persist()
-    rdd.count()
+    // one job materializes the cache AND yields the round metric: the sum
+    // of labels (column 1). Min-label propagation only ever DECREASES a
+    // label, so the sum is strictly decreasing until the fixpoint —
+    // convergence falls out of the materialization job, no extra
+    // compare-join per round.
+    val labelSum = rdd.mapPartitions { it =>
+      var s = 0L; while (it.hasNext) s += it.next().getLong(1); Iterator(s)
+    }.fold(0L)(_ + _)
     (df.sparkSession.createDataFrame(rdd, df.schema),
-      () => { rdd.unpersist(blocking = false); () })
+      () => { rdd.unpersist(blocking = false); () },
+      labelSum)
   }
 
   def connectedComponents(edges: DataFrame): DataFrame = {
-    val (adj, freeAdj) = materializeRound(
+    val (adj, freeAdj, _) = materializeRound(
       edges.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var (labels, freeLabels) = materializeRound(
+    var (labels, freeLabels, labelSum) = materializeRound(
       adj.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("comp")))
     var converged = false
     while (!converged) {
       val prop = adj.join(labels, adj("dst") === labels("id"))
         .select(adj("src").as("id"), col("comp"))
-      val (next, freeNext) = materializeRound(
+      val (next, freeNext, nextSum) = materializeRound(
         labels.union(prop).groupBy("id").agg(min("comp").as("comp")))
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .isEmpty
+      converged = nextSum == labelSum
       freeLabels()
       labels = next
       freeLabels = freeNext
+      labelSum = nextSum
     }
     freeAdj()
     // the final frontier's RDD stays persisted until the returned frame is
