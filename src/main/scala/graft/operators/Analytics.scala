@@ -389,7 +389,46 @@ object Analytics {
        |  COUNT(*) AS n
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Table profiling (the data-quality sweep every pipeline runs first):
+    * per column — row count, nulls, distincts, min/max rendered to text.
+    * One pass over the table computing all columns' stats in a single
+    * aggregate row, then unpivoted to (column, metric...) form — the scan
+    * count stays 1 regardless of column count. */
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    val o = Star.table(spark, dir, "orders")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__mn"),
+        max(col(c)).cast("string").as(s"${c}__mx"))
+    } :+ count(lit(1)).as("__n")
+    val wide = o.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      wide.select(lit(c).as("column_name"), col("__n").as("n_rows"),
+        (col("__n") - col(s"${c}__nn")).as("n_nulls"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__mn").as("min_str"), col(s"${c}__mx").as("max_str"))
+    }.reduce(_ unionAll _)
+    stacked.orderBy("column_name")
+  }
+
+  private val profileTableSql = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_str,
+         |  CAST(MAX($c) AS VARCHAR) AS max_str
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_profile_table", profileTable, Some(profileTableSql)),
     QueryDef("q_weighted_avg", weightedAvg, Some(weightedAvgSql)),
     QueryDef("q_zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql)),
     QueryDef("q_corr_matrix", corrMatrix, Some(corrMatrixSql)),

@@ -185,7 +185,51 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-document Shannon entropy of the token distribution (bits/token)
+    * — the information-density signal corpus filters use to drop
+    * degenerate text. Double summation order is engine-arbitrary, so each
+    * term -(c/n)·log2(c/n) is rounded to a 9-decimal DECIMAL first and
+    * the terms are summed EXACTLY (order-independent) — the determinism
+    * doctrine applied to a transcendental. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tok = Star.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("t"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val n = tf.groupBy("doc_id").agg(sum("c").as("n"),
+      count(lit(1)).as("n_distinct"))
+    tf.join(n, "doc_id")
+      .withColumn("term", round(
+        -(col("c").cast("double") / col("n").cast("double")) *
+          log2(col("c").cast("double") / col("n").cast("double")), 9)
+        .cast(DecimalType(28, 9)))
+      .groupBy("doc_id")
+      .agg(max(col("n")).cast("long").as("n_tokens"),
+        max(col("n_distinct")).as("n_distinct"),
+        sum(col("term")).cast("double").as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
+  private val tokenEntropySql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      |  FROM documents),
+      |tf AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+      |        COUNT(*) AS n_distinct FROM tf GROUP BY 1),
+      |terms AS (
+      |  SELECT tf.doc_id, n.n, n.n_distinct,
+      |    CAST(round(-(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE))
+      |      * log2(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)), 9)
+      |      AS DECIMAL(28,9)) AS term
+      |  FROM tf JOIN n ON tf.doc_id = n.doc_id)
+      |SELECT doc_id, MAX(n) AS n_tokens, MAX(n_distinct) AS n_distinct,
+      |  CAST(SUM(term) AS DOUBLE) AS entropy_bits
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     QueryDef("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     QueryDef("q_text_normalize", textNormalize, Some(textNormalizeSql)),
     QueryDef("q_text_tokens", textTokens, Some(textTokensSql)),
