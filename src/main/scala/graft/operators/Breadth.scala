@@ -615,6 +615,92 @@ object Breadth {
            "SUM(revenue_c) OVER (PARTITION BY r_name)")} AS pct_of_region
        |FROM rev ORDER BY r_name, n_name""".stripMargin
 
+  /** Strictly-sequenced 3-step funnel with per-step conversion windows:
+    * signup → first click within 3 days → first purchase within 3 days of
+    * THAT click (each step anchored on the previous step's event, not the
+    * funnel start). Three aggregates + joins all keyed on user_id — one
+    * hash partitioning end to end, then a single global rollup row. */
+  def funnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Star.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = ev.filter(col("event_type") === "click").as("c")
+      .join(t1, Seq("user_id"))
+      .filter(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 3 DAYS"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase").as("p")
+      .join(t2, Seq("user_id"))
+      .filter(col("ts") > col("t2") &&
+        col("ts") <= col("t2") + expr("INTERVAL 3 DAYS"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    t1.join(t2.select(col("user_id").as("u2")),
+        col("user_id") === col("u2"), "left")
+      .join(t3.select(col("user_id").as("u3")),
+        col("user_id") === col("u3"), "left")
+      .agg(count(lit(1)).as("n_signup"),
+        count(col("u2")).as("n_click_3d"),
+        count(col("u3")).as("n_purchase_3d"))
+      .select(col("n_signup"), col("n_click_3d"), col("n_purchase_3d"),
+        Star.ratio6(col("n_click_3d"), col("n_signup")).as("step2_rate"),
+        Star.ratio6(col("n_purchase_3d"), col("n_signup")).as("step3_rate"))
+  }
+
+  private val funnelWindowedSql =
+    s"""WITH t1 AS (
+       |  SELECT user_id, MIN(ts) AS t1 FROM events
+       |  WHERE event_type = 'signup' GROUP BY user_id),
+       |t2 AS (
+       |  SELECT e.user_id, MIN(e.ts) AS t2
+       |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+       |  WHERE e.event_type = 'click' AND e.ts > t1.t1
+       |    AND e.ts <= t1.t1 + INTERVAL 3 DAY
+       |  GROUP BY e.user_id),
+       |t3 AS (
+       |  SELECT e.user_id, MIN(e.ts) AS t3
+       |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+       |    AND e.ts <= t2.t2 + INTERVAL 3 DAY
+       |  GROUP BY e.user_id)
+       |SELECT COUNT(*) AS n_signup,
+       |  COUNT(t2.user_id) AS n_click_3d,
+       |  COUNT(t3.user_id) AS n_purchase_3d,
+       |  ${Star.Sql.ratio6("COUNT(t2.user_id)", "COUNT(*)")} AS step2_rate,
+       |  ${Star.Sql.ratio6("COUNT(t3.user_id)", "COUNT(*)")} AS step3_rate
+       |FROM t1
+       |LEFT JOIN t2 ON t1.user_id = t2.user_id
+       |LEFT JOIN t3 ON t1.user_id = t3.user_id""".stripMargin
+
+  /** URL decomposition over deterministic synthetic URLs: protocol, host,
+    * path, and one query parameter via the native parse_url expression
+    * (the oracle decomposes with equivalent regexes). Pure map-side. */
+  def urlParse(spark: SparkSession, dir: String): DataFrame =
+    Star.table(spark, dir, "documents")
+      .select(col("doc_id"), concat(lit("https://host"), col("doc_id") % 7,
+        lit(".example/p/"), col("doc_id") % 13, lit("/doc?id="),
+        col("doc_id"), lit("&ref=src"), col("doc_id") % 3).as("url"))
+      .select(col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("id")).as("id_param"),
+        parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref_param"))
+      .orderBy("doc_id")
+
+  private val urlParseSql =
+    """WITH u AS (
+      |  SELECT doc_id, 'https://host' || CAST(doc_id % 7 AS VARCHAR)
+      |    || '.example/p/' || CAST(doc_id % 13 AS VARCHAR) || '/doc?id='
+      |    || CAST(doc_id AS VARCHAR) || '&ref=src'
+      |    || CAST(doc_id % 3 AS VARCHAR) AS url
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+      |  regexp_extract(url, '^https?://[^/]+([^?]*)', 1) AS path,
+      |  regexp_extract(url, 'id=([0-9]+)', 1) AS id_param,
+      |  regexp_extract(url, 'ref=([a-z0-9]+)', 1) AS ref_param
+      |FROM u ORDER BY doc_id""".stripMargin
+
   /** Deterministic per-group mode: most frequent order priority per market
     * segment, ties toward the lexicographically smaller value. Built as
     * count + rank rather than `mode()` (whose tie behavior is
@@ -681,6 +767,8 @@ object Breadth {
        |FROM cnts ORDER BY from_type, to_type""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_funnel_windowed", funnelWindowed, Some(funnelWindowedSql)),
+    QueryDef("q_url_parse", urlParse, Some(urlParseSql)),
     QueryDef("q_mode_per_group", modePerGroup, Some(modePerGroupSql)),
     QueryDef("q_transition_matrix", transitionMatrix,
       Some(transitionMatrixSql)),
