@@ -19,6 +19,21 @@ object Star {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  val tableNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  /** SQL front-end: register every star-schema table as a temp view so
+    * users can drive the engine with plain `spark.sql` (combine with
+    * `spark.sql.extensions=graft.plans.GraftExtensions` for the custom
+    * expressions and the TopKPerGroup operator). `events` gets the same
+    * nanos→micros normalization as the DataFrame path. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+
   /** Local testdata parquet is written as ONE row group per file, so a scan
     * yields a single split — map-side work would run on 1 core no matter
     * how many the session has. On a cluster the same table arrives as
