@@ -701,6 +701,62 @@ object Breadth {
       |  regexp_extract(url, 'ref=([a-z0-9]+)', 1) AS ref_param
       |FROM u ORDER BY doc_id""".stripMargin
 
+  /** Cumulative unique users by day (the growth-curve metric). Running
+    * COUNT(DISTINCT) is re-scan-quadratic; the scalable form is the
+    * first-seen trick: distinct is reduced to each user's FIRST day (one
+    * user-keyed aggregate), then a date-axis cumulative sum — the window
+    * runs on calendar cardinality, not event volume. */
+  def cumulativeUniques(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = Star.events(spark, dir)
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("first_day"))
+      .groupBy("first_day").agg(count(lit(1)).as("new_users"))
+    firstSeen
+      .withColumn("cum_users", sum(col("new_users")).over(
+        Window.orderBy("first_day")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("first_day"), col("new_users"),
+        col("cum_users").cast("long").as("cum_users"))
+      .orderBy("first_day")
+  }
+
+  private val cumulativeUniquesSql =
+    """WITH fs AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      |  FROM events GROUP BY user_id),
+      |daily AS (
+      |  SELECT first_day, COUNT(*) AS new_users FROM fs GROUP BY first_day)
+      |SELECT first_day, new_users,
+      |  CAST(SUM(new_users) OVER (ORDER BY first_day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
+      |FROM daily ORDER BY first_day""".stripMargin
+
+  /** Fixed-SIZE deterministic sample per group (vs sampleStratified's
+    * fixed-rate): the 3 docs per language with the smallest key hash —
+    * reproducible, rank-based, one shuffle on the stratum key. */
+  def sampleTopHash(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(col("h"), col("doc_id"))
+    Star.table(spark, dir, "documents")
+      .withColumn("h", (col("doc_id") * lit(2654435761L)) % lit(4294967296L))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy("lang", "rn")
+  }
+
+  private val sampleTopHashSql =
+    """SELECT lang, rn, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)
+      |      AS BIGINT) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin
+
   /** Deterministic per-group mode: most frequent order priority per market
     * segment, ties toward the lexicographically smaller value. Built as
     * count + rank rather than `mode()` (whose tie behavior is
@@ -767,6 +823,9 @@ object Breadth {
        |FROM cnts ORDER BY from_type, to_type""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_cumulative_uniques", cumulativeUniques,
+      Some(cumulativeUniquesSql)),
+    QueryDef("q_sample_top_hash", sampleTopHash, Some(sampleTopHashSql)),
     QueryDef("q_funnel_windowed", funnelWindowed, Some(funnelWindowedSql)),
     QueryDef("q_url_parse", urlParse, Some(urlParseSql)),
     QueryDef("q_mode_per_group", modePerGroup, Some(modePerGroupSql)),
