@@ -733,6 +733,40 @@ object Breadth {
       |    AS cum_users
       |FROM daily ORDER BY first_day""".stripMargin
 
+  /** DAU and rolling 7-day WAU. Sliding COUNT(DISTINCT) doesn't compose,
+    * so the input is first reduced to distinct (user, day) presence rows —
+    * at 100 TB that collapses event volume to users x active-days — and
+    * WAU re-expands each presence row over the 7 days it supports
+    * (generate + re-aggregate), never re-scanning events. */
+  def dauWau(spark: SparkSession, dir: String): DataFrame = {
+    val presence = Star.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val dau = presence.groupBy("d").agg(count(lit(1)).as("dau"))
+    val wau = presence
+      .select(col("user_id"), explode(sequence(col("d"),
+        date_add(col("d"), 6), expr("interval 1 day"))).as("d"))
+      .distinct()
+      .groupBy("d").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("d"))
+      .select(col("d"), col("dau"), col("wau"))
+      .orderBy("d")
+  }
+
+  private val dauWauSql =
+    """WITH presence AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |dau AS (SELECT d, COUNT(*) AS dau FROM presence GROUP BY d),
+      |expand AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(unnest(generate_series(d, d + 6, INTERVAL 1 DAY)) AS DATE)
+      |      AS d
+      |  FROM presence),
+      |wau AS (SELECT d, COUNT(*) AS wau FROM expand GROUP BY d)
+      |SELECT dau.d, dau.dau, wau.wau
+      |FROM dau JOIN wau ON dau.d = wau.d
+      |ORDER BY dau.d""".stripMargin
+
   /** Fixed-SIZE deterministic sample per group (vs sampleStratified's
     * fixed-rate): the 3 docs per language with the smallest key hash —
     * reproducible, rank-based, one shuffle on the stratum key. */
@@ -826,6 +860,7 @@ object Breadth {
     QueryDef("q_cumulative_uniques", cumulativeUniques,
       Some(cumulativeUniquesSql)),
     QueryDef("q_sample_top_hash", sampleTopHash, Some(sampleTopHashSql)),
+    QueryDef("q_dau_wau", dauWau, Some(dauWauSql)),
     QueryDef("q_funnel_windowed", funnelWindowed, Some(funnelWindowedSql)),
     QueryDef("q_url_parse", urlParse, Some(urlParseSql)),
     QueryDef("q_mode_per_group", modePerGroup, Some(modePerGroupSql)),
