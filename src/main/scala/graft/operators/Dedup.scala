@@ -236,6 +236,34 @@ object Dedup {
       .drop("shared")
   }
 
+  /** SimHash near-dup pairs by banded hamming join: the 64-bit simhash
+    * splits into 4×16-bit bands; by pigeonhole, any pair within hamming
+    * distance 3 shares at least one band, so the band-bucket self-join is
+    * a COMPLETE candidate generator for d<=3 — never all-pairs. Distance
+    * itself is the codegen'd bit_count(xor). Engine-specific hashes →
+    * rows-only in the gate; completeness is spec-tested via exact-dup
+    * groups (distance-0 pairs must all appear). */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhash(spark, dir)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL))
+            .as("bv"))): _*)).as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.band_id"), col("e.bv"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Connected components over an undirected edge list (id_a, id_b) →
     * (doc_id, cluster_id = min doc_id reachable). Iterative min-label
     * propagation: each round every node takes the min of its own label and
@@ -380,6 +408,7 @@ object Dedup {
     QueryDef("q_dedup_minhash", minhashSignatures, None),
     QueryDef("q_dedup_minhash_pairs", minhashLshPairs, None),
     QueryDef("q_dedup_simhash", simhash, None),
+    QueryDef("q_dedup_simhash_pairs", simhashPairs, None),
     QueryDef("q_dedup_winnow_pairs", winnowPairs, None),
   )
 }

@@ -37,4 +37,46 @@ object Layout {
         .withColumn("ano", year(col("data_medicao")))
         .withColumn("mes", month(col("data_medicao"))),
       path, Seq("ano", "mes"))
+
+  /** The bucketed layout in the correctness gate: lineitem and orders are
+    * written bucketed+sorted on the join key (once per input dataset —
+    * table names carry a dataset tag so different scale factors never
+    * collide), then joined WITHOUT any exchange or sort and aggregated.
+    * This is the pay-the-shuffle-once-at-write-time layout that makes a
+    * repeated 100 TB fact-fact join cheap; the oracle is the plain join. */
+  def bucketedRevenue(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame = {
+    import graft.operators.Star
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val lt = s"graft_b_lineitem_$tag"
+    val ot = s"graft_b_orders_$tag"
+    if (!spark.catalog.tableExists(lt)) {
+      writeBucketed(Star.table(spark, dir, "lineitem")
+        .select(col("l_orderkey"),
+          graft.operators.Star.cents(col("l_extendedprice")).as("price_c")),
+        lt, "l_orderkey", 16)
+      writeBucketed(Star.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        ot, "o_orderkey", 16)
+    }
+    spark.table(lt)
+      .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg((sum(col("price_c")).cast("double") / 100.0).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val bucketedRevenueSql =
+    s"""SELECT o_orderpriority,
+       |  CAST(SUM(${graft.operators.Star.Sql.cents("l_extendedprice")})
+       |    AS DOUBLE) / 100.0 AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val defs: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef("q_bucketed_join", bucketedRevenue,
+      Some(bucketedRevenueSql)),
+  )
 }

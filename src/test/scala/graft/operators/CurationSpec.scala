@@ -73,6 +73,42 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("simhashPairs: banded join finds every exact-duplicate pair (d=0)") {
+    // the synthetic corpus carries no exact dups — build one with planted
+    // duplicate groups plus unrelated docs
+    val d = java.nio.file.Files.createTempDirectory("simdup").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    Seq(
+      (1L, base, "en", "s", 0L), (2L, base, "en", "s", 0L),
+      (3L, base, "en", "s", 0L),
+      (4L, "completely different content about sorting algorithms", "en", "s", 0L),
+      (5L, "yet another unrelated corpus entry with many words", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val pairs = Dedup.simhashPairs(spark, d)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    for (a <- Seq(1L, 2L, 3L); b <- Seq(1L, 2L, 3L) if a < b)
+      assert(pairs.get((a, b)).contains(0L),
+        s"exact-dup pair ($a,$b) missing or nonzero distance")
+    assert(pairs.values.forall(_ <= 3L), "emitted pair above the d<=3 gate")
+  }
+
+  test("bucketedRevenue: the bucketed join itself never shuffles") {
+    graft.sources.Layout.bucketedRevenue(spark, sf).collect() // create tables
+    val tag = java.lang.Integer.toHexString(sf.hashCode)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table(s"graft_b_lineitem_$tag")
+        .join(spark.table(s"graft_b_orders_$tag"),
+          col("l_orderkey") === col("o_orderkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        "bucketed join inputs must not shuffle\n" + p)
+      assert(j.count() === Star.table(spark, sf, "lineitem").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("vocabTopk: deterministic top-100 with count-then-word tiebreak") {
     val got = Curation.vocabTopk(spark, sf).collect()
     val vocabSize = Star.table(spark, sf, "documents")
