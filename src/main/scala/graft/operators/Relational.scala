@@ -581,6 +581,35 @@ object Relational {
       |SELECT nationkey, 'customers_only' FROM (SELECT * FROM c EXCEPT SELECT * FROM s)
       |ORDER BY which, nationkey""".stripMargin
 
+  /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): nation
+    * keys as MULTISETS — intersect keeps min(multiplicity), except
+    * subtracts it. Catalyst rewrites both into count-compare generators;
+    * counts-grain shuffle only. */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val c = Star.table(spark, dir, "customer")
+      .select(col("c_nationkey").as("nationkey"))
+    val s = Star.table(spark, dir, "supplier")
+      .select(col("s_nationkey").as("nationkey"))
+    val inter = c.intersectAll(s).groupBy("nationkey")
+      .agg(count(lit(1)).as("n")).withColumn("which", lit("intersect_all"))
+    val exc = c.exceptAll(s).groupBy("nationkey")
+      .agg(count(lit(1)).as("n")).withColumn("which", lit("except_all"))
+    inter.unionByName(exc)
+      .select("which", "nationkey", "n")
+      .orderBy("which", "nationkey")
+  }
+
+  private val setOpsAllSql =
+    """WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
+      |s AS (SELECT s_nationkey AS nationkey FROM supplier),
+      |i AS (SELECT * FROM c INTERSECT ALL SELECT * FROM s),
+      |e AS (SELECT * FROM c EXCEPT ALL SELECT * FROM s)
+      |SELECT 'intersect_all' AS which, nationkey, COUNT(*) AS n
+      |FROM i GROUP BY nationkey
+      |UNION ALL
+      |SELECT 'except_all', nationkey, COUNT(*) FROM e GROUP BY nationkey
+      |ORDER BY which, nationkey""".stripMargin
+
   /** Scalar + correlated subqueries: customers above the global average
     * balance, with their order counts via a correlated count. */
   def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
@@ -684,6 +713,7 @@ object Relational {
     QueryDef("q_range_join", rangeJoin, Some(rangeJoinSql)),
     QueryDef("q_window_range", windowRange, Some(windowRangeSql)),
     QueryDef("q_set_ops", setOps, Some(setOpsSql)),
+    QueryDef("q_set_ops_all", setOpsAll, Some(setOpsAllSql)),
     QueryDef("q_scalar_subquery", scalarSubquery, Some(scalarSubquerySql)),
     QueryDef("q_agg_pricing", aggPricing, Some(aggPricingSql)),
     QueryDef("q_json_extract", jsonExtract, Some(jsonExtractSql)),

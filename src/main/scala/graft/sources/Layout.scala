@@ -51,6 +51,15 @@ object Layout {
     val lt = s"graft_b_lineitem_$tag"
     val ot = s"graft_b_orders_$tag"
     if (!spark.catalog.tableExists(lt)) {
+      // a previous session may have left the managed location on disk
+      // without this session's catalog knowing the table — clear both
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      Seq(lt, ot).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(wh, t)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
       writeBucketed(Star.table(spark, dir, "lineitem")
         .select(col("l_orderkey"),
           graft.operators.Star.cents(col("l_extendedprice")).as("price_c")),
