@@ -107,6 +107,27 @@ object Dedup {
       |  COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin
 
+  /** Normalization-layer dedup (between exact and near-dup): documents
+    * identical AFTER casefold + whitespace collapse + trim share a
+    * canonical id. Same one-shuffle hash-group shape as exact dedup —
+    * only the key changes; emits one row per normalized class with its
+    * multiplicity so the exact/normalized delta is visible. */
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame =
+    Star.table(spark, dir, "documents")
+      .groupBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .as("norm_fp"))
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_members"),
+        countDistinct(md5(col("text"))).as("n_exact_classes"))
+      .orderBy("canonical_id")
+
+  private val dedupNormalizedSql =
+    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      |    AS norm_fp,
+      |  MIN(doc_id) AS canonical_id, COUNT(*) AS n_members,
+      |  COUNT(DISTINCT md5(text)) AS n_exact_classes
+      |FROM documents
+      |GROUP BY 1 ORDER BY canonical_id""".stripMargin
+
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join (no
     * all-pairs compare). Emits pairs with similarity >= 0.5.
     *
@@ -402,6 +423,7 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("q_dedup_normalized", dedupNormalized, Some(dedupNormalizedSql)),
     QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QueryDef("q_dedup_keep", dedupKeep, Some(dedupKeepSql)),
     QueryDef("q_dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
