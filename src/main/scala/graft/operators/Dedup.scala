@@ -421,8 +421,33 @@ object Dedup {
       |  WHERE id <> cluster_id)
       |ORDER BY doc_id""".stripMargin)
 
+  /** Cluster diagnostics: size, language purity, and length spread per
+    * near-dup cluster — the report a curation run reviews before deciding
+    * keep-thresholds. Cluster labels broadcast back onto the documents
+    * scan (same shape as dedupKeep). */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame =
+    Star.table(spark, dir, "documents")
+      .join(broadcast(dedupClusters(spark, dir)), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("cluster_id")
+
+  private val dedupClusterStatsSql = withReachCtes(
+    """SELECT cluster_id, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT lang) AS n_langs,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents
+      |JOIN (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id) comp
+      |  ON doc_id = comp.id
+      |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("q_dedup_cluster_stats", dedupClusterStats,
+      Some(dedupClusterStatsSql)),
     QueryDef("q_dedup_normalized", dedupNormalized, Some(dedupNormalizedSql)),
     QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QueryDef("q_dedup_keep", dedupKeep, Some(dedupKeepSql)),
