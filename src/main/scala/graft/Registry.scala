@@ -24,6 +24,7 @@ object Registry {
       operators.Skew.defs ++
       operators.AsOf.defs ++
       operators.InmetQueries.defs ++
+      operators.Quantiles.defs ++
       sources.Layout.defs ++
       streaming.StreamingQueries.defs ++
       multimodal.Multimodal.defs

@@ -91,44 +91,17 @@ object Analytics {
     * buffered beyond one histogram partition. Interpolation with dyadic
     * fractions over integers is exact in IEEE double, matching DuckDB's
     * quantile_cont bit-for-bit. */
-  def percentiles(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hist = Star.table(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"), Star.cents(col("l_extendedprice")).as("v"))
-      .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("l_returnflag").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = hist
-      .withColumn("cum", sum(col("cnt")).over(w))
-      .withColumn("lo", col("cum") - col("cnt")) // 0-based start index
-    val pos = hist.groupBy("l_returnflag")
-      .agg(sum(col("cnt")).as("n"))
-      .select(col("l_returnflag"), col("n"),
-        explode(array(lit(0.25), lit(0.5), lit(0.75))).as("q"))
-      .withColumn("p", (col("n") - 1).cast("double") * col("q"))
-      .withColumn("kf", floor(col("p")).cast("long"))
-      .withColumn("kc", ceil(col("p")).cast("long"))
-    def valueAt(k: org.apache.spark.sql.Column, name: String) =
-      pos.as("p").join(cum.as("c"),
-        col("p.l_returnflag") === col("c.l_returnflag") &&
-          col("c.lo") <= k && k < col("c.cum"))
-        .select(col("p.l_returnflag").as("l_returnflag"), col("p.q").as("q"),
-          col("p.n").as("n"), col("p.p").as("pp"), col("p.kf").as("kf"),
-          col("c.v").as(name))
-    val lower = valueAt(col("p.kf"), "vlo")
-    val upper = valueAt(col("p.kc"), "vhi").select("l_returnflag", "q", "vhi")
-    val interp = lower.join(upper, Seq("l_returnflag", "q"))
-      .withColumn("quant",
-        (col("vlo").cast("double") +
-          (col("vhi") - col("vlo")).cast("double") *
-            (col("pp") - col("kf").cast("double"))) / 100.0)
-    interp.groupBy("l_returnflag")
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Quantiles.exactQuantiles(
+      Star.table(spark, dir, "lineitem"), Seq("l_returnflag"),
+      Star.cents(col("l_extendedprice")), Seq(0.25, 0.5, 0.75))
+      .withColumn("quant", col("quant") / 100.0)
+      .groupBy("l_returnflag")
       .agg(max(when(col("q") === 0.25, col("quant"))).as("p25"),
         max(when(col("q") === 0.5, col("quant"))).as("p50"),
         max(when(col("q") === 0.75, col("quant"))).as("p75"),
         max(col("n")).as("n"))
       .orderBy("l_returnflag")
-  }
 
   private val percentilesSql =
     s"""SELECT l_returnflag,
