@@ -200,7 +200,73 @@ object Curation {
        |       ELSE ${Star.Sql.ratio6("pc - mn", "mx - mn")} END AS price_scaled
        |FROM w ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** The capstone curation query — the corpus a training run would
+    * actually consume: drop non-canonical near-dup cluster members, keep
+    * docs inside the length band, drop boilerplate by top-bigram mass.
+    * One pass over documents, repetition signals joined on doc_id, the
+    * tiny drop-list broadcast — exactly the dedupKeep/rep_signals plans
+    * composed, nothing recomputed per filter. */
+  def curationKeep(spark: SparkSession, dir: String): DataFrame = {
+    val drop = Dedup.dedupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    val rep = repetitionSignals(spark, dir)
+      .select("doc_id", "top_bigram_frac")
+    Star.table(spark, dir, "documents")
+      .join(rep, "doc_id")
+      .filter(col("n_chars").between(40, 400) &&
+        col("top_bigram_frac") <= 0.5)
+      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  private val curationKeepSql =
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(greatest(len(w) - 2, 1)),
+      |    i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))) AS s
+      |  FROM words),
+      |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT id_a, id_b FROM pairs
+      |  JOIN cnt ca ON ca.doc_id = id_a
+      |  JOIN cnt cb ON cb.doc_id = id_b
+      |  WHERE (CAST((CAST(shared AS BIGINT) * 1000000)
+      |    // CAST(ca.c + cb.c - shared AS BIGINT) AS DOUBLE) / 1000000.0) >= 0.5),
+      |und AS (
+      |  SELECT id_a AS s, id_b AS d FROM edges
+      |  UNION ALL SELECT id_b, id_a FROM edges),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM (SELECT DISTINCT s FROM und)
+      |  UNION
+      |  SELECT u.d, reach.r FROM reach JOIN und u ON u.s = reach.id),
+      |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 1, 1)),
+      |    i -> concat_ws(' ', w[i+1], w[i+2]))) AS b
+      |  FROM words),
+      |bgc AS (SELECT doc_id, b, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+      |rep AS (
+      |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+      |    MAX(n) AS top_n
+      |  FROM bgc GROUP BY doc_id)
+      |SELECT d.doc_id, d.lang, d.n_chars
+      |FROM documents d JOIN rep ON d.doc_id = rep.doc_id
+      |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
+      |  AND d.n_chars BETWEEN 40 AND 400
+      |  AND (CAST(top_n AS BIGINT) * 1000000) // n_bigrams <= 500000
+      |ORDER BY d.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_curation_keep", curationKeep, Some(curationKeepSql)),
     QueryDef("q_vocab_topk", vocabTopk, Some(vocabTopkSql)),
     QueryDef("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("q_rep_signals", repetitionSignals, Some(repetitionSignalsSql)),
