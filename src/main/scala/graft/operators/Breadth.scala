@@ -701,6 +701,78 @@ object Breadth {
       |  regexp_extract(url, 'ref=([a-z0-9]+)', 1) AS ref_param
       |FROM u ORDER BY doc_id""".stripMargin
 
+  /** Month-over-month revenue growth: calendar-axis lag + exact-rational
+    * delta ratio (floor division agrees across engines for negative
+    * deltas too). The heavy reduction is the monthly group-by; the window
+    * runs on months. */
+  def momGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Star.table(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(sum(Star.cents(col("o_totalprice"))).as("rev_c"))
+    val w = Window.orderBy("month")
+    monthly
+      .withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+      .select(col("month"), col("rev_c"),
+        // growth = cur/prev - 1 keeps the quantized division POSITIVE —
+        // floor vs truncate-toward-zero diverge on negative quotients
+        // (Spark floors, DuckDB // truncates), the subtraction doesn't
+        when(col("prev_c").isNull, lit(null))
+          .otherwise(Star.ratio6(col("rev_c"), col("prev_c")) - 1.0)
+          .as("mom_growth"))
+      .orderBy("month")
+  }
+
+  private val momGrowthSql =
+    s"""WITH m AS (
+       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       |    CAST(SUM(${Star.Sql.cents("o_totalprice")}) AS BIGINT) AS rev_c
+       |  FROM orders GROUP BY 1)
+       |SELECT month, rev_c,
+       |  CASE WHEN LAG(rev_c) OVER (ORDER BY month) IS NULL THEN NULL
+       |       ELSE ${Star.Sql.ratio6("rev_c",
+                "LAG(rev_c) OVER (ORDER BY month)")} - 1.0 END AS mom_growth
+       |FROM m ORDER BY month""".stripMargin
+
+  /** Pareto (80/20) analysis: suppliers ranked by revenue with cumulative
+    * share, cut at the 80% line — group-by reduction first, then windows
+    * over supplier-grain rows only. */
+  def paretoSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Star.table(spark, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(sum(Star.cents(col("l_extendedprice"))).as("rev_c"))
+    val wRank = Window.orderBy(col("rev_c").desc, col("l_suppkey"))
+    rev
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("cum_c", sum(col("rev_c")).over(
+        wRank.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total_c", sum(col("rev_c")).over(
+        Window.partitionBy()))
+      .withColumn("cum_share", Star.ratio6(col("cum_c"), col("total_c")))
+      .filter(col("cum_share") <= 0.8)
+      .select("rnk", "l_suppkey", "rev_c", "cum_share")
+      .orderBy("rnk")
+  }
+
+  private val paretoSuppliersSql =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |    CAST(SUM(${Star.Sql.cents("l_extendedprice")}) AS BIGINT) AS rev_c
+       |  FROM lineitem GROUP BY l_suppkey),
+       |ranked AS (
+       |  SELECT l_suppkey, rev_c,
+       |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+       |    CAST(SUM(rev_c) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS BIGINT) AS cum_c,
+       |    CAST(SUM(rev_c) OVER () AS BIGINT) AS total_c
+       |  FROM rev WINDOW w AS (ORDER BY rev_c DESC, l_suppkey))
+       |SELECT rnk, l_suppkey, rev_c,
+       |  ${Star.Sql.ratio6("cum_c", "total_c")} AS cum_share
+       |FROM ranked
+       |WHERE ${Star.Sql.ratio6("cum_c", "total_c")} <= 0.8
+       |ORDER BY rnk""".stripMargin
+
   /** Cumulative unique users by day (the growth-curve metric). Running
     * COUNT(DISTINCT) is re-scan-quadratic; the scalable form is the
     * first-seen trick: distinct is reduced to each user's FIRST day (one
@@ -857,6 +929,9 @@ object Breadth {
        |FROM cnts ORDER BY from_type, to_type""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_mom_growth", momGrowth, Some(momGrowthSql)),
+    QueryDef("q_pareto_suppliers", paretoSuppliers,
+      Some(paretoSuppliersSql)),
     QueryDef("q_cumulative_uniques", cumulativeUniques,
       Some(cumulativeUniquesSql)),
     QueryDef("q_sample_top_hash", sampleTopHash, Some(sampleTopHashSql)),

@@ -88,7 +88,11 @@ object Star {
     floor(num.cast("double") / den.cast("double")).cast("long")
 
   /** Rational num/den emitted as a double with exact 1e-6 floor
-    * quantization (num bounded by ~1e9 for exactness). */
+    * quantization (num bounded by ~1e9 for exactness).
+    * POSITIVE quotients only: Spark-side floor and DuckDB's `//` agree on
+    * positives but diverge on negatives (floor vs truncate-toward-zero) —
+    * rearrange call sites so the division is positive (e.g. growth =
+    * ratio6(cur, prev) - 1, never ratio6(cur - prev, prev)). */
   def ratio6(num: Column, den: Column): Column =
     idiv(num.cast("long") * 1000000L, den).cast("double") / 1000000.0
 
