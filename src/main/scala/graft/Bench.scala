@@ -49,10 +49,32 @@ object Bench {
       val ts = all.map(_(i)._2)
       n -> (if (ts.forall(_ >= 0)) ts.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    // Full per-query detail goes to a FILE: the driver captures only the
+    // last ~2000 chars of stdout, and the full 126-query JSON line (~4 KB)
+    // does not fit (BENCH_r02/r03 "parsed": null). The printed line stays
+    // compact: total + a fixed headline subset, all 3-decimal.
+    val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    val headline = Seq(
+      "q_agg_pricing", "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
+      "q_join_multi", "q_window_running", "q_sessionize", "q_topk_per_group",
+      "q_asof_join", "q_dedup_minhash", "q_dedup_ngram_jaccard",
+      "q_dedup_embedding", "q_ann_bruteforce", "q_ann_lsh", "q_tfidf_topk",
+      "q_percentiles", "q_text_quality", "q_lang_id", "q_stream_time_bucket",
+      "q_inmet_kpis")
+    val resMap = results.toMap
+    val qs = headline.filter(resMap.contains)
+      .map(k => "\"" + k + "\":" + fmt(resMap(k)))
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"detail":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
