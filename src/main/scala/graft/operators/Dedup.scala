@@ -444,7 +444,48 @@ object Dedup {
       |  ON doc_id = comp.id
       |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)
 
+  /** Shingle CONTAINMENT pairs: shared / min(|A|, |B|) — catches a short
+    * doc wholly embedded in a longer one, which Jaccard misses (the union
+    * denominator dilutes asymmetric overlap). Same inverted-index pair
+    * join as [[ngramJaccard]] (one implementation, different denominator),
+    * so the scale path is identical: candidates come from shingle-key
+    * equality, never an all-pairs product. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Star.table(spark, dir, "documents"))
+      .select(col("doc_id"), col("c"), xxhash64(col("s")).as("s"))
+    similarityPairs(sh, "s",
+      "containment", (ca, cb, _) => least(ca, cb), 0.6,
+      hasCountCol = true)
+  }
+
+  private val containmentPairsSql =
+    """WITH words AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(greatest(len(w) - 2, 1)),
+      |    i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))) AS s
+      |  FROM words),
+      |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, shared,
+      |  (CAST((CAST(shared AS BIGINT) * 1000000)
+      |    // CAST(least(ca.c, cb.c) AS BIGINT) AS DOUBLE) / 1000000.0)
+      |    AS containment
+      |FROM pairs
+      |JOIN cnt ca ON ca.doc_id = id_a
+      |JOIN cnt cb ON cb.doc_id = id_b
+      |WHERE (CAST((CAST(shared AS BIGINT) * 1000000)
+      |    // CAST(least(ca.c, cb.c) AS BIGINT) AS DOUBLE) / 1000000.0) >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dedup_containment", containmentPairs,
+      Some(containmentPairsSql)),
     QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("q_dedup_cluster_stats", dedupClusterStats,
       Some(dedupClusterStatsSql)),

@@ -709,7 +709,32 @@ object Relational {
        |FROM ev
        |ORDER BY user_id, event_id""".stripMargin
 
+  /** SQL front-end parity: ONE shared ANSI SQL string is both the Spark
+    * implementation (spark.sql over the registered star-schema views) and
+    * the DuckDB oracle — proving the engine's SQL surface, not just its
+    * DataFrame surface, computes the reference semantics. The text sticks
+    * to the dialect intersection (standard joins, DATE literals,
+    * round/CAST money arithmetic), which is exactly the subset a user
+    * migrating SQL between engines would rely on. */
+  private val sqlFrontendSql =
+    """SELECT r_name, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_c
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= DATE '1996-01-01'
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  def sqlFrontend(spark: SparkSession, dir: String): DataFrame = {
+    Star.registerViews(spark, dir)
+    spark.sql(sqlFrontendSql)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_sql_frontend", sqlFrontend, Some(sqlFrontendSql)),
     QueryDef("q_range_join", rangeJoin, Some(rangeJoinSql)),
     QueryDef("q_window_range", windowRange, Some(windowRangeSql)),
     QueryDef("q_set_ops", setOps, Some(setOpsSql)),

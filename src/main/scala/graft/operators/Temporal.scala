@@ -358,7 +358,57 @@ object Temporal {
       |  CAST(SUM(n_iv) AS BIGINT) AS n_orders
       |FROM per_island GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** Per-key gap-fill with forward fill (LOCF): hourly error-count series
+    * per event_type, densified against the shared hour calendar, holes
+    * carrying the last observed value forward. The companion to
+    * [[gapfillInterp]] with the windows PARTITIONED BY the series key —
+    * the form that scales to millions of independent series, since each
+    * key's calendar-length window sorts locally within one hash partition
+    * (one shuffle on event_type; the calendar cross-join is map-side, the
+    * dim side being bounded by wall-clock hours x key cardinality). */
+  def gapfillByKey(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Star.events(spark, dir)
+    val hourly = ev
+      .filter(col("value") > 80)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("observed"))
+    val cal = ev
+      .agg(date_trunc("hour", min("ts")).as("h0"),
+        date_trunc("hour", max("ts")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("interval 1 hour"))).as("h"))
+    val keys = ev.select(col("event_type")).distinct()
+    val wPrev = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    keys.crossJoin(cal)
+      .join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("filled_locf",
+        last(col("observed"), ignoreNulls = true).over(wPrev))
+      .orderBy("event_type", "h")
+  }
+
+  private val gapfillByKeySql =
+    """WITH span AS (
+      |  SELECT date_trunc('hour', MIN(ts)) AS h0,
+      |         date_trunc('hour', MAX(ts)) AS h1 FROM events),
+      |cal AS (
+      |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |  FROM span),
+      |keys AS (SELECT DISTINCT event_type FROM events),
+      |obs AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS observed
+      |  FROM events WHERE value > 80
+      |  GROUP BY 1, 2)
+      |SELECT keys.event_type, cal.h, obs.observed,
+      |  LAST_VALUE(obs.observed IGNORE NULLS) OVER (
+      |    PARTITION BY keys.event_type ORDER BY cal.h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_locf
+      |FROM keys CROSS JOIN cal
+      |LEFT JOIN obs ON obs.event_type = keys.event_type AND obs.h = cal.h
+      |ORDER BY keys.event_type, cal.h""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_gapfill_by_key", gapfillByKey, Some(gapfillByKeySql)),
     QueryDef("q_interval_coverage", intervalCoverage,
       Some(intervalCoverageSql)),
     QueryDef("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),

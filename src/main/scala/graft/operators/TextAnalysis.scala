@@ -228,7 +228,62 @@ object TextAnalysis {
       |  CAST(SUM(term) AS DOUBLE) AS entropy_bits
       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Corpus-level bigram collocations: top adjacent word pairs with their
+    * directional association strengths p(b|a), p(a|b) in exact 1e-6
+    * rationals (the integer-safe stand-in for PMI — same ranking, no
+    * cross-engine log/overflow hazards). Two corpus passes (unigram and
+    * bigram counts) that each reduce map-side to vocabulary cardinality;
+    * the count joins broadcast the (tiny) unigram side, so nothing large
+    * ever shuffles — the shape that holds when the corpus is 100 TB but
+    * the vocabulary is millions. */
+  def bigramColloc(spark: SparkSession, dir: String): DataFrame = {
+    val words = Star.table(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+    val uni = words.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    val bigrams =
+      "transform(sequence(1, size(w) - 1), " +
+        "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1)))"
+    val bi = words.select(explode(expr(bigrams)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+    bi
+      .join(broadcast(uni.select(col("t").as("ta"), col("n").as("n_a"))),
+        split(col("bigram"), " ").getItem(0) === col("ta"))
+      .join(broadcast(uni.select(col("t").as("tb"), col("n").as("n_b"))),
+        split(col("bigram"), " ").getItem(1) === col("tb"))
+      .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+        Star.ratio6(col("n_ab"), col("n_a")).as("p_b_given_a"),
+        Star.ratio6(col("n_ab"), col("n_b")).as("p_a_given_b"))
+      .orderBy(col("n_ab").desc, col("bigram"))
+      .limit(50)
+  }
+
+  private val bigramCollocSql =
+    """WITH words AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      |  FROM documents
+      |  WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2),
+      |uni AS (
+      |  SELECT unnest(w) AS t FROM words),
+      |ucnt AS (SELECT t, COUNT(*) AS n FROM uni GROUP BY t),
+      |bi AS (
+      |  SELECT unnest(list_transform(range(len(w) - 1),
+      |    i -> concat_ws(' ', w[i+1], w[i+2]))) AS bigram
+      |  FROM words),
+      |bcnt AS (SELECT bigram, COUNT(*) AS n_ab FROM bi GROUP BY bigram)
+      |SELECT bigram, n_ab, ua.n AS n_a, ub.n AS n_b,
+      |  (CAST((CAST(n_ab AS BIGINT) * 1000000)
+      |    // CAST(ua.n AS BIGINT) AS DOUBLE) / 1000000.0) AS p_b_given_a,
+      |  (CAST((CAST(n_ab AS BIGINT) * 1000000)
+      |    // CAST(ub.n AS BIGINT) AS DOUBLE) / 1000000.0) AS p_a_given_b
+      |FROM bcnt
+      |JOIN ucnt ua ON string_split(bigram, ' ')[1] = ua.t
+      |JOIN ucnt ub ON string_split(bigram, ' ')[2] = ub.t
+      |ORDER BY n_ab DESC, bigram LIMIT 50""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_bigram_colloc", bigramColloc, Some(bigramCollocSql)),
     QueryDef("q_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     QueryDef("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     QueryDef("q_text_normalize", textNormalize, Some(textNormalizeSql)),

@@ -113,8 +113,42 @@ object StreamingQueries {
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Streaming exact dedup: state-store dropDuplicates on the
+    * (user_id, event_type) key, append-mode — each key emits exactly once,
+    * on first arrival. The output is the KEY SET (not first-arrival
+    * payloads, which would depend on scan order), so the bounded replay
+    * converges to the batch DISTINCT oracle regardless of parallelism.
+    *
+    * Scale note: in production the same plan runs
+    * dropDuplicatesWithinWatermark so state is evicted at the watermark
+    * horizon instead of growing with key cardinality; the bounded replay
+    * here has no watermark so the full key set is the (small) state. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream
+      .schema(EventsStreaming.eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val deduped = src
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName("graft_stream_dedup")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("graft_stream_dedup")
+      .orderBy("user_id", "event_type")
+  }
+
+  private val streamDedupSql =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_stream_time_bucket", streamTimeBucket, Some(streamTimeBucketSql)),
     QueryDef("q_stream_sessionize", streamSessionize, Some(streamSessionizeSql)),
+    QueryDef("q_stream_dedup", streamDedup, Some(streamDedupSql)),
   )
 }

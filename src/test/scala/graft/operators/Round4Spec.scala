@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-4 additions: per-key LOCF gap-fill, containment
+  * dedup pairs, bigram collocations, the ANN recall gate, the shared-SQL
+  * front-end query, and streaming dedup. */
+class Round4Spec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("gapfillByKey: every key carries the full dense calendar; LOCF holds last value") {
+    val rows = Temporal.gapfillByKey(spark, sf)
+      .orderBy("event_type", "h").collect()
+    val perKey = rows.groupBy(_.getString(0))
+    val calLens = perKey.values.map(_.length).toSet
+    assert(calLens.size === 1, "all keys must share the same calendar length")
+    perKey.values.foreach { series =>
+      var lastObserved: Option[Long] = None
+      series.foreach { r =>
+        if (!r.isNullAt(2)) lastObserved = Some(r.getLong(2))
+        lastObserved match {
+          case Some(v) => assert(r.getLong(3) === v)
+          case None    => assert(r.isNullAt(3))
+        }
+      }
+    }
+  }
+
+  test("containmentPairs: containment >= jaccard on shared pairs, bounded by 1") {
+    val cont = Dedup.containmentPairs(spark, sf)
+      .select("id_a", "id_b", "containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont.nonEmpty)
+    assert(cont.values.forall(c => c > 0 && c <= 1.0))
+    val jac = Dedup.ngramJaccard(spark, sf)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // containment's denominator min(|A|,|B|) <= jaccard's |A u B|
+    jac.foreach { case (pair, j) =>
+      cont.get(pair).foreach(c => assert(c >= j - 1e-9))
+    }
+  }
+
+  test("bigramColloc: counts consistent and conditional probabilities exact") {
+    val rows = TextAnalysis.bigramColloc(spark, sf).collect()
+    assert(rows.length === 50)
+    rows.foreach { r =>
+      val (nAb, nA, nB) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nAb <= nA && nAb <= nB)
+      assert(r.getDouble(4) === math.floor(nAb * 1e6 / nA) / 1e6)
+      assert(r.getDouble(5) === math.floor(nAb * 1e6 / nB) / 1e6)
+    }
+    // descending by support with bigram tiebreak
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) > b.getLong(1) ||
+        (a.getLong(1) == b.getLong(1) && a.getString(0) < b.getString(0)))
+    }
+  }
+
+  test("annRecall: summary row aggregates per-query hits; recall in (0, 1]") {
+    val rows = Similarity.annRecall(spark, sf).collect()
+    val (summary, perQuery) = rows.partition(_.getLong(0) == -1L)
+    assert(summary.length === 1 && perQuery.length === 5)
+    assert(summary.head.getLong(1) === perQuery.map(_.getLong(1)).sum)
+    assert(summary.head.getLong(2) === perQuery.map(_.getLong(2)).sum)
+    // LSH with 4 bands over 16 planes should find a good share of true
+    // neighbors on this corpus — gate on the measured floor, not luck
+    assert(summary.head.getDouble(3) >= 0.4)
+  }
+
+  test("sqlFrontend: shared SQL equals the equivalent DataFrame plan") {
+    val viaSql = Relational.sqlFrontend(spark, sf).collect()
+    val viaDf = {
+      val li = Star.table(spark, sf, "lineitem")
+      val o = Star.table(spark, sf, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01"))
+      val c = Star.table(spark, sf, "customer")
+      val n = Star.table(spark, sf, "nation")
+      val r = Star.table(spark, sf, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(Star.cents(col("l_extendedprice"))).as("revenue_c"))
+        .orderBy("r_name").collect()
+    }
+    assert(viaSql.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      === viaDf.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
+  test("streamDedup: streaming key set equals batch distinct") {
+    val streamed = graft.streaming.StreamingQueries.streamDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val batch = Star.events(spark, sf)
+      .select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(streamed.toSeq === batch.toSeq)
+  }
+}
