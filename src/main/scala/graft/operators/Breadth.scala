@@ -323,10 +323,18 @@ object Breadth {
     val tok = docs
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+    // HashPartitioning(doc_id) from the fan satisfies the (doc_id, term)
+    // grouping AND the rank window below — the tf aggregate and the window
+    // run with no further exchange. The doc-frequency side reduces to
+    // vocabulary cardinality (map-side partials shrink it before its tiny
+    // shuffle) and BROADCASTS, so the doc x term relation itself is never
+    // re-shuffled by term — previously that term-keyed join plus the
+    // re-partition back to doc_id were the two dominant exchanges. At
+    // vocabularies too big to broadcast, fall back to the shuffle join.
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(df_, "term")
+    val scored = tf.join(broadcast(df_), "term")
       .crossJoin(broadcast(total))
       .withColumn("idf_u", Star.idiv(col("n_docs") * 1000000L, col("df")))
       .withColumn("score", col("tf") * col("idf_u"))

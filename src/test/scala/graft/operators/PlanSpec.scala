@@ -96,6 +96,27 @@ class PlanSpec extends SparkSuite {
     assert("Exchange".r.findAllIn(p).size <= 1, p)
   }
 
+  test("exactQuantiles: one histogram exchange, local window, offsets broadcast") {
+    val p = plan(Analytics.percentiles(spark, dir))
+    // the (group, bucket) repartition is the ONLY exchange that carries
+    // raw-value keys — the histogram aggregate and the cumulative window
+    // both run partition-local on it (regression guard for the plan that
+    // re-shuffled histogram rows for the window)
+    val rawValueExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && l.contains("shiftright")).size
+    assert(rawValueExchanges === 1, p)
+    assert(p.contains("REPARTITION_BY_COL"), p)
+    // bucket offsets join back as a broadcast, never a sort-merge
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("tfidfTopk: doc-frequency side broadcasts; no term-keyed shuffle of tf") {
+    val p = plan(Breadth.tfidfTopk(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("INMET ingest: one distributed text scan, no per-file plans") {
     val st = graft.inmet.Pipeline.stage(spark,
       resourcePath("/inmet") + "/*.csv")
