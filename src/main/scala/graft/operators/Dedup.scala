@@ -324,6 +324,72 @@ object Dedup {
       labelSum)
   }
 
+  /** Alternating large-star / small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    * converges in O(log n) rounds on ANY graph, where the min-label
+    * propagation below needs diameter+1 — the variant to reach for when
+    * the near-dup graph is not star-shaped (adversarial chains of
+    * almost-identical documents). Both phases are expressed as
+    * (per-center min) joins, never collected adjacency lists, so a
+    * high-degree node costs a groupBy + join, not a buffered row.
+    *
+    * Each phase rewires edges (u,v) to (v, m) with m <= the endpoint it
+    * replaces, so sum(u+v) over the edge multiset strictly decreases on
+    * any change — the same materialization-job convergence metric the
+    * min-label loop uses (no extra compare join).
+    *
+    * Returns the same (doc_id, cluster_id = min id of component) frame
+    * as [[connectedComponents]]; equivalence is property-tested. */
+  def starComponents(edges0: DataFrame): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+    // materialize an edge frame; metric = sum(u + v), strictly decreasing
+    def mat(df: DataFrame): (DataFrame, () => Unit, Long) = {
+      val rdd = df.rdd.persist()
+      val s = rdd.mapPartitions { it =>
+        var acc = 0L
+        while (it.hasNext) { val r = it.next(); acc += r.getLong(0) + r.getLong(1) }
+        Iterator(acc)
+      }.fold(0L)(_ + _)
+      (df.sparkSession.createDataFrame(rdd, df.schema),
+        () => { rdd.unpersist(blocking = false); () }, s)
+    }
+    // large-star: around each center u, every BIG neighbor (v > u) rewires
+    // to m = min(neighborhood ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val dir = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = dir.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      canon(dir.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    // small-star: around each center u, every SMALL neighbor (v < u) and u
+    // itself rewire to m = min(small neighborhood ∪ {u})
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min(col("v")).as("m"))
+      val moved = e.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+      val center = m.select(col("u"), col("m").as("v"))
+      canon(moved.union(center))
+    }
+    var (cur, free, metric) = mat(canon(
+      edges0.select(col("id_a").as("u"), col("id_b").as("v"))))
+    var converged = false
+    while (!converged) {
+      val (next, freeNext, nextMetric) = mat(smallStar(largeStar(cur)))
+      converged = nextMetric == metric
+      free(); cur = next; free = freeNext; metric = nextMetric
+    }
+    // fixed point is a star forest rooted at each component's min id
+    cur.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(cur.select(col("v"), col("v")))
+      .distinct()
+  }
+
   def connectedComponents(edges: DataFrame): DataFrame = {
     val (adj, freeAdj, _) = materializeRound(
       edges.select(col("id_a").as("src"), col("id_b").as("dst"))

@@ -116,7 +116,7 @@ object InmetQueries {
        |),
        |hourly AS (SELECT * FROM parsed WHERE data_medicao IS NOT NULL)""".stripMargin
 
-  private val inmetDailySql =
+  private[graft] val inmetDailySql =
     s"""$parsedCte
        |SELECT wmo, cidade_sk, data_medicao,
        |  MIN(temperatura_c) AS temp_min_c,

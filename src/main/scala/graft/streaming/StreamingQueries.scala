@@ -146,9 +146,79 @@ object StreamingQueries {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** foreachBatch incremental upsert into a parquet serving table: the
+    * INMET fixture CSVs arrive one file per micro-batch; each batch
+    * reduces to MERGEABLE per-(station, day) partials (min/max/exact
+    * cents sums/count) and upserts them into the running daily table,
+    * which the next batch reads back. After the 3-file replay the serving
+    * table IS the batch daily rollup — shared oracle with q_inmet_daily.
+    *
+    * Scale note: this is the production maintenance loop for a serving
+    * aggregate — per batch it shuffles only that batch's partials plus
+    * the touched state rows, never the history. With a transactional
+    * format the re-aggregate becomes MERGE on the touched keys; plain
+    * parquet here swaps versioned directories instead (same dataflow). */
+  def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.inmet.{Ingest, Pipeline, Warehouse}
+    val fixtureDir = "/root/repo/src/test/resources/inmet"
+    val fixtureGlob = s"$fixtureDir/*.csv"
+    val work = java.nio.file.Files.createTempDirectory("graft_upsert")
+    val dim = Warehouse
+      .dimCidadeAtributos(Pipeline.stage(spark, fixtureGlob).cidades)
+      .select("wmo", "cidade_sk")
+    val keys = Seq("wmo", "cidade_sk", "data_medicao")
+    def partials(df: DataFrame): DataFrame = df
+      .join(broadcast(dim), Seq("wmo"))
+      .groupBy(keys.map(col): _*)
+      .agg(min("temperatura_c").as("temp_min_c"),
+        max("temperatura_c").as("temp_max_c"),
+        sum(Star.cents(col("temperatura_c"))).as("temp_c"),
+        sum(Star.cents(col("precipitacao_mm"))).as("precip_c"),
+        sum(Star.cents(col("pressao_atm_kpa"))).as("pressao_c"),
+        sum(Star.cents(col("vento_mps"))).as("vento_c"),
+        sum(Star.cents(col("umidade_porcentagem"))).as("umid_c"),
+        count(lit(1)).as("n"))
+    def merge(cur: Option[DataFrame], batch: DataFrame): DataFrame = {
+      val both = cur.fold(batch)(_.unionByName(batch))
+      both.groupBy(keys.map(col): _*)
+        .agg(min("temp_min_c").as("temp_min_c"),
+          max("temp_max_c").as("temp_max_c"),
+          sum("temp_c").as("temp_c"), sum("precip_c").as("precip_c"),
+          sum("pressao_c").as("pressao_c"), sum("vento_c").as("vento_c"),
+          sum("umid_c").as("umid_c"), sum("n").as("n"))
+    }
+    var version = -1
+    val src = InmetStreaming.previsoesStream(spark, fixtureDir, fixtureGlob)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cur = if (version < 0) None
+          else Some(spark.read.parquet(s"$work/v$version"))
+        merge(cur, partials(batch))
+          .write.mode("overwrite").parquet(s"$work/v${version + 1}")
+        version += 1
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val state = spark.read.parquet(s"$work/v$version")
+    def avgD(c: String) = col(c).cast("double") / 100.0 / col("n")
+    state.select(col("wmo"), col("cidade_sk"), col("data_medicao"),
+        col("temp_min_c"), col("temp_max_c"),
+        avgD("temp_c").as("temp_avg_c"),
+        (col("precip_c").cast("double") / 100.0).as("precip_total_mm"),
+        avgD("pressao_c").as("pressao_avg_kpa"),
+        avgD("vento_c").as("vento_avg_mps"),
+        avgD("umid_c").as("umidade_avg_pct"),
+        col("n").as("registros_horarios"))
+      .orderBy("wmo", "data_medicao")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_stream_time_bucket", streamTimeBucket, Some(streamTimeBucketSql)),
     QueryDef("q_stream_sessionize", streamSessionize, Some(streamSessionizeSql)),
     QueryDef("q_stream_dedup", streamDedup, Some(streamDedupSql)),
+    QueryDef("q_stream_upsert", streamUpsert,
+      Some(graft.operators.InmetQueries.inmetDailySql)),
   )
 }

@@ -42,4 +42,40 @@ class ConnectedComponentsPropertySpec extends SparkSuite {
       assert(got === want, s"seed $i, edges $edges")
     }
   }
+
+  test("starComponents == union-find on random graphs (10 seeds)") {
+    val edgeGen = for {
+      n <- Gen.choose(2, 60)
+      m <- Gen.choose(1, 120)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong) suchThat (_ != a)
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es.distinct
+    (1 to 10).foreach { i =>
+      val edges = edgeGen(Gen.Parameters.default, Seed(100L + i))
+        .getOrElse(Seq((0L, 1L)))
+      val got = Dedup.starComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === unionFind(edges), s"seed $i, edges $edges")
+    }
+  }
+
+  test("starComponents: 96-node chain converges (min-label would need 96 rounds)") {
+    val chain = (0L until 96L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = Dedup.starComponents(chain.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 96)
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("starComponents == connectedComponents on the real jaccard edge set") {
+    val edges = Dedup.ngramJaccard(spark, "/root/testdata/sf0.001")
+      .select("id_a", "id_b")
+    val a = Dedup.starComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
 }

@@ -92,6 +92,16 @@ class Round4Spec extends SparkSuite {
       === viaDf.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("streamUpsert: 3-batch foreachBatch merge equals the batch daily rollup") {
+    val streamed = graft.streaming.StreamingQueries.streamUpsert(spark, sf)
+    val batch = InmetQueries.inmetDaily(spark, sf)
+    assert(streamed.columns.toSeq === batch.columns.toSeq)
+    val s = streamed.collect()
+    val b = batch.collect()
+    assert(s.length === b.length && s.length === 543)
+    s.zip(b).foreach { case (x, y) => assert(x === y) }
+  }
+
   test("streamDedup: streaming key set equals batch distinct") {
     val streamed = graft.streaming.StreamingQueries.streamDedup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1)))
