@@ -240,20 +240,29 @@ object Dedup {
     val d = Star.fan(spark, Star.table(spark, dir, "documents"))
       .select(col("doc_id"),
         WinnowFunctions.winnowFingerprint(col("text"), 12, 4).as("sk"))
+    import org.apache.spark.sql.expressions.Window
     val all = d.select(col("doc_id"), explode(col("sk")).as("h"))
     // Document-frequency cap: a sketch hash present in >1% of the corpus
     // (stopword grams) carries no near-dup signal but quadratically
     // explodes the candidate join — drop such hashes before pairing.
-    // The cap is computed in-plan (no driver action) and the containment
-    // denominator uses the SAME filtered hash space on both sides.
-    val total = d.agg(count(lit(1)).as("n_docs"))
-    val rare = all.groupBy("h").agg(count(lit(1)).as("df"))
+    // Both the cap and the per-doc kept-hash count (the containment
+    // denominator, over the SAME filtered hash space on both sides) are
+    // WINDOW counts on the one exploded-hash lineage: expressing them as
+    // separate aggregate + join branches made Catalyst re-evaluate the
+    // (expensive) fingerprint transform once per branch — measured ~6
+    // evaluations per query; this shape evaluates it twice (the
+    // self-join's two sides, the floor without materialization).
+    val total = Star.table(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    val f = all
       .crossJoin(broadcast(total))
-      .filter(col("df") <= greatest(lit(16L), (col("n_docs") / 100).cast("long")))
-      .select("h")
-    val f = all.join(rare, "h")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <=
+        greatest(lit(16L), (col("n_docs") / 100).cast("long")))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .select("doc_id", "h", "c")
     similarityPairs(f, "h", "containment",
-      (ca, cb, _) => least(ca, cb), 0.6)
+      (ca, cb, _) => least(ca, cb), 0.6, hasCountCol = true)
       .drop("shared")
   }
 

@@ -84,8 +84,47 @@ object Layout {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Partition pruning in the correctness gate: orders written ONCE into
+    * the (ano, mes) directory layout (dataset-tagged path, same idiom as
+    * the bucketed tables), then a one-month query reads it back — the
+    * scan's PartitionFilters eliminate every other directory before a
+    * byte is read (plan-asserted in PlanSpec). This is the layout that
+    * turns a 100 TB full-history table into a month-sized scan for
+    * time-scoped queries; the oracle is the plain filtered aggregate. */
+  def partitionPruned(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Star
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = s"$wh/graft_p_orders_$tag"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      writePartitioned(
+        Star.table(spark, dir, "orders")
+          .withColumn("ano", year(col("o_orderdate")))
+          .withColumn("mes", month(col("o_orderdate"))),
+        path, Seq("ano", "mes"))
+    }
+    spark.read.parquet(path)
+      .filter(col("ano") === 1996 && col("mes") === 3)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Star.cents(col("o_totalprice"))).as("total_c"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val partitionPrunedSql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  CAST(SUM(${graft.operators.Star.Sql.cents("o_totalprice")})
+       |    AS BIGINT) AS total_c
+       |FROM orders
+       |WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 3
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val defs: Seq[graft.QueryDef] = Seq(
     graft.QueryDef("q_bucketed_join", bucketedRevenue,
       Some(bucketedRevenueSql)),
+    graft.QueryDef("q_partition_pruned", partitionPruned,
+      Some(partitionPrunedSql)),
   )
 }

@@ -117,6 +117,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("partitionPruned: month filter prunes directories at the scan") {
+    val df = graft.sources.Layout.partitionPruned(spark, dir)
+    val p = plan(df)
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("(ano"), p) // ano/mes predicates live in PartitionFilters
+    // the partition predicates must NOT survive as a post-scan Filter
+    assert(!p.linesIterator.exists(l =>
+      l.trim.startsWith("+- Filter") && l.contains("ano")), p)
+  }
+
   test("INMET ingest: one distributed text scan, no per-file plans") {
     val st = graft.inmet.Pipeline.stage(spark,
       resourcePath("/inmet") + "/*.csv")
