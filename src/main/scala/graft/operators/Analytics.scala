@@ -272,7 +272,9 @@ object Analytics {
         (sqrt(n * d("sxx") - d("sx") * d("sx")) *
           sqrt(n * d("syy") - d("sy") * d("sy")))).as(s"corr_$tag")
     }
-    Star.table(spark, dir, "lineitem")
+    // fan: 10 exact DECIMAL(38) sums per row dominate the single-split
+    // local scan — per-row compute is the case where the fan-out pays
+    Star.fan(spark, Star.table(spark, dir, "lineitem"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         corrCols(qty, price, "qty_price") ++

@@ -50,7 +50,9 @@ object Curation {
     * scale; emits a content fingerprint instead of the scrubbed body so
     * the comparison surface stays small. */
   def piiScrub(spark: SparkSession, dir: String): DataFrame =
-    Star.table(spark, dir, "documents")
+    // fan: two scrub regexes + two count regexes over ~1 KB texts are
+    // per-row compute the single-split scan would otherwise serialize
+    Star.fan(spark, Star.table(spark, dir, "documents"))
       .select(col("doc_id"), concat(
         col("text"), lit(" contact user"), col("doc_id"),
         lit("@mail"), col("doc_id") % 7, lit(".example.com via https://host"),

@@ -193,13 +193,21 @@ object TextAnalysis {
     * doctrine applied to a transcendental. */
   def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.expressions.Window
+    // one exchange total: the doc_id fan serves the tf group-by, both
+    // per-doc windows, and the final aggregate. The earlier aggregate+join
+    // formulation computed the tokenize+explode+tf lineage twice (Catalyst
+    // shares no subplans) and shuffled the join — window-on-co-partitioned
+    // is the same trick the shingle pipeline uses.
     val tok = Star.table(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("t"))
+    val w = Window.partitionBy("doc_id")
     val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-    val n = tf.groupBy("doc_id").agg(sum("c").as("n"),
-      count(lit(1)).as("n_distinct"))
-    tf.join(n, "doc_id")
+      .withColumn("n", sum("c").over(w))
+      .withColumn("n_distinct", count(lit(1)).over(w))
+    tf
       .withColumn("term", round(
         -(col("c").cast("double") / col("n").cast("double")) *
           log2(col("c").cast("double") / col("n").cast("double")), 9)
