@@ -936,7 +936,44 @@ object Breadth {
        |  ${Star.Sql.ratio6("n", "SUM(n) OVER (PARTITION BY from_type)")} AS p
        |FROM cnts ORDER BY from_type, to_type""".stripMargin
 
+  /** Map-typed columns end to end: each event builds a map column from
+    * its parsed JSON prop and its exact cents value (map_from_arrays),
+    * the map EXPLODES to (key, value) rows, and a per-key aggregate
+    * summarizes — the construct → explode → reduce cycle generic
+    * property-bag processing needs. Pure map-side until the tiny per-key
+    * aggregate; the oracle unrolls the same two entries relationally
+    * (identical semantics, no engine-specific map layout on the wire). */
+  def mapOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Star.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+        Star.cents(col("value")).as("v_c"))
+    ev.select(col("event_id"),
+        explode(map_from_arrays(
+          array(lit("prop_k"), lit("value_cents")),
+          array(col("k_val"), col("v_c")))).as(Seq("key", "val")))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), sum(col("val")).as("total"),
+        min(col("val")).as("min_val"), max(col("val")).as("max_val"))
+      .orderBy("key")
+  }
+
+  private val mapOpsSql =
+    s"""WITH ev AS (
+       |  SELECT event_id,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k_val,
+       |    ${Star.Sql.cents("value")} AS v_c
+       |  FROM events),
+       |kv AS (
+       |  SELECT 'prop_k' AS key, k_val AS val FROM ev
+       |  UNION ALL
+       |  SELECT 'value_cents', v_c FROM ev)
+       |SELECT key, COUNT(*) AS n, CAST(SUM(val) AS BIGINT) AS total,
+       |  MIN(val) AS min_val, MAX(val) AS max_val
+       |FROM kv GROUP BY key ORDER BY key""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_map_ops", mapOps, Some(mapOpsSql)),
     QueryDef("q_mom_growth", momGrowth, Some(momGrowthSql)),
     QueryDef("q_pareto_suppliers", paretoSuppliers,
       Some(paretoSuppliersSql)),

@@ -88,8 +88,14 @@ object Quantiles {
       .withColumn("__p", (col("n") - 1).cast("double") * col("q"))
       .withColumn("__kf", floor(col("__p")).cast("long"))
       .withColumn("__kc", ceil(col("__p")).cast("long"))
+      // discrete (type-1) position: the ceil(q*n)-th order statistic,
+      // DuckDB quantile_disc's convention (dyadic q x integer n is exact
+      // in double, so ceil agrees across engines)
+      .withColumn("__kd",
+        greatest(ceil(col("q") * col("n")) - 1, lit(0L)).cast("long"))
       .filter((col("__lo") <= col("__kf") && col("__kf") < col("__cum")) ||
-        (col("__lo") <= col("__kc") && col("__kc") < col("__cum")))
+        (col("__lo") <= col("__kc") && col("__kc") < col("__cum")) ||
+        (col("__lo") <= col("__kd") && col("__kd") < col("__cum")))
     straddle
       .groupBy(g :+ col("q"): _*)
       .agg(max(col("n")).as("n"), max(col("__p")).as("__p"),
@@ -97,12 +103,41 @@ object Quantiles {
         max(when(col("__lo") <= col("__kf") && col("__kf") < col("__cum"),
           col("__v"))).as("__vlo"),
         max(when(col("__lo") <= col("__kc") && col("__kc") < col("__cum"),
-          col("__v"))).as("__vhi"))
+          col("__v"))).as("__vhi"),
+        max(when(col("__lo") <= col("__kd") && col("__kd") < col("__cum"),
+          col("__v"))).as("__vd"))
       .select(groupCols.map(col) ++ Seq(col("q"), col("n"),
         (col("__vlo").cast("double") +
           (col("__vhi") - col("__vlo")).cast("double") *
-            (col("__p") - col("__kf").cast("double"))).as("quant")): _*)
+            (col("__p") - col("__kf").cast("double"))).as("quant"),
+        // discrete quantile rides the same histogram pass
+        col("__vd").as("quant_disc")): _*)
   }
+
+  /** Per-priority discrete quartiles of the order value — the
+    * quantile_disc twin of q_percentiles, sharing the single-exchange
+    * histogram plan (an actual member of the sorted multiset, the form
+    * needed when the measure is categorical-coded or must be exact). */
+  def quantileDisc(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame = {
+    val o = Star.table(spark, dir, "orders")
+    exactQuantiles(o, Seq("o_orderpriority"),
+      Star.cents(col("o_totalprice")), Seq(0.25, 0.5, 0.75))
+      .groupBy("o_orderpriority")
+      .agg(max(when(col("q") === 0.25, col("quant_disc"))).as("p25_c"),
+        max(when(col("q") === 0.5, col("quant_disc"))).as("p50_c"),
+        max(when(col("q") === 0.75, col("quant_disc"))).as("p75_c"),
+        max(col("n")).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val quantileDiscSql =
+    s"""SELECT o_orderpriority,
+       |  quantile_disc(${Star.Sql.cents("o_totalprice")}, 0.25) AS p25_c,
+       |  quantile_disc(${Star.Sql.cents("o_totalprice")}, 0.5) AS p50_c,
+       |  quantile_disc(${Star.Sql.cents("o_totalprice")}, 0.75) AS p75_c,
+       |  COUNT(*) AS n_orders
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** Doc-length quartiles per language — the quantile operator applied to
     * the corpus length distribution (the report behind length-filter
@@ -130,5 +165,6 @@ object Quantiles {
 
   val defs: Seq[graft.QueryDef] = Seq(
     graft.QueryDef("q_len_quantiles", lenQuantiles, Some(lenQuantilesSql)),
+    graft.QueryDef("q_quantile_disc", quantileDisc, Some(quantileDiscSql)),
   )
 }
