@@ -558,7 +558,42 @@ object Dedup {
       |    // CAST(least(ca.c, cb.c) AS BIGINT) AS DOUBLE) / 1000000.0) >= 0.6
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** The 100 TB dedup chain end-to-end: MinHash-LSH band join generates
+    * CANDIDATE pairs (never all-pairs, never full inverted-index);
+    * exact Jaccard is verified on candidates only (the shingle join is
+    * keyed by candidate doc ids, so its cost scales with candidates, not
+    * corpus^2); verified edges cluster via the O(log n)-round
+    * large-star/small-star components; the corpus anti-joins the
+    * non-canonical members. This is the pipeline that actually ships at
+    * scale — the exact-Jaccard chain (q_dedup_keep) is its correctness
+    * reference: keep(LSH) ⊇ keep(exact) always (LSH can only miss
+    * edges), spec-asserted, with equality whenever band recall is total.
+    * Rows-only in the gate (band layout is engine-specific). */
+  def dedupLshKeep(spark: SparkSession, dir: String): DataFrame = {
+    val cand = minhashLshPairs(spark, dir)
+    val sh = shingles(Star.table(spark, dir, "documents"))
+      .select(col("doc_id"), col("c"), xxhash64(col("s")).as("s"))
+    val verified = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("s"),
+        col("c").as("ca")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("s"),
+        col("c").as("cb")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"), max("ca").as("ca"), max("cb").as("cb"))
+      .filter(Star.ratio6(col("shared"),
+        col("ca") + col("cb") - col("shared")) >= 0.5)
+      .select("id_a", "id_b")
+    val drop = starComponents(verified)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    Star.table(spark, dir, "documents")
+      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dedup_lsh_keep", dedupLshKeep, None),
     QueryDef("q_dedup_containment", containmentPairs,
       Some(containmentPairsSql)),
     QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql)),

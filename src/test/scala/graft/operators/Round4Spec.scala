@@ -92,6 +92,21 @@ class Round4Spec extends SparkSuite {
       === viaDf.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("dedupLshKeep: keep(LSH) ⊇ keep(exact); dropped docs have a verified near-dup") {
+    val lshKeep = Dedup.dedupLshKeep(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exactKeep = Dedup.dedupKeep(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exactKeep.subsetOf(lshKeep),
+      s"exact-keep docs missing from LSH keep: ${exactKeep -- lshKeep}")
+    // every dropped doc is a non-canonical member of some exact cluster
+    val all = Star.table(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropped = all -- lshKeep
+    assert(dropped.nonEmpty, "corpus has near-dups; LSH chain must drop some")
+    assert(dropped.intersect(exactKeep).isEmpty)
+  }
+
   test("streamUpsert: 3-batch foreachBatch merge equals the batch daily rollup") {
     val streamed = graft.streaming.StreamingQueries.streamUpsert(spark, sf)
     val batch = InmetQueries.inmetDaily(spark, sf)
