@@ -214,7 +214,89 @@ object StreamingQueries {
       .orderBy("wmo", "data_medicao")
   }
 
+  /** Append-mode windowed aggregation under a genuinely ADVANCING
+    * watermark: the events table is split once into four chronological
+    * files (equal time spans, written sequentially so file order =
+    * event-time order); the stream replays them one file per
+    * micro-batch, so the 1-hour watermark advances between batches and
+    * append mode emits each hourly window exactly once, when the
+    * watermark passes its end. Windows still open at end-of-replay are
+    * correctly ABSENT — the oracle applies the same cutoff
+    * (window end <= ms-floored max event time - 1h, Spark's watermark
+    * arithmetic). Complete-mode twins re-aggregate everything each
+    * batch; this is the form with bounded state AND bounded output —
+    * what actually runs against an unbounded 100 TB/day stream. */
+  def streamWindowedAppend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ev = Star.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"), s"graft_stream_chrono_$tag")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(base, "_READY"))) {
+      fs.delete(base, true)
+      val Array(lo, hi) = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).collect().head
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val span = (hi - lo) / 4 + 1
+      (0 until 4).foreach { k =>
+        val part = ev.filter(
+          unix_micros(col("ts")) >= lo + k * span &&
+            unix_micros(col("ts")) < lo + (k + 1) * span)
+        val tmp = new org.apache.hadoop.fs.Path(base, s"_tmp$k")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val f = fs.globStatus(
+          new org.apache.hadoop.fs.Path(tmp, "part-*.parquet")).head.getPath
+        // sequential rename => strictly increasing mtimes => the file
+        // source replays in chronological order (no late data)
+        fs.rename(f, new org.apache.hadoop.fs.Path(base, s"q$k.parquet"))
+        fs.delete(tmp, true)
+      }
+      fs.create(new org.apache.hadoop.fs.Path(base, "_READY")).close()
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "q*.parquet")
+      .parquet(base.toString)
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Star.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"),
+        col("sum_value"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("graft_stream_windowed_append")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("graft_stream_windowed_append")
+      .orderBy("bucket", "event_type")
+  }
+
+  /** Same cutoff arithmetic as Spark's watermark: max event time floored
+    * to milliseconds, minus the 1-hour delay; append emitted exactly the
+    * windows whose END is at or before it. */
+  private val streamWindowedAppendSql =
+    """WITH wm AS (
+      |  SELECT (epoch_us(MAX(ts)) // 1000) * 1000 - 3600000000 AS wm_us
+      |  FROM events)
+      |SELECT date_trunc('hour', ts) AS bucket, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events, wm
+      |GROUP BY 1, 2, wm_us
+      |HAVING epoch_us(date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR)
+      |  <= wm_us
+      |ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_windowed_append", streamWindowedAppend,
+      Some(streamWindowedAppendSql)),
     QueryDef("q_stream_time_bucket", streamTimeBucket, Some(streamTimeBucketSql)),
     QueryDef("q_stream_sessionize", streamSessionize, Some(streamSessionizeSql)),
     QueryDef("q_stream_dedup", streamDedup, Some(streamDedupSql)),
