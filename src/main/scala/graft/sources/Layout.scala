@@ -121,10 +121,43 @@ object Layout {
        |WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 3
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** ORC as a second columnar format in the gate: lineitem written once
+    * to ORC (dataset-tagged path), read back with a pushed-down filter
+    * and aggregated — format breadth for estates where ORC is the lake
+    * standard. Results are format-independent, so the oracle reads the
+    * original parquet. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Star
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = s"$wh/graft_orc_lineitem_$tag"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      Star.table(spark, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate")
+        .write.mode("overwrite").orc(path)
+    }
+    spark.read.orc(path)
+      .filter(col("l_shipdate") >= lit("1996-01-01"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val orcRoundtripSql =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[graft.QueryDef] = Seq(
     graft.QueryDef("q_bucketed_join", bucketedRevenue,
       Some(bucketedRevenueSql)),
     graft.QueryDef("q_partition_pruned", partitionPruned,
       Some(partitionPrunedSql)),
+    graft.QueryDef("q_orc_roundtrip", orcRoundtrip,
+      Some(orcRoundtripSql)),
   )
 }
