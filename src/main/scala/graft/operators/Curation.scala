@@ -267,7 +267,51 @@ object Curation {
       |  AND (CAST(top_n AS BIGINT) * 1000000) // n_bigrams <= 500000
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Sequence packing for training batches: documents are greedily
+    * assigned (in stable doc_id order) to fixed-budget packs of 2048
+    * tokens — a doc belongs to the pack where its running token count
+    * STARTS, so packs can overflow by at most one doc (standard greedy
+    * packing). One running-sum window per language shard + one bounded
+    * aggregate; at corpus scale the shard key is a hash bucket and every
+    * shard packs independently — embarrassingly parallel, which is why
+    * the window partitions by the shard key and never runs global. */
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048L
+    val d = Star.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    d.withColumn("running", sum("n_tok").over(w))
+      .withColumn("pack_id", Star.idiv(col("running") - col("n_tok"),
+        lit(budget)))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("pack_tokens"),
+        Star.ratio6(sum("n_tok"), lit(budget)).as("fill_ratio"))
+      .orderBy("lang", "pack_id")
+  }
+
+  private val seqPackSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_tok
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, lang, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+       |  FROM d)
+       |SELECT lang,
+       |  CAST(${Star.Sql.idiv("running - n_tok", "2048")} AS BIGINT)
+       |    AS pack_id,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+       |  ${Star.Sql.ratio6("SUM(n_tok)", "2048")} AS fill_ratio
+       |FROM r GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_seq_pack", seqPack, Some(seqPackSql)),
     QueryDef("q_curation_keep", curationKeep, Some(curationKeepSql)),
     QueryDef("q_vocab_topk", vocabTopk, Some(vocabTopkSql)),
     QueryDef("q_pii_scrub", piiScrub, Some(piiScrubSql)),
