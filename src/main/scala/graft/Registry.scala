@@ -25,6 +25,7 @@ object Registry {
       operators.AsOf.defs ++
       operators.InmetQueries.defs ++
       operators.Quantiles.defs ++
+      operators.Training.defs ++
       sources.Layout.defs ++
       streaming.StreamingQueries.defs ++
       multimodal.Multimodal.defs

@@ -43,6 +43,15 @@ object Dedup {
     // the explode re-evaluates the whole transform PER SHINGLE ROW (~50x
     // redundant array builds — measured 4-20x slower with GC-stall
     // variance); the window is a sort within already-co-partitioned data.
+    shingleRows(docs)
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("doc_id")))
+  }
+
+  /** Exploded (doc_id, shingle) rows WITHOUT the per-doc count — for
+    * paths that filter the shingle space before counting (DF cap). Keeps
+    * the doc_id-keyed fan partitioning so downstream per-doc windows and
+    * group-bys run exchange-free. */
+  private def shingleRows(docs: DataFrame): DataFrame = {
     val arr =
       "array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)), " +
         "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1), try_element_at(w, i + 2))))"
@@ -50,7 +59,6 @@ object Dedup {
         col("doc_id"))
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .select(col("doc_id"), explode(expr(arr)).as("s"))
-      .withColumn("c", count(lit(1)).over(Window.partitionBy("doc_id")))
   }
 
   /** Shared inverted-index pair scorer: explode rows (doc_id, token) ->
@@ -159,6 +167,68 @@ object Dedup {
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, shared,
+      |  (CAST((CAST(shared AS BIGINT) * 1000000)
+      |    // CAST(ca.c + cb.c - shared AS BIGINT) AS DOUBLE) / 1000000.0)
+      |    AS jaccard
+      |FROM pairs
+      |JOIN cnt ca ON ca.doc_id = id_a
+      |JOIN cnt cb ON cb.doc_id = id_b
+      |WHERE (CAST((CAST(shared AS BIGINT) * 1000000)
+      |    // CAST(ca.c + cb.c - shared AS BIGINT) AS DOUBLE) / 1000000.0) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Exact n-gram Jaccard with a DOCUMENT-FREQUENCY CAP: shingles present
+    * in more than max(n_docs/100, 5) documents (boilerplate, stopword
+    * grams) are dropped before pairing, and Jaccard is computed over the
+    * capped shingle space (denominators count kept shingles only).
+    *
+    * This is the quadratic-blowup guard for the exact path at 100 TB: a
+    * shingle with DF=d contributes d^2/2 candidate pairs, so a handful of
+    * boilerplate grams can dominate the whole pair shuffle. The heavy set
+    * itself is tiny (few distinct values by definition), so the cap is a
+    * BROADCAST anti-join — a map-side filter at scan parallelism — rather
+    * than the window-count form the winnowing path uses (that one shuffles
+    * the full sketch by hash first). The per-doc kept-count then rides the
+    * already-doc-keyed partitioning as a window, and the pair join
+    * proceeds exactly as [[ngramJaccard]]. */
+  def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Star.table(spark, dir, "documents")
+    val sh = shingleRows(docs).select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val heavy = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > greatest(Star.idiv(col("n_docs"), lit(100L)), lit(5L)))
+      .select("s")
+    val kept = sh.join(broadcast(heavy), Seq("s"), "left_anti")
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("doc_id")))
+    similarityPairs(kept, "s",
+      "jaccard", (ca, cb, shared) => ca + cb - shared, 0.5,
+      hasCountCol = true)
+  }
+
+  private val ngramJaccardCappedSql =
+    """WITH words AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(greatest(len(w) - 2, 1)),
+      |    i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))) AS s
+      |  FROM words),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |heavy AS (
+      |  SELECT s FROM sh CROSS JOIN n GROUP BY s, n.n_docs
+      |  HAVING COUNT(*) > greatest(n.n_docs // 100, 5)),
+      |kept AS (
+      |  SELECT sh.doc_id, sh.s FROM sh
+      |  WHERE sh.s NOT IN (SELECT s FROM heavy)),
+      |cnt AS (SELECT doc_id, COUNT(*) AS c FROM kept GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT id_a, id_b, shared,
       |  (CAST((CAST(shared AS BIGINT) * 1000000)
@@ -603,6 +673,8 @@ object Dedup {
     QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QueryDef("q_dedup_keep", dedupKeep, Some(dedupKeepSql)),
     QueryDef("q_dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    QueryDef("q_dedup_jaccard_capped", ngramJaccardCapped,
+      Some(ngramJaccardCappedSql)),
     QueryDef("q_dedup_minhash", minhashSignatures, None),
     QueryDef("q_dedup_minhash_pairs", minhashLshPairs, None),
     QueryDef("q_dedup_simhash", simhash, None),

@@ -1,0 +1,313 @@
+package graft.operators
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the reference's warehouse
+  * surface: overlapping-window document chunking, BM25 relevance ranking,
+  * bloom-prefiltered joins, hash-based dataset splits, and declarative
+  * data-quality expectations. All are oracle-gated (DuckDB hash match) —
+  * scores use the integer-rational doctrine from [[Star]] so results are
+  * bit-identical across engines and partitionings.
+  */
+object Training {
+
+  // ------------------------------------------------------------ chunking
+
+  /** Overlapping token chunks for LLM context windows: size 40, stride 30
+    * (10-token overlap). A doc with n tokens yields
+    * `1 + ceil(max(n-40,0)/30)` chunks — the last chunk is the only one
+    * shorter than `size`, and every token lands in >=1 chunk.
+    *
+    * Scale shape: pure map-side (tokenize -> explode chunk indexes ->
+    * slice); no shuffle at all until the presentation sort. On a cluster
+    * this runs at scan parallelism, and the chunk rows stream straight
+    * into the next stage (tokenizer/packer) without an exchange. */
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val chunkSize = 40
+    val stride = 30
+    Star.fan(spark, Star.table(spark, dir, "documents"))
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .withColumn("n_chunks",
+        lit(1L) + Star.idiv(
+          greatest(size(col("w")) - chunkSize, lit(0)) + (stride - 1),
+          lit(stride)))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        slice(col("w"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkSize)).as("cw"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("cw")).cast("long").as("chunk_tokens"),
+        concat_ws(" ", col("cw")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val chunkOverlapSql =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, w,
+      |    1 + ((greatest(len(w) - 40, 0) + 29) // 30) AS n_chunks
+      |  FROM t),
+      |c AS (
+      |  SELECT doc_id, w, unnest(range(n_chunks)) AS chunk_idx FROM n),
+      |s AS (
+      |  SELECT doc_id, chunk_idx,
+      |    w[chunk_idx * 30 + 1 : chunk_idx * 30 + 40] AS cw
+      |  FROM c)
+      |SELECT doc_id, chunk_idx,
+      |  CAST(len(cw) AS BIGINT) AS chunk_tokens,
+      |  array_to_string(cw, ' ') AS chunk_text
+      |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------- BM25
+
+  /** Per-doc top-3 terms by BM25 (k1=1.2, b=0.75) — tf-idf with
+    * term-frequency saturation and document-length normalization, the
+    * standard retrieval scorer for corpus search/curation.
+    *
+    * Integer-rational scoring (every division is a floor over positive
+    * integers, mirrored verbatim in the oracle):
+    *   avgdl_u = (total_tokens * 1e6) // n_docs            [1e6 scale]
+    *   norm_u  = (1-b)*1e6 + (b*1e6 * dl * 1e6) // avgdl_u [1e6 scale]
+    *   sat_m   = (tf * (k1+1)*1e3 * 1e6) //
+    *             (tf*1e6 + (k1*10 * norm_u) // 10)         [1e3 scale]
+    *   idf_m   = (n_docs * 1e3) // df                      [1e3 scale]
+    *   score   = idf_m * sat_m                             [1e6 scale]
+    * Products stay < 2^53 for sf <= 10 (dl < ~1e4, n_docs < ~5e9/1e3),
+    * within [[Star.idiv]]'s exactness bound.
+    *
+    * Scale shape: same single-exchange layout as [[Breadth.tfidfTopk]] —
+    * the doc-keyed fan serves the (doc_id, term) tf aggregate AND the
+    * per-doc rank window; df and the corpus-level (n_docs, total_tokens,
+    * avgdl) row reduce to tiny relations and broadcast, so the doc x term
+    * relation is never shuffled by term. */
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Star.table(spark, dir, "documents")
+    val tok = docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+        sum("dl").as("total_tokens"))
+      .withColumn("avgdl_u",
+        Star.idiv(col("total_tokens") * 1000000L, col("n_docs")))
+    val scored = tf
+      .join(dl, "doc_id") // doc-keyed: reuses the fan partitioning
+      .join(broadcast(df_), "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("norm_u",
+        lit(250000L) +
+          Star.idiv(lit(750000L) * col("dl") * 1000000L, col("avgdl_u")))
+      .withColumn("sat_m",
+        Star.idiv(col("tf") * 2200L * 1000000L,
+          col("tf") * 1000000L + Star.idiv(lit(12L) * col("norm_u"), lit(10L))))
+      .withColumn("idf_m", Star.idiv(col("n_docs") * 1000L, col("df")))
+      .withColumn("score", col("idf_m") * col("sat_m"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "term", "tf", "score", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
+  private val bm25TopkSql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+      |       FROM tf GROUP BY 1),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |corpus AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens,
+      |    ((CAST(SUM(dl) AS BIGINT) * 1000000) // COUNT(*)) AS avgdl_u
+      |  FROM dl),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf,
+      |    ((corpus.n_docs * 1000) // df.df) *
+      |    ((tf.tf * 2200 * 1000000) //
+      |      (tf.tf * 1000000 +
+      |        ((12 * (250000 + ((750000 * dl.dl * 1000000) // corpus.avgdl_u)))
+      |          // 10)))
+      |      AS score
+      |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term)
+      |  CROSS JOIN corpus),
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+      |        PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rnk
+      |      FROM scored)
+      |SELECT doc_id, term, tf, score, rnk FROM r WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
+  // -------------------------------------------------- bloom prefilter join
+
+  /** Join with an explicit bloom prefilter on the probe side: build a
+    * bloom filter over the (already filtered) dim keys, drop non-matching
+    * fact rows BEFORE the join shuffle, then run the exact join. The
+    * filter is one-sided-error, so post-join results are identical to the
+    * plain join — the oracle is simply the unfiltered SQL.
+    *
+    * This is the manual form of runtime row-level filtering: at 100 TB a
+    * selective dim predicate (here: one nation's customers) means most
+    * fact rows shuffle only to be dropped by the join; the O(small-side)
+    * bloom ships to every task and eliminates them at the scan. The
+    * driver-side build collects ~1 bit-array, same cost class as a
+    * broadcast. (Spark can inject this itself when
+    * `spark.sql.optimizer.runtime.bloomFilter.enabled` fires; the explicit
+    * operator covers plans/thresholds the injection rule skips.) */
+  def bloomPrefilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Star.table(spark, dir, "customer")
+      .filter(col("c_nationkey") === 7)
+      .select(col("c_custkey"), col("c_name"))
+    val bf = cust.stat.bloomFilter("c_custkey", 1000000L, 0.01)
+    val mightContain = udf((k: Long) => bf.mightContainLong(k))
+    Star.table(spark, dir, "orders")
+      .filter(mightContain(col("o_custkey")))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Star.cents(col("o_totalprice"))).as("total_c"))
+      .orderBy("c_custkey")
+  }
+
+  private val bloomPrefilterJoinSql =
+    s"""SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+       |  CAST(SUM(${Star.Sql.cents("o_totalprice")}) AS BIGINT) AS total_c
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |WHERE c_nationkey = 7
+       |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------- dataset split
+
+  /** Deterministic 80/10/10 train/val/test split by multiplicative key
+    * hash (same portable hash as the sampling family) — reproducible
+    * across runs, engines, and cluster sizes, and pure map-side: each row
+    * computes its own split with zero coordination. Emits per
+    * (lang, split) counts plus min/max doc_id as membership witnesses. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
+    Star.table(spark, dir, "documents")
+      .withColumn("bucket",
+        (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("lang", "split")
+
+  private val trainSplitSql =
+    """WITH b AS (
+      |  SELECT lang, doc_id,
+      |    (doc_id * 2654435761) % 4294967296 % 100 AS bucket
+      |  FROM documents),
+      |s AS (
+      |  SELECT lang, doc_id,
+      |    CASE WHEN bucket < 80 THEN 'train'
+      |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM b)
+      |SELECT lang, split, COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
+  // ------------------------------------------------- quality expectations
+
+  /** Declarative data-contract checks, one row per rule:
+    * (rule, n_checked, n_violations). Single-pass where the rule is
+    * row-local (one aggregate over each table computes all its rules via
+    * count_if); set-level rules (uniqueness, referential integrity) each
+    * cost one key-grained aggregate/join. At 100 TB the row-local pass
+    * piggybacks on any existing full scan; the RI check is a broadcast
+    * anti-join when the parent side is dimensional. */
+  def qualityExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    val li = Star.table(spark, dir, "lineitem")
+    val rowLocal = li.agg(
+      count(lit(1)).as("n"),
+      cnt(col("l_quantity").isNull || col("l_quantity") <= 0 ||
+        col("l_quantity") > 50).as("v_qty"),
+      cnt(col("l_discount") < 0 || col("l_discount") > 0.6).as("v_disc"),
+      cnt(col("l_shipdate").isNull).as("v_ship"))
+    val rowRules = rowLocal.select(explode(array(
+      struct(lit("lineitem.quantity_in_(0,50]").as("rule"),
+        col("n").as("n_checked"), col("v_qty").as("n_violations")),
+      struct(lit("lineitem.discount_in_[0,0.6]").as("rule"),
+        col("n").as("n_checked"), col("v_disc").as("n_violations")),
+      struct(lit("lineitem.shipdate_not_null").as("rule"),
+        col("n").as("n_checked"), col("v_ship").as("n_violations"))))
+      .as("r")).select("r.*")
+    val ordersT = Star.table(spark, dir, "orders")
+    val custKeys = Star.table(spark, dir, "customer").select("c_custkey")
+    val orphans = ordersT.join(broadcast(custKeys),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+    val nOrders = ordersT.agg(count(lit(1)).as("n_checked"))
+    val ri = nOrders.crossJoin(orphans)
+      .select(lit("orders.custkey_in_customer").as("rule"),
+        col("n_checked"), col("n_violations"))
+    val dupKeys = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("m"))
+    val uniq = dupKeys.agg(count(lit(1)).as("n_checked"),
+        sum(when(col("m") > 1, col("m")).otherwise(0L)).as("n_violations"))
+      .select(lit("lineitem.pk_unique").as("rule"),
+        col("n_checked"), col("n_violations"))
+    rowRules.unionByName(ri).unionByName(uniq).orderBy("rule")
+  }
+
+  private val qualityExpectationsSql =
+    """WITH row_local AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(COUNT_IF(l_quantity IS NULL OR l_quantity <= 0
+      |      OR l_quantity > 50) AS BIGINT) AS v_qty,
+      |    CAST(COUNT_IF(l_discount < 0 OR l_discount > 0.6) AS BIGINT)
+      |      AS v_disc,
+      |    CAST(COUNT_IF(l_shipdate IS NULL) AS BIGINT) AS v_ship
+      |  FROM lineitem),
+      |row_rules AS (
+      |  SELECT 'lineitem.quantity_in_(0,50]' AS rule, n AS n_checked,
+      |    v_qty AS n_violations FROM row_local
+      |  UNION ALL
+      |  SELECT 'lineitem.discount_in_[0,0.6]', n, v_disc FROM row_local
+      |  UNION ALL
+      |  SELECT 'lineitem.shipdate_not_null', n, v_ship FROM row_local),
+      |ri AS (
+      |  SELECT 'orders.custkey_in_customer' AS rule,
+      |    (SELECT COUNT(*) FROM orders) AS n_checked,
+      |    (SELECT COUNT(*) FROM orders
+      |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |      AS n_violations),
+      |uniq AS (
+      |  SELECT 'lineitem.pk_unique' AS rule, COUNT(*) AS n_checked,
+      |    CAST(SUM(CASE WHEN m > 1 THEN m ELSE 0 END) AS BIGINT)
+      |      AS n_violations
+      |  FROM (SELECT COUNT(*) AS m FROM lineitem
+      |        GROUP BY l_orderkey, l_linenumber) t)
+      |SELECT rule, n_checked, n_violations FROM row_rules
+      |UNION ALL SELECT * FROM ri
+      |UNION ALL SELECT * FROM uniq
+      |ORDER BY rule""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),
+    QueryDef("q_bm25_topk", bm25Topk, Some(bm25TopkSql)),
+    QueryDef("q_bloom_prefilter_join", bloomPrefilterJoin,
+      Some(bloomPrefilterJoinSql)),
+    QueryDef("q_train_split", trainSplit, Some(trainSplitSql)),
+    QueryDef("q_quality_expectations", qualityExpectations,
+      Some(qualityExpectationsSql)),
+  )
+}
