@@ -294,7 +294,158 @@ object StreamingQueries {
       |  <= wm_us
       |ORDER BY 1, 2""".stripMargin
 
+  /** One event row inside the custom-state sessionizer (micros since
+    * epoch; event_id only tie-breaks equal timestamps). */
+  final case class SessEvent(user_id: Long, us: Long, event_type: String,
+      event_id: Long)
+
+  /** Open-session state carried across triggers per user. */
+  final case class SessState(startUs: Long, lastUs: Long, n: Long)
+
+  /** A closed session emitted downstream. */
+  final case class SessClosed(user_id: Long, session_start_us: Long,
+      n_events: Long, duration_us: Long, end_reason: String)
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the session
+    * rule `session_window` CANNOT express: a session closes on a
+    * conversion ('purchase') event immediately, OR on a 30-minute gap.
+    * Only CLOSED sessions are emitted (append semantics): a gap-closed
+    * session emits when the next event of that user arrives; each user's
+    * trailing non-purchase session stays open forever and never emits —
+    * the oracle applies the same rule.
+    *
+    * Scale/ordering notes: state is one open session per user (bounded by
+    * active-user cardinality, not event volume; production adds an
+    * idle-timeout via GroupStateTimeout to evict). Events are sorted
+    * within each (trigger, user) group — correct for in-order-per-key
+    * sources (e.g. kafka keyed by user); cross-trigger late data needs
+    * watermark buffering, deliberately out of scope for this rule. */
+  /** The stateful core: purchase-or-gap session transitions over a typed
+    * event stream. Exposed separately so tests can drive it through a
+    * MemoryStream with one trigger per batch (state genuinely crossing
+    * micro-batch boundaries), while the gate query feeds it the bounded
+    * file source. */
+  def customSessionize(src: org.apache.spark.sql.Dataset[SessEvent])
+      : org.apache.spark.sql.Dataset[SessClosed] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import src.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000000
+
+    def fn(user: Long, rows: Iterator[SessEvent],
+        state: GroupState[SessState]): Iterator[SessClosed] = {
+      val evs = rows.toArray.sortBy(e => (e.us, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessClosed]
+      var cur = state.getOption
+      evs.foreach { e =>
+        cur match {
+          case Some(s) if e.us - s.lastUs > gapUs =>
+            out += SessClosed(user, s.startUs, s.n, s.lastUs - s.startUs,
+              "gap")
+            cur = Some(SessState(e.us, e.us, 1))
+          case Some(s) =>
+            cur = Some(SessState(s.startUs, e.us, s.n + 1))
+          case None =>
+            cur = Some(SessState(e.us, e.us, 1))
+        }
+        if (e.event_type == "purchase") {
+          val s = cur.get
+          out += SessClosed(user, s.startUs, s.n, s.lastUs - s.startUs,
+            "purchase")
+          cur = None
+        }
+      }
+      cur match {
+        case Some(s) => state.update(s)
+        case None => state.remove()
+      }
+      out.iterator
+    }
+
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  def streamCustomSession(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream
+      .schema(EventsStreaming.eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("event_id")).as[SessEvent]
+    val closed = customSessionize(src)
+    val q = closed.toDF().writeStream
+      .format("memory")
+      .queryName("graft_stream_custom_session")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // tie-break beyond start_us: a one-event purchase session can share
+    // its start with the next session's first event at equal timestamps;
+    // the full column list makes equal-rank rows identical, so ordinal
+    // assignment is multiset-stable on both engines
+    spark.table("graft_stream_custom_session")
+      .withColumn("session_id", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("session_start_us"),
+          col("duration_us"), col("n_events"), col("end_reason")))
+        .cast("long"))
+      .select("user_id", "session_id", "n_events", "session_start_us",
+        "duration_us", "end_reason")
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Batch mirror of the purchase-or-gap rule: a boundary falls before
+    * the first event, after a >30 min gap, or after a purchase; a session
+    * emits iff it ended with a purchase OR a later session exists for the
+    * user (i.e. a gap closed it). */
+  private val streamCustomSessionSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, event_type, us,
+      |    CASE WHEN lag(us) OVER w IS NULL
+      |              OR us - lag(us) OVER w > 1800000000
+      |              OR lag(event_type) OVER w = 'purchase'
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_type, us, event_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged),
+      |typed AS (
+      |  SELECT user_id, sid, us,
+      |    last_value(event_type) OVER (PARTITION BY user_id, sid
+      |      ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |      AS last_type
+      |  FROM sess),
+      |agg AS (
+      |  SELECT user_id, sid, COUNT(*) AS n_events, MIN(us) AS start_us,
+      |    MAX(us) - MIN(us) AS duration_us, MIN(last_type) AS last_type,
+      |    MAX(sid) OVER (PARTITION BY user_id) AS max_sid
+      |  FROM typed GROUP BY user_id, sid),
+      |closed AS (
+      |  SELECT user_id, n_events, start_us AS session_start_us, duration_us,
+      |    CASE WHEN last_type = 'purchase' THEN 'purchase' ELSE 'gap' END
+      |      AS end_reason
+      |  FROM agg
+      |  WHERE last_type = 'purchase' OR sid < max_sid)
+      |SELECT user_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY session_start_us, duration_us, n_events, end_reason)
+      |    AS BIGINT) AS session_id,
+      |  n_events, session_start_us, duration_us, end_reason
+      |FROM closed ORDER BY user_id, session_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_custom_session", streamCustomSession,
+      Some(streamCustomSessionSql)),
     QueryDef("q_stream_windowed_append", streamWindowedAppend,
       Some(streamWindowedAppendSql)),
     QueryDef("q_stream_time_bucket", streamTimeBucket, Some(streamTimeBucketSql)),

@@ -127,6 +127,35 @@ class PlanSpec extends SparkSuite {
       l.trim.startsWith("+- Filter") && l.contains("ano")), p)
   }
 
+  test("tpchQ17: correlated avg decorrelates — brand filter broadcasts " +
+    "into the fact scan, no nested loop") {
+    val p = plan(TpchClassic.tpchQ17(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the brand predicate is on the part side scan, pushed down
+    assert(p.contains("EqualTo(p_brand,Brand#23)"), p)
+  }
+
+  test("tpchQ22: scalar stats broadcast; no-orders test is an anti join") {
+    val p = plan(TpchClassic.tpchQ22(spark, dir))
+    assert(p.contains("LeftAnti"), p)
+    // the one-row stats relation broadcasts (nested-loop on 1 row is the
+    // correct physical choice for a scalar cross join)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("bloomPrefilterJoin: the bloom filter is evaluated at the probe " +
+    "scan, before the join exchange") {
+    val p = plan(Training.bloomPrefilterJoin(spark, dir))
+    // the UDF filter must sit under the join, adjacent to the probe scan
+    val udfIdx = p.indexOf("UDF(knownnotnull(o_custkey")
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(udfIdx >= 0, p)
+    assert(joinIdx >= 0 && udfIdx > joinIdx,
+      "bloom filter should be below the join in the plan tree\n" + p)
+  }
+
   test("INMET ingest: one distributed text scan, no per-file plans") {
     val st = graft.inmet.Pipeline.stage(spark,
       resourcePath("/inmet") + "/*.csv")

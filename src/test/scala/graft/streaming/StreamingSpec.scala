@@ -122,4 +122,39 @@ class StreamingSpec extends SparkSuite {
     assert(got.length === want.length)
     got.zip(want).foreach { case (g, w) => assert(g === w) }
   }
+
+  test("custom sessionizer: purchase closes immediately, gap closes on " +
+    "next arrival, state survives micro-batch boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingQueries.{SessEvent, SessClosed}
+    val min = 60L * 1000000
+    val input = MemoryStream[SessEvent](spark, 1)
+    val q = StreamingQueries.customSessionize(input.toDS()).toDF()
+      .writeStream.format("memory").queryName("custom_sess_test")
+      .outputMode("append").start()
+    try {
+      // trigger 1: u1 starts a session, converts at +10min (closes), then
+      // one more event at +15min (stays open); u2 converts instantly
+      input.addData(
+        SessEvent(1, 0, "click", 1), SessEvent(1, 10 * min, "purchase", 2),
+        SessEvent(1, 15 * min, "view", 3), SessEvent(2, 0, "purchase", 4))
+      q.processAllAvailable()
+      val afterT1 = spark.table("custom_sess_test").as[SessClosed]
+        .collect().toSet
+      assert(afterT1 === Set(
+        SessClosed(1, 0, 2, 10 * min, "purchase"),
+        SessClosed(2, 0, 1, 0, "purchase")))
+      // trigger 2: u1's event at +60min arrives in a LATER micro-batch —
+      // the open (+15min) session closes as a gap using carried state
+      input.addData(SessEvent(1, 60 * min, "click", 5))
+      q.processAllAvailable()
+      val afterT2 = spark.table("custom_sess_test").as[SessClosed]
+        .collect().toSet
+      assert(afterT2 === afterT1 +
+        SessClosed(1, 15 * min, 1, 0, "gap"))
+      // the +60min session is still open: nothing more was emitted
+      assert(afterT2.size === 3)
+    } finally q.stop()
+  }
 }
