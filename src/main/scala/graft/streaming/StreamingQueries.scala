@@ -18,6 +18,24 @@ import org.apache.spark.sql.functions._
   * harness. */
 object StreamingQueries {
 
+  /** Run a bounded streaming replay with a right-sized state/shuffle
+    * partition count. Each micro-batch of a stateful query opens, commits,
+    * and checkpoints ONE state store per shuffle partition — at the
+    * session default (32 = cores) that is 32 RocksDB/HDFS-state commits
+    * per trigger for state whose cardinality here is a few hundred keys.
+    * 8 partitions cuts per-trigger overhead ~4x while results stay
+    * byte-identical (every streaming aggregate follows the order-
+    * independent determinism doctrine). On a real cluster you'd size this
+    * to state volume, not core count — state partitioning is a durability
+    * layout, not a parallelism knob; it can exceed cores only when state
+    * genuinely needs the spread. */
+  private def withStreamPartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Hourly tumbling-window counts/sums per event type, computed by the
     * streaming engine (file source -> stateful agg -> memory sink) with
     * the decimal-exact sum the determinism doctrine requires. */
@@ -35,12 +53,14 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n"), Star.dsum(col("value")).as("sum_value"))
       .select(col("w.start").as("bucket"), col("event_type"), col("n"),
         col("sum_value"))
-    val q = agg.writeStream
-      .format("memory")
-      .queryName("graft_stream_time_bucket")
-      .outputMode("complete")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(spark) {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName("graft_stream_time_bucket")
+        .outputMode("complete")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table("graft_stream_time_bucket")
       .orderBy("bucket", "event_type")
   }
@@ -73,12 +93,14 @@ object StreamingQueries {
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
-    val q = agg.writeStream
-      .format("memory")
-      .queryName("graft_stream_sessionize")
-      .outputMode("complete")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(spark) {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName("graft_stream_sessionize")
+        .outputMode("complete")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table("graft_stream_sessionize")
       .select(col("user_id"),
         unix_micros(col("min_ts")).as("session_start_us"),
@@ -132,12 +154,14 @@ object StreamingQueries {
     val deduped = src
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
-    val q = deduped.writeStream
-      .format("memory")
-      .queryName("graft_stream_dedup")
-      .outputMode("append")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(spark) {
+      val q = deduped.writeStream
+        .format("memory")
+        .queryName("graft_stream_dedup")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table("graft_stream_dedup")
       .orderBy("user_id", "event_type")
   }
@@ -189,18 +213,20 @@ object StreamingQueries {
     }
     var version = -1
     val src = InmetStreaming.previsoesStream(spark, fixtureDir, fixtureGlob)
-    val q = src.writeStream
-      .option("checkpointLocation", s"$work/ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val cur = if (version < 0) None
-          else Some(spark.read.parquet(s"$work/v$version"))
-        merge(cur, partials(batch))
-          .write.mode("overwrite").parquet(s"$work/v${version + 1}")
-        version += 1
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(spark) {
+      val q = src.writeStream
+        .option("checkpointLocation", s"$work/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val cur = if (version < 0) None
+            else Some(spark.read.parquet(s"$work/v$version"))
+          merge(cur, partials(batch))
+            .write.mode("overwrite").parquet(s"$work/v${version + 1}")
+          version += 1
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val state = spark.read.parquet(s"$work/v$version")
     def avgD(c: String) = col(c).cast("double") / 100.0 / col("n")
     state.select(col("wmo"), col("cidade_sk"), col("data_medicao"),
@@ -268,12 +294,14 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n"), Star.dsum(col("value")).as("sum_value"))
       .select(col("w.start").as("bucket"), col("event_type"), col("n"),
         col("sum_value"))
-    val q = agg.writeStream
-      .format("memory")
-      .queryName("graft_stream_windowed_append")
-      .outputMode("append")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(spark) {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName("graft_stream_windowed_append")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table("graft_stream_windowed_append")
       .orderBy("bucket", "event_type")
   }
@@ -378,12 +406,14 @@ object StreamingQueries {
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_type"), col("event_id")).as[SessEvent]
     val closed = customSessionize(src)
-    val q = closed.toDF().writeStream
-      .format("memory")
-      .queryName("graft_stream_custom_session")
-      .outputMode("append")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(spark) {
+      val q = closed.toDF().writeStream
+        .format("memory")
+        .queryName("graft_stream_custom_session")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     // tie-break beyond start_us: a one-event purchase session can share
     // its start with the next session's first event at equal timestamps;
     // the full column list makes equal-rank rows identical, so ordinal
