@@ -112,6 +112,25 @@ class TrainingSpec extends SparkSuite {
     assert(Training.trainSplit(spark, sf).collect().toSeq === out.toSeq)
   }
 
+  test("embedQuant8: values fit int8, reconstruction error <= scale/2") {
+    val checked = Star.table(spark, sf, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .selectExpr("vec_id", "v",
+        "array_max(transform(v, x -> abs(x))) / 127.0 AS scale")
+      .selectExpr("vec_id", "v", "scale",
+        "transform(v, x -> CAST(floor(x / scale + 0.5d) AS INT)) AS q")
+      .selectExpr("vec_id",
+        "array_max(transform(q, x -> abs(x))) AS max_abs_q",
+        // max |q_i * scale - x_i| over the vector, in units of scale/2
+        "array_max(zip_with(q, v, (qi, xi) -> abs(qi * scale - xi))) " +
+          "/ (scale / 2.0) AS worst_err_ratio")
+    import org.apache.spark.sql.functions._
+    assert(checked.filter(col("max_abs_q") > 127).count() === 0)
+    // floor(x+0.5) rounds to nearest: error is at most half a step (1e-9
+    // slack for the double divide)
+    assert(checked.filter(col("worst_err_ratio") > 1.000000001).count() === 0)
+  }
+
   test("qualityExpectations: clean synthetic data yields zero violations " +
     "for structural rules; counts cover the full table") {
     val rows = Training.qualityExpectations(spark, sf).collect()
