@@ -69,6 +69,33 @@ object PlanDump {
         """Skew mitigation. What to look for: two aggregate stages — the
           |first keyed on (key, salt) spreads a hot key over 16 reducers,
           |the second merges partials; both run partial→final.""".stripMargin,
+      "q_bm25_topk" ->
+        """BM25 ranking. What to look for: the same single-exchange layout
+          |as q_tfidf_topk — doc-length join is doc_id-keyed (reuses the
+          |fan partitioning), doc-frequency and corpus-stats sides reduce
+          |then BROADCAST; the integer-rational saturation/idf arithmetic
+          |is plain projected expressions inside WholeStageCodegen, and
+          |the rank window sorts without an exchange.""".stripMargin,
+      "q_bloom_prefilter_join" ->
+        """Runtime row filtering, explicit form. What to look for: the
+          |`UDF(knownnotnull(o_custkey))` filter sits in `DataFilters` ON
+          |the probe-side parquet scan — fact rows that cannot join are
+          |dropped at scan time, before the exchange; the dim side is the
+          |BroadcastHashJoin build as usual.""".stripMargin,
+      "q_dedup_jaccard_capped" ->
+        """DF-capped exact Jaccard. What to look for: the heavy-shingle
+          |set reduces through a partial→final aggregate to a tiny
+          |relation and comes back as a BROADCAST left-anti join (map-side
+          |filter); the kept-shingle count window runs on the doc_id fan
+          |partitioning with no extra exchange; the pair join is unchanged
+          |from q_dedup_ngram_jaccard.""".stripMargin,
+      "q_tpch_q17" ->
+        """Correlated scalar subquery, decorrelated. What to look for: the
+          |brand filter broadcasts into the lineitem scan (PushedFilters
+          |EqualTo(p_brand..) on the part side, BroadcastHashJoin on the
+          |fact); the per-part average is a partial→final aggregate joined
+          |back on l_partkey — no nested-loop, no cartesian
+          |anywhere.""".stripMargin,
     )
 
     val sb = new StringBuilder
