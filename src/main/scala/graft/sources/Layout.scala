@@ -152,7 +152,74 @@ object Layout {
       |FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Morton (Z-order) interleave of two bucketized non-negative columns:
+    * bit b of `x` lands at position 2b, bit b of `y` at 2b+1. Sorting by
+    * the result clusters rows so every contiguous range covers a small
+    * BOX in (x, y) space — the layout that lets min/max file statistics
+    * prune on BOTH columns, where a linear sort prunes on one. */
+  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+             bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map { b =>
+      shiftleft(x.bitwiseAND(lit(1L << b)), b)
+        .bitwiseOR(shiftleft(y.bitwiseAND(lit(1L << b)), b + 1))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Z-ordered lineitem layout on (l_partkey, l_suppkey), written once
+    * (range-partitioned + sorted by the 20-bit z-value), then a two-sided
+    * box query reads it back. Results are layout-independent — the oracle
+    * is the plain filtered aggregate — while the LAYOUT property (every
+    * file covers a narrow range of BOTH keys, so file/row-group stats
+    * prune a box query on either dimension) is asserted in LayoutSpec.
+    * At 100 TB this is the difference between a box query reading ~1/64
+    * of the files and reading all of them because the second key is
+    * scattered. */
+  def zorderScan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Star
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = s"$wh/graft_z_lineitem_$tag"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      val li = Star.table(spark, dir, "lineitem")
+      val Array(pMax, sMax) = li
+        .agg(max("l_partkey"), max("l_suppkey")).collect().head
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val z = zValue(
+        graft.operators.Star.idiv(col("l_partkey") * 1024L, lit(pMax + 1)),
+        graft.operators.Star.idiv(col("l_suppkey") * 1024L, lit(sMax + 1)),
+        10)
+      li.withColumn("__z", z)
+        .repartitionByRange(32, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(path)
+    }
+    // two-sided box: low 1/8 of each key domain (~1/64 of the data)
+    val part = Star.table(spark, dir, "part")
+    val supp = Star.table(spark, dir, "supplier")
+    val pCut = part.agg(max("p_partkey")).collect().head.getLong(0) / 8
+    val sCut = supp.agg(max("s_suppkey")).collect().head.getLong(0) / 8
+    spark.read.parquet(path)
+      .filter(col("l_partkey") <= pCut && col("l_suppkey") <= sCut)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(graft.operators.Star.cents(col("l_extendedprice")))
+          .as("price_c"))
+      .orderBy("l_returnflag")
+  }
+
+  private val zorderScanSql =
+    s"""SELECT l_returnflag, COUNT(*) AS n_items,
+       |  CAST(SUM(${graft.operators.Star.Sql.cents("l_extendedprice")})
+       |    AS BIGINT) AS price_c
+       |FROM lineitem
+       |WHERE l_partkey <= (SELECT MAX(p_partkey) // 8 FROM part)
+       |  AND l_suppkey <= (SELECT MAX(s_suppkey) // 8 FROM supplier)
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef("q_zorder_scan", zorderScan, Some(zorderScanSql)),
     graft.QueryDef("q_bucketed_join", bucketedRevenue,
       Some(bucketedRevenueSql)),
     graft.QueryDef("q_partition_pruned", partitionPruned,

@@ -30,6 +30,55 @@ class LayoutSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("z-ordered layout clusters BOTH keys per file; linear sort only one") {
+    import org.apache.spark.sql.DataFrame
+    val li = Star.table(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey")
+    val Array(pMax, sMax) = li.agg(max("l_partkey"), max("l_suppkey"))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+
+    // per-file normalized key ranges for a written layout
+    def fileRanges(df: DataFrame, n: Int): (Double, Double) = {
+      val path = java.nio.file.Files.createTempDirectory("zorder").toString
+      df.write.mode("overwrite").parquet(path)
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(
+          ((max("l_partkey") - min("l_partkey")).cast("double") / pMax)
+            .as("p_span"),
+          ((max("l_suppkey") - min("l_suppkey")).cast("double") / sMax)
+            .as("s_span"))
+        .agg(avg("p_span"), avg("s_span")).collect().head
+      (spans.getDouble(0), spans.getDouble(1))
+    }
+
+    val z = Layout.zValue(
+      Star.idiv(col("l_partkey") * 1024L, lit(pMax + 1)),
+      Star.idiv(col("l_suppkey") * 1024L, lit(sMax + 1)), 10)
+    val (zp, zs) = fileRanges(
+      li.withColumn("__z", z).repartitionByRange(16, col("__z"))
+        .sortWithinPartitions("__z").drop("__z"), 16)
+    val (lp, ls) = fileRanges(
+      li.repartitionByRange(16, col("l_partkey")), 16)
+
+    // linear layout: partkey clusters tightly, suppkey spans ~everything
+    assert(lp < 0.2, s"linear partkey span $lp")
+    assert(ls > 0.8, s"linear suppkey span $ls")
+    // z-order: BOTH dimensions cluster — each file covers a sub-box
+    assert(zp < 0.6, s"z partkey span $zp")
+    assert(zs < 0.6, s"z suppkey span $zs")
+  }
+
+  test("zValue interleaves bits (locality sanity)") {
+    import spark.implicits._
+    val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 2L),
+      (1023L, 1023L))
+      .toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"), 10).as("z"))
+      .as[Long].collect()
+    assert(out.toSeq === Seq(0L, 1L, 2L, 3L, 12L, (1L << 20) - 1))
+  }
+
   test("partitioned previsoes layout prunes partitions on time-scoped scans") {
     val st = graft.inmet.Pipeline.stage(spark, resourcePath("/inmet") + "/*.csv")
     val path = java.nio.file.Files.createTempDirectory("prev_part").toString
