@@ -14,6 +14,7 @@ object Registry {
   def all: Seq[QueryDef] =
     operators.Relational.defs ++
       operators.TpchClassic.defs ++
+      operators.TpchFull.defs ++
       operators.Analytics.defs ++
       operators.Breadth.defs ++
       operators.Curation.defs ++

@@ -1,0 +1,626 @@
+package graft.operators
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The remaining TPC-H query shapes (Q2/Q4/Q6/Q7/Q8/Q9/Q11/Q12/Q13/Q14/
+  * Q15/Q16/Q19/Q20/Q21), adapted to the harness star schema. Together
+  * with Q1 (q_agg_pricing) and TpchClassic's Q3/Q5/Q10/Q17/Q18/Q22 this
+  * covers all 22 TPC-H plan shapes.
+  *
+  * Harness-schema adaptations (the testdata has no `partsupp`, no
+  * commit/receipt dates, no comments/containers/shipmodes):
+  *  - the *supply* relation (Q2/Q16/Q20) derives from observed lineitem
+  *    (partkey, suppkey) pairs — min unit price as the supply cost —
+  *    which preserves the decorrelated-min / distinct-count / semi-chain
+  *    plan structure those queries exist to exercise;
+  *  - *lateness* (Q4/Q21) is `l_shipdate > o_orderdate + 60 days` in
+  *    place of receipt-vs-commit;
+  *  - categorical stand-ins: `p_type` classes for Q8/Q14's part types,
+  *    `l_linestatus` for Q12's ship modes, `o_orderpriority` for Q13's
+  *    comment filter, `s_acctbal < 0` for Q16's complaint suppliers.
+  *
+  * All money math runs in the exact integer cents/basis-point domain
+  * (see Star.cents) so Spark and DuckDB agree bit-for-bit; ratios divide
+  * two exact integers in IEEE double (deterministic in both engines).
+  *
+  * Scale notes: dimension sides (nation, region, filtered part lists,
+  * per-group scalar aggregates) broadcast; the only big shuffles are the
+  * lineitem⋈orders keyed joins and the pair-level aggregates, which AQE
+  * can coalesce or skew-split. No query collects to the driver.
+  */
+object TpchFull {
+
+  private def revC =
+    (Star.cents(col("l_extendedprice")) *
+      (lit(100L) - Star.cents(col("l_discount"))))
+
+  private val revCSql =
+    s"${Star.Sql.cents("l_extendedprice")} * (100 - ${Star.Sql.cents("l_discount")})"
+
+  /** Q2 shape — minimum-cost supplier: for each part in a size/type
+    * class, the region supplier offering the minimum supply cost. The
+    * correlated MIN subquery decorrelates into a per-part aggregate
+    * joined back on (partkey, cost). Supply = per observed (part,
+    * supplier) pair, min unit price from lineitem. */
+  def tpchQ2(spark: SparkSession, dir: String): DataFrame = {
+    val supply = Star.table(spark, dir, "lineitem")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(Star.cents(col("l_extendedprice"))).as("cost_c"))
+    val parts = Star.table(spark, dir, "part")
+      .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+      .select("p_partkey", "p_name")
+    val nat = Star.table(spark, dir, "nation")
+    val reg = Star.table(spark, dir, "region").filter(col("r_name") === "EUROPE")
+    val supp = Star.table(spark, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val offers = supply
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    val minCost = offers.groupBy(col("p_partkey").as("mk"))
+      .agg(min("cost_c").as("min_cost_c"))
+    offers
+      .join(broadcast(minCost),
+        col("p_partkey") === col("mk") && col("cost_c") === col("min_cost_c"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_name"))
+      .limit(100)
+  }
+
+  private val tpchQ2Sql =
+    s"""WITH supply AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    CAST(MIN(${Star.Sql.cents("l_extendedprice")}) AS BIGINT) AS cost_c
+       |  FROM lineitem GROUP BY 1, 2),
+       |offers AS (
+       |  SELECT p_partkey, p_name, s_acctbal, s_name, n_name, cost_c
+       |  FROM supply
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE')
+       |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+       |FROM offers o
+       |WHERE cost_c = (SELECT MIN(cost_c) FROM offers i
+       |                WHERE i.p_partkey = o.p_partkey)
+       |ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100""".stripMargin
+
+  /** Q4 shape — order-priority checking: orders in one quarter having at
+    * least one late lineitem (EXISTS → left-semi join on the order key
+    * with a residual cross-side predicate). */
+  def tpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    val o = Star.table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = Star.table(spark, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val tpchQ4Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1997-01-01'
+      |  AND o_orderdate < DATE '1997-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q6 shape — forecast revenue change: pure scan + filter + scalar
+    * aggregate; every predicate pushes into the parquet scan. Revenue =
+    * extendedprice * discount, exact in cents x basis points. */
+  def tpchQ6(spark: SparkSession, dir: String): DataFrame = {
+    val l = Star.table(spark, dir, "lineitem")
+    val dc = Star.cents(col("l_discount"))
+    l.filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        (coalesce(sum(Star.cents(col("l_extendedprice")) * dc), lit(0L))
+          .cast("double") / 1e4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val tpchQ6Sql =
+    s"""SELECT
+       |  CAST(COALESCE(SUM(${Star.Sql.cents("l_extendedprice")} *
+       |    ${Star.Sql.cents("l_discount")}), 0) AS DOUBLE) / 1e4 AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01'
+       |  AND l_discount BETWEEN 0.05 AND 0.07
+       |  AND l_quantity < 24""".stripMargin
+
+  /** Q7 shape — volume shipping between two nations, either direction,
+    * by ship year. Nation dims broadcast twice under different roles;
+    * the disjunctive nation-pair predicate applies after both joins. */
+  def tpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Star.table(spark, dir, "nation")
+    val ns = broadcast(nat.select(col("n_nationkey").as("snk"),
+      col("n_name").as("supp_nation")))
+    val nc = broadcast(nat.select(col("n_nationkey").as("cnk"),
+      col("n_name").as("cust_nation")))
+    val s = Star.table(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val c = Star.table(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val o = Star.table(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val l = Star.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"), revC.as("rev_c"))
+    l.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(ns, col("s_nationkey") === col("snk"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(nc, col("c_nationkey") === col("cnk"))
+      .filter(
+        (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_18") ||
+        (col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_12"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg((sum("rev_c").cast("double") / 1e4).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val tpchQ7Sql =
+    s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS INT) AS l_year,
+       |  CAST(SUM($revCSql) AS DOUBLE) / 1e4 AS revenue
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ns ON s_nationkey = ns.n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation nc ON c_nationkey = nc.n_nationkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01'
+       |  AND ((ns.n_name = 'NATION_12' AND nc.n_name = 'NATION_18')
+       |    OR (ns.n_name = 'NATION_18' AND nc.n_name = 'NATION_12'))
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Q8 shape — national market share: one nation's share of a region's
+    * revenue for one part type, by order year. The share is a
+    * conditional-sum / total-sum ratio of two exact integer aggregates. */
+  def tpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Star.table(spark, dir, "part")
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val nat = Star.table(spark, dir, "nation")
+    val reg = Star.table(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val custAsia = Star.table(spark, dir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val suppNat = Star.table(spark, dir, "supplier")
+      .join(broadcast(nat.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "supp_nation")
+    val o = Star.table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    val l = Star.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        revC.as("rev_c"))
+    l.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(custAsia, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_year")
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_12", col("rev_c"))
+          .otherwise(lit(0L))).cast("double") /
+          sum("rev_c").cast("double")).as("mkt_share"),
+        (sum("rev_c").cast("double") / 1e4).as("total_revenue"))
+      .orderBy("o_year")
+  }
+
+  private val tpchQ8Sql =
+    s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       |  CAST(SUM(CASE WHEN ns.n_name = 'NATION_12' THEN $revCSql
+       |    ELSE 0 END) AS DOUBLE) / CAST(SUM($revCSql) AS DOUBLE) AS mkt_share,
+       |  CAST(SUM($revCSql) AS DOUBLE) / 1e4 AS total_revenue
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ns ON s_nationkey = ns.n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation nc ON c_nationkey = nc.n_nationkey
+       |JOIN region ON nc.n_regionkey = r_regionkey
+       |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+       |  AND o_orderdate >= DATE '1996-01-01'
+       |  AND o_orderdate < DATE '1998-01-01'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Q9 shape — product-type profit by nation and year. Supply cost
+    * stands in as retailprice x quantity (no partsupp in the harness
+    * schema); profit = revenue - cost, both on the exact 1e-4-dollar
+    * integer scale. */
+  def tpchQ9(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Star.table(spark, dir, "part")
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), Star.cents(col("p_retailprice")).as("retail_c"))
+    val nat = Star.table(spark, dir, "nation")
+    val s = Star.table(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val o = Star.table(spark, dir, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val l = Star.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        revC.as("rev_c4"),
+        Star.cents(col("l_quantity")).as("qty_c"))
+    l.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg((sum(col("rev_c4") - col("retail_c") * col("qty_c"))
+        .cast("double") / 1e4).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  private val tpchQ9Sql =
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       |  CAST(SUM($revCSql - ${Star.Sql.cents("p_retailprice")} *
+       |    ${Star.Sql.cents("l_quantity")}) AS DOUBLE) / 1e4 AS sum_profit
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE p_name LIKE '%red%'
+       |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** Q11 shape — important stock: parts whose value within one nation's
+    * suppliers exceeds 2x the mean part value (scale-free, unlike the
+    * spec's fixed fraction which empties out as SF grows). The scalar
+    * total broadcasts back over the same per-part aggregate (one
+    * shuffle, two consumers); the test is exact integer
+    * (value * n_parts > 2 * total). */
+  def tpchQ11(spark: SparkSession, dir: String): DataFrame = {
+    val suppN = Star.table(spark, dir, "supplier")
+      .join(broadcast(Star.table(spark, dir, "nation")
+        .filter(col("n_name") === "NATION_18")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val li = Star.table(spark, dir, "lineitem")
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), Star.cents(col("l_extendedprice")).as("price_c"))
+    val perPart = li.groupBy("l_partkey").agg(sum("price_c").as("value_c"))
+    val total = perPart.agg(sum("value_c").as("total_c"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_c") * col("n_parts") > lit(2L) * col("total_c"))
+      .select(col("l_partkey"),
+        (col("value_c").cast("double") / 100.0).as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  private val tpchQ11Sql =
+    s"""WITH li AS (
+       |  SELECT l_partkey,
+       |    ${Star.Sql.cents("l_extendedprice")} AS price_c
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_name = 'NATION_18'),
+       |per_part AS (
+       |  SELECT l_partkey, CAST(SUM(price_c) AS BIGINT) AS value_c
+       |  FROM li GROUP BY 1)
+       |SELECT l_partkey, CAST(value_c AS DOUBLE) / 100.0 AS value
+       |FROM per_part
+       |WHERE value_c * (SELECT COUNT(*) FROM per_part)
+       |  > 2 * (SELECT CAST(SUM(value_c) AS BIGINT) FROM per_part)
+       |ORDER BY value DESC, l_partkey""".stripMargin
+
+  /** Q12 shape — shipping-mode priority classes: conditional counts per
+    * line status (the harness's categorical stand-in for ship mode) over
+    * the lineitem⋈orders join. */
+  def tpchQ12(spark: SparkSession, dir: String): DataFrame = {
+    val o = Star.table(spark, dir, "orders").select("o_orderkey", "o_orderpriority")
+    val l = Star.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select("l_orderkey", "l_linestatus")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  private val tpchQ12Sql =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** Q13 shape — customer order-count distribution: LEFT OUTER join with
+    * the filter in the join condition (customers with zero qualifying
+    * orders must survive with count 0), then a second aggregation over
+    * the counts. */
+  def tpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    val c = Star.table(spark, dir, "customer").select("c_custkey")
+    val o = Star.table(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val tpchQ13Sql =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer
+      |  LEFT JOIN orders ON c_custkey = o_custkey
+      |    AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q14 shape — promotion effect: conditional-revenue percentage for
+    * one month. Ratio of two exact integer sums in IEEE double. */
+  def tpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    val p = Star.table(spark, dir, "part").select("p_partkey", "p_type")
+    val l = Star.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-09-01") &&
+        col("l_shipdate") < lit("1997-10-01"))
+      .select(col("l_partkey"), revC.as("rev_c"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          sum(when(col("p_type") === "PROMO", col("rev_c")).otherwise(lit(0L)))
+            .cast("double") /
+          sum("rev_c").cast("double")).as("promo_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val tpchQ14Sql =
+    s"""SELECT
+       |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revCSql
+       |    ELSE 0 END) AS DOUBLE) / CAST(SUM($revCSql) AS DOUBLE)
+       |    AS promo_revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+       |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin
+
+  /** Q15 shape — top supplier: per-supplier quarterly revenue, then the
+    * suppliers achieving the maximum. The scalar MAX broadcasts back
+    * over the same aggregate (the revenue "view" is computed once per
+    * consumer — no driver-side collect). */
+  def tpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    def revenue = Star.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(revC).as("total_c"))
+    val maxRev = revenue.agg(max("total_c").as("max_c"))
+    revenue.crossJoin(broadcast(maxRev))
+      .filter(col("total_c") === col("max_c"))
+      .join(broadcast(Star.table(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("total_c").cast("double") / 1e4).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  private val tpchQ15Sql =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey, CAST(SUM($revCSql) AS BIGINT) AS total_c
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+       |    AND l_shipdate < TIMESTAMP '1997-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name,
+       |  CAST(total_c AS DOUBLE) / 1e4 AS total_revenue
+       |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_c = (SELECT MAX(total_c) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** Q16 shape — supplier count per part class: DISTINCT observed
+    * (part, supplier) pairs, minus excluded suppliers (anti join), then
+    * COUNT(DISTINCT) per attribute class. */
+  def tpchQ16(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Star.table(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey").distinct()
+    val excluded = Star.table(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val p = Star.table(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#4" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    pairs
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  private val tpchQ16Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** Q19 shape — disjunctive brand/quantity/size predicates over the
+    * part join: one equi-join on partkey with an OR-of-conjunctions
+    * residual (the optimizer must NOT turn this into three scans). */
+  def tpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    val p = Star.table(spark, dir, "part").select("p_partkey", "p_brand", "p_size")
+    val l = Star.table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), revC.as("rev_c"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) &&
+          col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) &&
+          col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#4" && col("l_quantity").between(20, 30) &&
+          col("p_size").between(1, 15)))
+      .agg((coalesce(sum("rev_c"), lit(0L)).cast("double") / 1e4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val tpchQ19Sql =
+    s"""SELECT
+       |  CAST(COALESCE(SUM($revCSql), 0) AS DOUBLE) / 1e4 AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+       |       AND p_size BETWEEN 1 AND 5)
+       |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+       |       AND p_size BETWEEN 1 AND 10)
+       |   OR (p_brand = 'Brand#4' AND l_quantity BETWEEN 20 AND 30
+       |       AND p_size BETWEEN 1 AND 15)""".stripMargin
+
+  /** Q20 shape — major suppliers of a part class: suppliers of one
+    * nation who shipped more than 20% of a 'red' part's yearly volume
+    * (stand-in for availqty > half of demand). Nested-IN chain becomes
+    * pair-aggregate → part-total join → distinct-key semi join. */
+  def tpchQ20(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = Star.table(spark, dir, "part")
+      .filter(col("p_name").contains("red")).select("p_partkey")
+    val sp = Star.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(Star.cents(col("l_quantity"))).as("q_c"))
+    val pt = sp.groupBy(col("l_partkey").as("pk"))
+      .agg(sum("q_c").as("tot_c"))
+    val major = sp.join(broadcast(pt), col("l_partkey") === col("pk"))
+      .filter(col("q_c") * 5L > col("tot_c"))
+      .select("l_suppkey").distinct()
+    Star.table(spark, dir, "supplier")
+      .join(broadcast(Star.table(spark, dir, "nation")
+        .filter(col("n_name") === "NATION_19")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(major), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_name")
+  }
+
+  private val tpchQ20Sql =
+    s"""WITH sp AS (
+       |  SELECT l_suppkey, l_partkey,
+       |    CAST(SUM(${Star.Sql.cents("l_quantity")}) AS BIGINT) AS q_c
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_name LIKE '%red%'
+       |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+       |    AND l_shipdate < TIMESTAMP '1998-01-01'
+       |  GROUP BY 1, 2),
+       |pt AS (SELECT l_partkey, CAST(SUM(q_c) AS BIGINT) AS tot_c
+       |       FROM sp GROUP BY 1)
+       |SELECT s_suppkey, s_name, s_acctbal
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_name = 'NATION_19'
+       |  AND s_suppkey IN (
+       |    SELECT l_suppkey FROM sp JOIN pt USING (l_partkey)
+       |    WHERE q_c * 5 > tot_c)
+       |ORDER BY s_name""".stripMargin
+
+  /** Q21 shape — suppliers who kept orders waiting: for finished orders,
+    * late lines whose supplier is the ONLY late supplier on a multi-
+    * supplier order. EXISTS → semi join, NOT EXISTS → anti join, both on
+    * the order key with a supplier-inequality residual; the late-lines
+    * relation feeds both the probe side and the anti side. */
+  def tpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    def late = Star.table(spark, dir, "lineitem")
+      .join(Star.table(spark, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("l_orderkey", "l_suppkey")
+    val suppN = Star.table(spark, dir, "supplier")
+      .join(broadcast(Star.table(spark, dir, "nation")
+        .filter(col("n_name") === "NATION_15")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    val others = Star.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2"))
+    val lateOthers = late
+      .select(col("l_orderkey").as("lo3"), col("l_suppkey").as("ls3"))
+    late.join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .join(others, col("lo2") === col("l_orderkey") &&
+        col("ls2") =!= col("l_suppkey"), "left_semi")
+      .join(lateOthers, col("lo3") === col("l_orderkey") &&
+        col("ls3") =!= col("l_suppkey"), "left_anti")
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  private val tpchQ21Sql =
+    """WITH late AS (
+      |  SELECT l_orderkey, l_suppkey
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM late l1
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_15'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_tpch_q2", tpchQ2, Some(tpchQ2Sql)),
+    QueryDef("q_tpch_q4", tpchQ4, Some(tpchQ4Sql)),
+    QueryDef("q_tpch_q6", tpchQ6, Some(tpchQ6Sql)),
+    QueryDef("q_tpch_q7", tpchQ7, Some(tpchQ7Sql)),
+    QueryDef("q_tpch_q8", tpchQ8, Some(tpchQ8Sql)),
+    QueryDef("q_tpch_q9", tpchQ9, Some(tpchQ9Sql)),
+    QueryDef("q_tpch_q11", tpchQ11, Some(tpchQ11Sql)),
+    QueryDef("q_tpch_q12", tpchQ12, Some(tpchQ12Sql)),
+    QueryDef("q_tpch_q13", tpchQ13, Some(tpchQ13Sql)),
+    QueryDef("q_tpch_q14", tpchQ14, Some(tpchQ14Sql)),
+    QueryDef("q_tpch_q15", tpchQ15, Some(tpchQ15Sql)),
+    QueryDef("q_tpch_q16", tpchQ16, Some(tpchQ16Sql)),
+    QueryDef("q_tpch_q19", tpchQ19, Some(tpchQ19Sql)),
+    QueryDef("q_tpch_q20", tpchQ20, Some(tpchQ20Sql)),
+    QueryDef("q_tpch_q21", tpchQ21, Some(tpchQ21Sql)),
+  )
+}
