@@ -301,6 +301,189 @@ object Training {
       |UNION ALL SELECT * FROM uniq
       |ORDER BY rule""".stripMargin
 
+  // -------------------------------------------- test-set contamination
+
+  /** Train→test contamination: the share of each TEST document's word
+    * 3-gram shingles that also occur anywhere in the TRAIN split (the
+    * standard decontamination measure before evaluation). Uses the same
+    * multiplicative-hash split as [[trainSplit]] and the same shingle
+    * formulation as the dedup family.
+    *
+    * Scale shape: the train shingle set is distinct-aggregated (map-side
+    * combine shrinks it to unique shingles) and the test⋈train match is
+    * ONE equi-shuffle on the shingle key — both sides arrive partitioned
+    * by shingle, the natural high-cardinality key, so AQE can split any
+    * hot boilerplate shingle. Spark joins on xxhash64(shingle) to ship
+    * 8-byte keys instead of strings (collision odds ~n²/2⁶⁴ — the same
+    * documented trade as the Jaccard pair join); the oracle joins on the
+    * raw string. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Star.table(spark, dir, "documents")
+      .withColumn("bucket",
+        (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 100)
+    val arr =
+      "array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)), " +
+        "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1), try_element_at(w, i + 2))))"
+    def shingled(d: DataFrame): DataFrame =
+      Star.fan(spark, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        .select(col("doc_id"), explode(expr(arr)).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val trainSet = shingled(docs.filter(col("bucket") < 80))
+      .select("h").distinct().withColumn("hit", lit(1L))
+    shingled(docs.filter(col("bucket") >= 90))
+      .join(trainSet, Seq("h"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum("hit"), lit(0L)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        Star.ratio6(col("n_contaminated"), col("n_shingles"))
+          .as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  private val contaminationSql =
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    (doc_id * 2654435761) % 4294967296 % 100 AS bucket
+       |  FROM documents),
+       |words AS (
+       |  SELECT doc_id, bucket,
+       |    regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM b),
+       |sh AS (
+       |  SELECT doc_id, bucket, unnest(list_distinct(list_transform(
+       |    range(greatest(len(w) - 2, 1)),
+       |    i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))) AS s
+       |  FROM words),
+       |train_set AS (SELECT DISTINCT s FROM sh WHERE bucket < 80),
+       |test_sh AS (SELECT doc_id, s FROM sh WHERE bucket >= 90)
+       |SELECT t.doc_id, COUNT(*) AS n_shingles,
+       |  CAST(COALESCE(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 END), 0)
+       |    AS BIGINT) AS n_contaminated,
+       |  ${Star.Sql.ratio6(
+                 "COALESCE(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 END), 0)",
+                 "COUNT(*)")} AS contamination
+       |FROM test_sh t LEFT JOIN train_set tr ON t.s = tr.s
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  // ------------------------------------------- unigram-model likelihood
+
+  /** Corpus-model quality score: a unigram frequency model is fit on the
+    * TRAIN split and every TEST document is scored by its exact average
+    * token probability (sum of model counts over token positions /
+    * (n_tokens × model_total)), with the OOV token count alongside — the
+    * integer-rational stand-in for the usual LM-perplexity filter (logs
+    * are not bit-portable across engines; ranking is preserved for the
+    * filtering use case).
+    *
+    * Scale shape: the fitted vocabulary is orders of magnitude smaller
+    * than the corpus (≈1M rows at web scale) → broadcast to the scoring
+    * pass, which stays map-side; the only shuffles are the model fit's
+    * token count (map-side combined) and the per-doc aggregate on
+    * doc_id. */
+  def unigramLikelihood(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Star.table(spark, dir, "documents")
+      .withColumn("bucket",
+        (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 100)
+    def tokens(d: DataFrame): DataFrame =
+      Star.fan(spark, d)
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("t"))
+    val model = tokens(docs.filter(col("bucket") < 80))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    val total = model.agg(sum("cnt").as("model_total"))
+    tokens(docs.filter(col("bucket") >= 90))
+      .join(broadcast(model), Seq("t"), "left_outer")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id", "model_total")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+        coalesce(sum("cnt"), lit(0L)).as("mass"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        Star.ratio6(col("mass"), col("n_tokens") * col("model_total"))
+          .as("avg_p"))
+      .orderBy("doc_id")
+  }
+
+  private val unigramLikelihoodSql =
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    (doc_id * 2654435761) % 4294967296 % 100 AS bucket
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, bucket,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+       |  FROM b),
+       |model AS (
+       |  SELECT t, COUNT(*) AS cnt FROM toks WHERE bucket < 80 GROUP BY t),
+       |total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS model_total FROM model)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_oov,
+       |  ${Star.Sql.ratio6("COALESCE(SUM(m.cnt), 0)",
+                 "COUNT(*) * ANY_VALUE(model_total)")} AS avg_p
+       |FROM toks k LEFT JOIN model m USING (t) CROSS JOIN total
+       |WHERE bucket >= 90
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------- domain mixture resample
+
+  /** Domain-mixture resampling: given per-source target weights
+    * (w(srcN) = N+1 here) and a 40% corpus budget, compute each domain's
+    * target allocation floor(budget × w / Σw) and draw exactly
+    * min(target, available) documents per domain by deterministic hash
+    * order — the mixture-rebalancing step of a training-data pipeline.
+    * One row per source: available, target, drawn.
+    *
+    * Scale shape: domain stats and the weight total are dimension-sized
+    * (broadcast); the draw is a per-domain top-k by hash — rank within
+    * source partitions, no global sort. The multiplicative hash makes
+    * the draw reproducible across engines and runs (no RNG). */
+  def domainMixture(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Star.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        ((col("doc_id") * lit(2654435761L)) % lit(4294967296L)).as("h"),
+        (regexp_extract(col("source"), "(\\d+)", 1).cast("long") + 1L)
+          .as("w"))
+    val budget = docs.agg((count(lit(1)) * 2L / 5L).cast("long").as("budget"))
+    val weights = docs.select("source", "w").distinct()
+      .agg(sum("w").as("sum_w"))
+    val ranked = docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))))
+      .crossJoin(broadcast(budget)).crossJoin(broadcast(weights))
+      .withColumn("n_target",
+        Star.idiv(col("budget") * col("w"), col("sum_w")))
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        max("n_target").as("n_target"),
+        sum(when(col("rk") <= col("n_target"), 1L).otherwise(0L))
+          .as("n_drawn"))
+      .orderBy("source")
+  }
+
+  private val domainMixtureSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    (doc_id * 2654435761) % 4294967296 AS h,
+       |    CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) + 1 AS w
+       |  FROM documents),
+       |budget AS (SELECT COUNT(*) * 2 // 5 AS budget FROM d),
+       |weights AS (SELECT CAST(SUM(w) AS BIGINT) AS sum_w
+       |            FROM (SELECT DISTINCT source, w FROM d)),
+       |ranked AS (
+       |  SELECT source, w,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk,
+       |    ${Star.Sql.idiv("budget * w", "sum_w")} AS n_target
+       |  FROM d CROSS JOIN budget CROSS JOIN weights)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(MAX(n_target) AS BIGINT) AS n_target,
+       |  CAST(SUM(CASE WHEN rk <= n_target THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_drawn
+       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),
     QueryDef("q_bm25_topk", bm25Topk, Some(bm25TopkSql)),
@@ -309,5 +492,9 @@ object Training {
     QueryDef("q_train_split", trainSplit, Some(trainSplitSql)),
     QueryDef("q_quality_expectations", qualityExpectations,
       Some(qualityExpectationsSql)),
+    QueryDef("q_contamination", contamination, Some(contaminationSql)),
+    QueryDef("q_unigram_likelihood", unigramLikelihood,
+      Some(unigramLikelihoodSql)),
+    QueryDef("q_domain_mixture", domainMixture, Some(domainMixtureSql)),
   )
 }

@@ -151,4 +151,47 @@ class TrainingSpec extends SparkSuite {
     assert(rows("orders.custkey_in_customer")._2 === orphans)
     assert(rows.size === 5)
   }
+
+  test("contamination: covers exactly the test split; ratios exact and bounded") {
+    val rows = Training.contamination(spark, sf).collect()
+    val testDocs = Star.table(spark, sf, "documents")
+      .filter((col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 100 >= 90)
+      .count()
+    assert(rows.length.toLong === testDocs)
+    rows.foreach { r =>
+      val (n, k, c) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(k >= 0 && k <= n)
+      assert(c === math.floor(k * 1e6 / n) / 1e6)
+    }
+    // the synthetic corpus shares a tiny vocabulary — the train split must
+    // contaminate at least one test doc (a zero here means a broken join)
+    assert(rows.exists(_.getLong(2) > 0))
+  }
+
+  test("unigramLikelihood: OOV mass excluded; avg_p consistent with counts") {
+    val rows = Training.unigramLikelihood(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, oov, p) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(oov >= 0 && oov <= n)
+      assert(p >= 0.0 && p <= 1.0)
+      if (oov == n) assert(p === 0.0)
+    }
+  }
+
+  test("domainMixture: drawn = min(target, available); total within budget") {
+    val rows = Training.domainMixture(spark, sf).collect()
+    assert(rows.length === 20)
+    val total = Star.table(spark, sf, "documents").count()
+    rows.foreach { r =>
+      val (n, t, d) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(d === math.min(t, n))
+    }
+    assert(rows.map(_.getLong(3)).sum <= total * 2 / 5)
+    // weights grow with the source index, so targets must be monotone
+    // non-decreasing in it
+    val byIdx = rows.map(r => (r.getString(0).drop(3).toInt, r.getLong(2)))
+      .sortBy(_._1).map(_._2)
+    byIdx.sliding(2).foreach { case Array(a, b) => assert(a <= b) }
+  }
 }
