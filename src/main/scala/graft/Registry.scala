@@ -27,6 +27,7 @@ object Registry {
       operators.InmetQueries.defs ++
       operators.Quantiles.defs ++
       operators.Training.defs ++
+      operators.Graph.defs ++
       sources.Layout.defs ++
       streaming.StreamingQueries.defs ++
       multimodal.Multimodal.defs

@@ -43,11 +43,12 @@ object TpchFull {
     * class, the region supplier offering the minimum supply cost. The
     * correlated MIN subquery decorrelates into a per-part aggregate
     * joined back on (partkey, cost). Supply = per observed (part,
-    * supplier) pair, min unit price from lineitem. */
+    * supplier) pair, min unit price from lineitem. Both selective dim
+    * filters push BELOW the pair aggregate (broadcast joins on the fact
+    * scan), so only the surviving parts' lineitems are ever aggregated —
+    * the pair shuffle shrinks from |lineitem pairs| to the brand slice.
+    * Valid because both filters are on the aggregate's grouping keys. */
   def tpchQ2(spark: SparkSession, dir: String): DataFrame = {
-    val supply = Star.table(spark, dir, "lineitem")
-      .groupBy("l_partkey", "l_suppkey")
-      .agg(min(Star.cents(col("l_extendedprice"))).as("cost_c"))
     val parts = Star.table(spark, dir, "part")
       .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
       .select("p_partkey", "p_name")
@@ -57,9 +58,12 @@ object TpchFull {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    val offers = supply
+    val offers = Star.table(spark, dir, "lineitem")
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal",
+        "n_name")
+      .agg(min(Star.cents(col("l_extendedprice"))).as("cost_c"))
     val minCost = offers.groupBy(col("p_partkey").as("mk"))
       .agg(min("cost_c").as("min_cost_c"))
     offers
@@ -448,15 +452,18 @@ object TpchFull {
     * (part, supplier) pairs, minus excluded suppliers (anti join), then
     * COUNT(DISTINCT) per attribute class. */
   def tpchQ16(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Star.table(spark, dir, "lineitem")
-      .select("l_partkey", "l_suppkey").distinct()
     val excluded = Star.table(spark, dir, "supplier")
       .filter(col("s_acctbal") < 0).select("s_suppkey")
     val p = Star.table(spark, dir, "part")
       .filter(col("p_brand") =!= "Brand#4" && col("p_type") =!= "PROMO" &&
         col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
       .select("p_partkey", "p_brand", "p_type", "p_size")
-    pairs
+    // both dim filters apply on the fact scan (broadcast + anti join)
+    // BEFORE any aggregation, and the pair-level DISTINCT folds into
+    // COUNT(DISTINCT)'s own two-phase dedup — one shuffle total instead
+    // of a full-pair distinct followed by a re-shuffle on the class key
+    Star.table(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey")
       .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_type", "p_size")
