@@ -70,6 +70,23 @@ class Round4Spec extends SparkSuite {
     assert(summary.head.getDouble(3) >= 0.4)
   }
 
+  test("sortedNeighborhood: finds a subset of the full inverted-index pairs") {
+    val snm = Dedup.sortedNeighborhood(spark, sf)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(snm.nonEmpty)
+    assert(snm.keys.forall { case (a, b) => a < b })
+    assert(snm.values.forall(_ >= 0.5))
+    // every SNM pair is a true >=0.5 pair: it must appear in the
+    // exhaustive inverted-index Jaccard output with the SAME exact score
+    val full = Dedup.ngramJaccard(spark, sf)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    snm.foreach { case (pair, j) =>
+      assert(full.get(pair).contains(j), s"pair $pair missing or score drift")
+    }
+  }
+
   test("sqlFrontend: shared SQL equals the equivalent DataFrame plan") {
     val viaSql = Relational.sqlFrontend(spark, sf).collect()
     val viaDf = {
