@@ -252,13 +252,20 @@ object StreamingQueries {
     * arithmetic). Complete-mode twins re-aggregate everything each
     * batch; this is the form with bounded state AND bounded output —
     * what actually runs against an unbounded 100 TB/day stream. */
-  def streamWindowedAppend(spark: SparkSession, dir: String): DataFrame = {
+  /** Build-once chronological replay fixture: the events table split
+    * into four equal-time-span parquet files written with strictly
+    * increasing mtimes, so the file stream source replays them in
+    * event-time order, one file per micro-batch (no late data). Shared
+    * by every advancing-watermark replay query. */
+  private def chronoReplay(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._
     val ev = Star.events(spark, dir)
-      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
     val tag = java.lang.Integer.toHexString(dir.hashCode)
     val base = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"), s"graft_stream_chrono_$tag")
+      System.getProperty("java.io.tmpdir"), s"graft_stream_chrono2_$tag")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(base, "_READY"))) {
       fs.delete(base, true)
@@ -283,11 +290,17 @@ object StreamingQueries {
     }
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType),
       StructField("event_type", StringType), StructField("value", DoubleType)))
-    val src = spark.readStream.schema(schema)
+    spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "q*.parquet")
       .parquet(base.toString)
+  }
+
+  def streamWindowedAppend(spark: SparkSession, dir: String): DataFrame = {
+    val src = chronoReplay(spark, dir)
+      .select("event_id", "ts", "event_type", "value")
     val agg = src
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -473,7 +486,39 @@ object StreamingQueries {
       |  n_events, session_start_us, duration_us, end_reason
       |FROM closed ORDER BY user_id, session_id""".stripMargin
 
+  /** Watermark-bounded streaming dedup: dropDuplicatesWithinWatermark
+    * keys state on (user_id, event_type) and — unlike plain
+    * dropDuplicates, whose state grows forever — evicts entries once the
+    * watermark passes their event time. THE state-management primitive
+    * for dedup over an unbounded 100 TB/day stream. Replayed over the
+    * 4-batch chronological fixture with a delay longer than the full
+    * replay span, so nothing evicts mid-replay and the emitted key set
+    * equals the batch DISTINCT (the oracle); eviction + re-emission
+    * under a short delay is proven by the MemoryStream spec. */
+  def streamDedupWm(spark: SparkSession, dir: String): DataFrame = {
+    val dd = chronoReplay(spark, dir)
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .withWatermark("ts", "90 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+    withStreamPartitions(spark) {
+      val q = dd.writeStream
+        .format("memory")
+        .queryName("graft_stream_dedup_wm")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table("graft_stream_dedup_wm")
+      .orderBy("user_id", "event_type")
+  }
+
+  private val streamDedupWmSql =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_dedup_wm", streamDedupWm, Some(streamDedupWmSql)),
     QueryDef("q_stream_custom_session", streamCustomSession,
       Some(streamCustomSessionSql)),
     QueryDef("q_stream_windowed_append", streamWindowedAppend,

@@ -157,4 +157,35 @@ class StreamingSpec extends SparkSuite {
       assert(afterT2.size === 3)
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark: dups dropped while keyed state " +
+    "lives, key re-emits after watermark eviction") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(java.sql.Timestamp, Long)](spark, 1)
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val dd = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("k")
+    val q = dd.writeStream.format("memory").queryName("dd_wm_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: key 7 emits once, in-batch duplicate dropped
+      input.addData((t(0), 7L), (t(0), 7L))
+      q.processAllAvailable()
+      assert(spark.table("dd_wm_test").count() === 1)
+      // batch 2: watermark still below t0+1h -> duplicate still dropped;
+      // the t10 row advances the watermark to ~t9 for the NEXT batch
+      input.addData((t(1), 7L), (t(10), 99L))
+      q.processAllAvailable()
+      assert(spark.table("dd_wm_test").as[(java.sql.Timestamp, Long)]
+        .collect().map(_._2).sorted.toSeq === Seq(7L, 99L))
+      // batch 3: key 7's state (event time t0/t1) is behind the t9
+      // watermark and was evicted -> the same key RE-EMITS
+      input.addData((t(11), 7L))
+      q.processAllAvailable()
+      assert(spark.table("dd_wm_test").as[(java.sql.Timestamp, Long)]
+        .collect().map(_._2).sorted.toSeq === Seq(7L, 7L, 99L))
+    } finally q.stop()
+  }
 }
