@@ -972,7 +972,49 @@ object Breadth {
        |  MIN(val) AS min_val, MAX(val) AS max_val
        |FROM kv GROUP BY key ORDER BY key""".stripMargin
 
+  /** Exact rolling median (a HOLISTIC window aggregate — unlike sum/avg
+    * it cannot be computed incrementally from partials): per-user 7-row
+    * event window, median = the explicit order statistic of the sorted
+    * window buffer. Both engines evaluate the identical formulation
+    * (sorted window list + 1-based element picks + IEEE mean of the two
+    * middles), so results are bit-exact despite being doubles.
+    *
+    * Scale shape: one shuffle on user_id (the window partition key);
+    * within partitions the 7-element buffer is O(w log w) per row — the
+    * honest cost of holistic window aggregates. An incremental two-heap
+    * implementation would be the 1000×-window upgrade; at w=7 the
+    * buffer IS the fast path. */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-6, 0)
+    val arr = sort_array(collect_list(col("value")).over(w))
+    val n = size(arr)
+    val med = when(n % 2 === 1,
+        element_at(arr, ((n + 1) / 2).cast("int")))
+      .otherwise((element_at(arr, (n / 2).cast("int")) +
+        element_at(arr, (n / 2).cast("int") + 1)) / 2.0)
+    Star.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("med7", med)
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  private val rollingMedianSql =
+    """SELECT user_id, event_id, ts, value,
+      |  CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2]
+      |       ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / 2.0
+      |  END AS med7
+      |FROM (
+      |  SELECT user_id, event_id, ts, value,
+      |    list_sort(list(value) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+      |  FROM events)
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_rolling_median", rollingMedian, Some(rollingMedianSql)),
     QueryDef("q_map_ops", mapOps, Some(mapOpsSql)),
     QueryDef("q_mom_growth", momGrowth, Some(momGrowthSql)),
     QueryDef("q_pareto_suppliers", paretoSuppliers,

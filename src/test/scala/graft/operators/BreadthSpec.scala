@@ -159,4 +159,23 @@ class BreadthSpec extends SparkSuite {
     val n = df.agg(sum("n")).as[Long](spark.implicits.newLongEncoder).head()
     assert(n === Star.table(spark, sf, "orders").count())
   }
+
+  test("rollingMedian: matches a reference median over the trailing window") {
+    val rows = Breadth.rollingMedian(spark, sf)
+      .select("user_id", "value", "med7").collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.zipWithIndex.groupBy(_._1.getLong(0))
+    byUser.values.foreach { series =>
+      val ordered = series.sortBy(_._2).map(_._1)
+      ordered.indices.foreach { i =>
+        val window = ordered.slice(math.max(0, i - 6), i + 1)
+          .map(_.getDouble(1)).sorted
+        val n = window.length
+        val want =
+          if (n % 2 == 1) window(n / 2)
+          else (window(n / 2 - 1) + window(n / 2)) / 2.0
+        assert(ordered(i).getDouble(2) === want)
+      }
+    }
+  }
 }
