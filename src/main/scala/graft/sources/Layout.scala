@@ -152,6 +152,50 @@ object Layout {
       |FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Small-files compaction — the standing operational chore of any
+    * 100 TB lake (streaming ingest and over-parallel writes leave
+    * thousands of KB-sized files; scans then pay per-file open/footer
+    * costs and planners per-file metadata). The op: write-once fixture
+    * of the documents table fragmented into 16 shards, then compact by
+    * computing the target file count from actual bytes / target size
+    * and rewriting through repartition(target). The gate aggregates the
+    * compacted table against the original-table oracle (byte-identical
+    * content is the contract; the file-count collapse is spec-asserted).
+    * On a real lake the same op runs per partition-directory with a
+    * manifest swap instead of overwrite. */
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Star
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val fragPath = s"$wh/graft_frag_documents_$tag"
+    val compactPath = s"$wh/graft_compact_documents_$tag"
+    val hp = new org.apache.hadoop.fs.Path(fragPath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(fragPath, "_SUCCESS"))) {
+      Star.table(spark, dir, "documents")
+        .repartition(16).write.mode("overwrite").parquet(fragPath)
+    }
+    val dataBytes = fs.listStatus(hp)
+      .filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
+    val targetFileBytes = 4L << 20 // 4 MiB locally; 128 MiB-1 GiB on a lake
+    val target = math.max(1L, (dataBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(fragPath)
+      .repartition(target)
+      .write.mode("overwrite").parquet(compactPath)
+    spark.read.parquet(compactPath)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        countDistinct("doc_id").as("n_ids"))
+      .orderBy("lang")
+  }
+
+  private val compactionSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  COUNT(DISTINCT doc_id) AS n_ids
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Morton (Z-order) interleave of two bucketized non-negative columns:
     * bit b of `x` lands at position 2b, bit b of `y` at 2b+1. Sorting by
     * the result clusters rows so every contiguous range covers a small
@@ -224,6 +268,7 @@ object Layout {
       Some(bucketedRevenueSql)),
     graft.QueryDef("q_partition_pruned", partitionPruned,
       Some(partitionPrunedSql)),
+    graft.QueryDef("q_compaction", compaction, Some(compactionSql)),
     graft.QueryDef("q_orc_roundtrip", orcRoundtrip,
       Some(orcRoundtripSql)),
   )

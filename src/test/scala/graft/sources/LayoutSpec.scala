@@ -93,4 +93,25 @@ class LayoutSpec extends SparkSuite {
     val scan = scoped.queryExecution.executedPlan.collectLeaves().head.toString
     assert(!scan.contains("mes=1"), "unpruned partition in scan\n" + scan)
   }
+
+  test("compaction collapses the fragmented layout to the byte-target file count") {
+    val sf = "/root/testdata/sf0.001"
+    Layout.compaction(spark, sf).collect() // builds fixture + compacted dir
+    val tag = java.lang.Integer.toHexString(sf.hashCode)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    def files(p: String): Array[String] = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(hp).map(_.getPath.getName).filter(_.startsWith("part-"))
+    }
+    val frag = files(s"$wh/graft_frag_documents_$tag")
+    val compact = files(s"$wh/graft_compact_documents_$tag")
+    assert(frag.length === 16)
+    // 500 docs ≈ a few hundred KB → one 4 MiB-target file
+    assert(compact.length === 1, compact.mkString(","))
+    // content preserved row-for-row
+    val a = spark.read.parquet(s"$wh/graft_frag_documents_$tag").count()
+    val b = spark.read.parquet(s"$wh/graft_compact_documents_$tag").count()
+    assert(a === b)
+  }
 }
