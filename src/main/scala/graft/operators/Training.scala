@@ -427,6 +427,112 @@ object Training {
        |WHERE bucket >= 90
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- BPE merge training
+
+  /** Two rounds of the BPE tokenizer-training inner loop, end to end on
+    * the engine: character-symbolize the (frequency-weighted) vocabulary,
+    * count adjacent symbol pairs, pick the most frequent pair
+    * (count-desc, pair-asc tiebreak — fully deterministic), apply the
+    * merge left-to-right non-overlapping, repeat on the merged symbols.
+    * Output: one row per round with the learned merge rule, its weighted
+    * count, and the corpus symbol count after applying it.
+    *
+    * The merge application is a higher-order array fold in Spark
+    * (`aggregate` over the symbol array — codegen-friendly, no UDF) and
+    * a recursive-CTE fixpoint replace in DuckDB; both compute the same
+    * left-to-right non-overlapping merge, so results hash-match.
+    *
+    * Scale shape: training runs on the AGGREGATED vocabulary (word,
+    * freq) — the one corpus-scale pass is the word count; every merge
+    * round then touches |vocab| rows, not |corpus|. The top-pair
+    * selection is a 1-row aggregate broadcast back into the merge map.
+    * This is exactly how production BPE trainers stay tractable. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Star.fan(spark, Star.table(spark, dir, "documents"))
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val seq0 = vocab.select(
+      trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("freq"))
+
+    def topPair(seqs: DataFrame): DataFrame = seqs
+      .select(col("freq"), split(col("s"), " ").as("a"))
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, greatest(size(a) - 1, 1)), " +
+          "i -> concat(element_at(a, i), ' ', try_element_at(a, i + 1)))"))
+        .as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy("p").agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("p")).limit(1)
+      .select(col("p"), col("cnt"),
+        split(col("p"), " ").getItem(0).as("pa"),
+        split(col("p"), " ").getItem(1).as("pb"))
+
+    def applyMerge(seqs: DataFrame, top: DataFrame): DataFrame = seqs
+      .crossJoin(broadcast(top))
+      .select(array_join(expr(
+        "aggregate(split(s, ' '), array_repeat('', 0), (acc, x) -> " +
+          "if(size(acc) > 0 and element_at(acc, -1) = pa and x = pb, " +
+          "concat(slice(acc, 1, size(acc) - 1), array(concat(pa, pb))), " +
+          "concat(acc, array(x))))"), " ").as("s"), col("freq"))
+
+    def nSym(seqs: DataFrame): DataFrame = seqs
+      .agg(sum(col("freq") * size(split(col("s"), " ")))
+        .as("n_symbols_after"))
+
+    val t1 = topPair(seq0)
+    val m1 = applyMerge(seq0, t1)
+    val t2 = topPair(m1)
+    val m2 = applyMerge(m1, t2)
+    val r1 = t1.select(lit(1).as("merge_round"), col("p").as("pair"),
+      col("cnt").as("pair_count")).crossJoin(broadcast(nSym(m1)))
+    val r2 = t2.select(lit(2).as("merge_round"), col("p").as("pair"),
+      col("cnt").as("pair_count")).crossJoin(broadcast(nSym(m2)))
+    r1.unionByName(r2).orderBy("merge_round")
+  }
+
+  private val bpeMergesSql = {
+    def round(i: Int, src: String): String =
+      s"""pairs$i AS (
+         |  SELECT p, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(
+         |      range(1, greatest(len(a), 2)), i -> a[i] || ' ' || a[i+1]))
+         |      AS p
+         |    FROM (SELECT regexp_split_to_array(s, ' ') AS a, freq
+         |          FROM $src))
+         |  WHERE p IS NOT NULL GROUP BY p),
+         |top$i AS (
+         |  SELECT p, cnt, replace(p, ' ', '') AS m FROM pairs$i
+         |  ORDER BY cnt DESC, p LIMIT 1),
+         |rec$i AS (
+         |  SELECT ' ' || s || ' ' AS s, freq FROM $src
+         |  UNION ALL
+         |  SELECT replace(s, ' ' || (SELECT p FROM top$i) || ' ',
+         |                    ' ' || (SELECT m FROM top$i) || ' '), freq
+         |  FROM rec$i
+         |  WHERE position((' ' || (SELECT p FROM top$i) || ' ') IN s) > 0),
+         |m$i AS (
+         |  SELECT trim(s) AS s, freq FROM rec$i
+         |  WHERE position((' ' || (SELECT p FROM top$i) || ' ') IN s) = 0)""".stripMargin
+    s"""WITH RECURSIVE words AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |  FROM documents),
+       |vocab AS (SELECT w, COUNT(*) AS freq FROM words GROUP BY w),
+       |seq0 AS (
+       |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, freq
+       |  FROM vocab),
+       |${round(1, "seq0")},
+       |${round(2, "m1")}
+       |SELECT 1 AS merge_round, (SELECT p FROM top1) AS pair,
+       |  (SELECT cnt FROM top1) AS pair_count,
+       |  (SELECT CAST(SUM(freq * len(regexp_split_to_array(s, ' ')))
+       |     AS BIGINT) FROM m1) AS n_symbols_after
+       |UNION ALL
+       |SELECT 2, (SELECT p FROM top2), (SELECT cnt FROM top2),
+       |  (SELECT CAST(SUM(freq * len(regexp_split_to_array(s, ' ')))
+       |     AS BIGINT) FROM m2)
+       |ORDER BY merge_round""".stripMargin
+  }
+
   // ---------------------------------------------- domain mixture resample
 
   /** Domain-mixture resampling: given per-source target weights
@@ -496,5 +602,6 @@ object Training {
     QueryDef("q_unigram_likelihood", unigramLikelihood,
       Some(unigramLikelihoodSql)),
     QueryDef("q_domain_mixture", domainMixture, Some(domainMixtureSql)),
+    QueryDef("q_bpe_merges", bpeMerges, Some(bpeMergesSql)),
   )
 }

@@ -179,6 +179,21 @@ class TrainingSpec extends SparkSuite {
     }
   }
 
+  test("bpeMerges: symbol count shrinks by at most the pair count per round") {
+    val rows = Training.bpeMerges(spark, sf).collect()
+    assert(rows.length === 2)
+    val initial = Star.fan(spark, Star.table(spark, sf, "documents"))
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .agg(sum(length(col("w")))).head.getLong(0)
+    val Array(r1, r2) = rows
+    assert(r1.getString(1).split(" ").length === 2)
+    // each applied merge removes one symbol per merged occurrence, and
+    // overlapping pair counts can exceed applied merges: n - cnt <= after < n
+    assert(r1.getLong(3) < initial && r1.getLong(3) >= initial - r1.getLong(2))
+    assert(r2.getLong(3) < r1.getLong(3) &&
+      r2.getLong(3) >= r1.getLong(3) - r2.getLong(2))
+  }
+
   test("domainMixture: drawn = min(target, available); total within budget") {
     val rows = Training.domainMixture(spark, sf).collect()
     assert(rows.length === 20)
