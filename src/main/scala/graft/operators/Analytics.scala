@@ -434,7 +434,57 @@ object Analytics {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  /** Per-group ordinary-least-squares trend: slope/intercept of value
+    * over time for each event type, from EXACT integer moment sums —
+    * x = whole hours since the corpus epoch, y = value in cents, so
+    * n·Σxy − Σx·Σy and n·Σx² − (Σx)² are pure integer arithmetic
+    * (bounds hold to sf≈1 per group; beyond that, widen to decimal) and
+    * the final slope/intercept divisions are IEEE-deterministic.
+    * One map-side-combined aggregate — the same single-pass shape as
+    * the moment-based correlation matrix. */
+  def linregPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val x = floor((unix_micros(col("ts")) -
+      unix_micros(lit("2024-01-01").cast("timestamp"))) / 3600000000L)
+      .cast("long")
+    val y = Star.cents(col("value"))
+    val g = Star.events(spark, dir)
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = num.cast("double") / den.cast("double")
+    g.select(col("event_type"), col("n"),
+        slope.as("slope_c_per_h"),
+        ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("n").cast("double")).as("intercept_c"))
+      .orderBy("event_type")
+  }
+
+  private val linregPerGroupSql = {
+    val x = "(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) // 3600000000"
+    val y = Star.Sql.cents("value")
+    s"""WITH m AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |    CAST(SUM($x) AS BIGINT) AS sx,
+       |    CAST(SUM($y) AS BIGINT) AS sy,
+       |    CAST(SUM(($x) * ($y)) AS BIGINT) AS sxy,
+       |    CAST(SUM(($x) * ($x)) AS BIGINT) AS sxx
+       |  FROM events GROUP BY event_type)
+       |SELECT event_type, n,
+       |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       |    AS slope_c_per_h,
+       |  (CAST(sy AS DOUBLE) -
+       |    (CAST(n * sxy - sx * sy AS DOUBLE) /
+       |     CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+       |    / CAST(n AS DOUBLE) AS intercept_c
+       |FROM m ORDER BY event_type""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_linreg_group", linregPerGroup, Some(linregPerGroupSql)),
     QueryDef("q_profile_table", profileTable, Some(profileTableSql)),
     QueryDef("q_weighted_avg", weightedAvg, Some(weightedAvgSql)),
     QueryDef("q_zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql)),

@@ -31,6 +31,29 @@ class GraphSpec extends SparkSuite {
     assert(a.sameElements(b))
   }
 
+  test("linregPerGroup: matches a driver-side OLS reference at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.linregPerGroup(spark, sf).collect()
+    val raw = Star.events(spark, sf)
+      .select(col("event_type"),
+        floor((unix_micros(col("ts")) -
+          unix_micros(lit("2024-01-01").cast("timestamp"))) / 3600000000L)
+          .cast("long"),
+        round(col("value") * 100).cast("long"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val pts = raw(r.getString(0)).map(p => (p.getLong(1), p.getLong(2)))
+      val n = pts.length.toLong
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      assert(r.getLong(1) === n)
+      assert(r.getDouble(2) === slope)
+      assert(r.getDouble(3) === (sy.toDouble - slope * sx.toDouble) / n.toDouble)
+    }
+  }
+
   test("pageRank: rank correlates with weighted in-degree on this graph") {
     val rows = Graph.pageRank(spark, sf).collect()
     // suppliers concentrate in few nations at sf0.001 — nations with no
