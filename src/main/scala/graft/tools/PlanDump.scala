@@ -19,6 +19,24 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
 
     val entries: Seq[(String, String)] = Seq(
+      "q_tpch_q21" ->
+        """TPC-H Q21 shape (the hardest decorrelation in the suite). What to
+          |look for: ONE `LeftSemi` and ONE `LeftAnti` hash join on the
+          |order key, each with the supplier-inequality as a join residual —
+          |no BroadcastNestedLoop, no aggregate-based decorrelation; the
+          |late-lines relation feeds both the probe and the anti side.""".stripMargin,
+      "q_tpch_q2" ->
+        """TPC-H Q2 shape. What to look for: both selective dim filters
+          |(part class, supplier region) applied via BroadcastHashJoin ON
+          |THE FACT SCAN before the pair aggregate, so only the brand
+          |slice's lineitems are aggregated; the per-part MIN joins back as
+          |a broadcast, not a shuffle.""".stripMargin,
+      "q_pagerank" ->
+        """Iterative weighted PageRank. What to look for: the fact-scale
+          |edge build appears ONCE (materialized leaf); each of the 5
+          |iterations is a BroadcastHashJoin of the 25-row rank table
+          |against the edge leaf plus one small aggregate — no repeated
+          |parquet scans, no growing lineage.""".stripMargin,
       "q_agg_pricing" ->
         """TPC-H-Q1 shape. What to look for: `PushedFilters` carries the
           |shipdate predicate into the parquet scan; `ReadSchema` holds only
