@@ -75,6 +75,40 @@ object InmetQueries {
   /** Shared oracle scaffolding: raw INMET files -> cleansed hourly rows
     * joined with the metadata-derived station key, in DuckDB SQL. Mirrors
     * Ingest's line classification and 1-based split indexing exactly. */
+  /** Gate for the DataSource V2 reader (graft.sources.v2.InmetSource):
+    * the same raw files through the V2 scan — with the March date range
+    * pushed INTO the scan and only 3 of 7 columns read — aggregated to
+    * a daily rollup; the oracle re-parses the raw files in DuckDB and
+    * applies the same range. Proves the custom source end-to-end against
+    * an independent engine, not just against our own Ingest path. */
+  def inmetDsv2(spark: SparkSession, dir: String): DataFrame = {
+    val v2 = spark.read.format("graft.sources.v2.InmetSource")
+      .load(fixtureGlob)
+    v2.filter(col("data_medicao") >= lit("2025-03-01") &&
+        col("data_medicao") < lit("2025-04-01"))
+      .groupBy("wmo", "data_medicao")
+      .agg(
+        min("temperatura_c").as("temp_min_c"),
+        max("temperatura_c").as("temp_max_c"),
+        (sum(Star.cents(col("temperatura_c"))).cast("double") / 100.0 /
+          count(lit(1))).as("temp_avg_c"),
+        count(lit(1)).as("registros_horarios"))
+      .orderBy("wmo", "data_medicao")
+  }
+
+  private val inmetDsv2Sql =
+    s"""$parsedCte
+       |SELECT wmo, data_medicao,
+       |  MIN(temperatura_c) AS temp_min_c,
+       |  MAX(temperatura_c) AS temp_max_c,
+       |  CAST(SUM(temp_c) AS DOUBLE) / 100.0 / COUNT(*) AS temp_avg_c,
+       |  COUNT(*) AS registros_horarios
+       |FROM hourly
+       |WHERE data_medicao >= DATE '2025-03-01'
+       |  AND data_medicao < DATE '2025-04-01'
+       |GROUP BY wmo, data_medicao
+       |ORDER BY wmo, data_medicao""".stripMargin
+
   private def parsedCte: String =
     s"""WITH lines AS (
        |  SELECT filename, column0 AS line
@@ -205,5 +239,6 @@ object InmetQueries {
     QueryDef("q_inmet_kpis", inmetKpis, Some(inmetKpisSql)),
     QueryDef("q_inmet_station_distance", inmetStationDistance,
       Some(inmetStationDistanceSql)),
+    QueryDef("q_inmet_dsv2", inmetDsv2, Some(inmetDsv2Sql)),
   )
 }
