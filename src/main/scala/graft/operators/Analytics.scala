@@ -483,7 +483,81 @@ object Analytics {
        |FROM m ORDER BY event_type""".stripMargin
   }
 
+  /** Robust outliers via MEDIAN ABSOLUTE DEVIATION — the z-score's
+    * outlier-resistant sibling (a single wild value shifts the mean and
+    * stddev but not the medians). Exact integer order statistics both
+    * passes: doubled-median med2 = 2·Σ(middle values)/|middle| from the
+    * rank window, doubled deviations |2y − med2|, doubled-again MAD,
+    * and the flag 2·dev2 > 3·mad4 — never a float until presentation.
+    *
+    * Scale note: rank-per-group windows are the right shape when groups
+    * are numerous and small-to-medium (each window sorts locally after
+    * the one hash exchange). For FEW huge groups, the value-bucket
+    * two-level form (see Quantiles.exactQuantiles) replaces the
+    * single-task-per-group sort — same doctrine, different layout. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g")
+    def medians2(df: DataFrame, valueCol: String): DataFrame = {
+      val ww = Window.partitionBy("g").orderBy(valueCol)
+      df.withColumn("rk", row_number().over(ww))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter((col("n") % 2 === 1 && col("rk") === (col("n") + 1) / 2) ||
+          (col("n") % 2 === 0 &&
+            (col("rk") === col("n") / 2 || col("rk") === col("n") / 2 + 1)))
+        .groupBy("g")
+        .agg((sum(col(valueCol)) * 2L / count(lit(1))).cast("long").as("m2"))
+    }
+    val base = Star.events(spark, dir)
+      .select(col("event_type").as("g"), Star.cents(col("value")).as("y"))
+    val med = medians2(base, "y")
+    val dev = base.join(broadcast(med), "g")
+      .select(col("g"), col("y"), col("m2"),
+        abs(col("y") * 2L - col("m2")).as("dev2"))
+    val mad = medians2(dev.select(col("g"), col("dev2")), "dev2")
+      .withColumnRenamed("m2", "mad4")
+    dev.join(broadcast(mad), "g")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        (max("m2").cast("double") / 2.0).as("median_c"),
+        (max("mad4").cast("double") / 4.0).as("mad_c"),
+        sum(when(col("dev2") * 2L > lit(3L) * col("mad4"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("g")
+  }
+
+  private val madOutliersSql = {
+    val y = Star.Sql.cents("value")
+    def med2(src: String, v: String): String =
+      s"""SELECT g, CAST(SUM($v) * 2 // COUNT(*) AS BIGINT) AS m2
+         |  FROM (
+         |    SELECT g, $v,
+         |      ROW_NUMBER() OVER (PARTITION BY g ORDER BY $v) AS rk,
+         |      COUNT(*) OVER (PARTITION BY g) AS n
+         |    FROM $src)
+         |  WHERE (n % 2 = 1 AND rk = (n + 1) // 2)
+         |     OR (n % 2 = 0 AND (rk = n // 2 OR rk = n // 2 + 1))
+         |  GROUP BY g""".stripMargin
+    s"""WITH base AS (
+       |  SELECT event_type AS g, $y AS y FROM events),
+       |med AS (
+       |${med2("base", "y")}),
+       |dev AS (
+       |  SELECT base.g, y, m2, abs(y * 2 - m2) AS dev2
+       |  FROM base JOIN med ON base.g = med.g),
+       |mad AS (
+       |${med2("dev", "dev2")})
+       |SELECT dev.g, COUNT(*) AS n,
+       |  CAST(MAX(dev.m2) AS DOUBLE) / 2.0 AS median_c,
+       |  CAST(MAX(mad.m2) AS DOUBLE) / 4.0 AS mad_c,
+       |  CAST(SUM(CASE WHEN dev2 * 2 > 3 * mad.m2 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_outliers
+       |FROM dev JOIN mad ON dev.g = mad.g
+       |GROUP BY dev.g ORDER BY dev.g""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_mad_outliers", madOutliers, Some(madOutliersSql)),
     QueryDef("q_linreg_group", linregPerGroup, Some(linregPerGroupSql)),
     QueryDef("q_profile_table", profileTable, Some(profileTableSql)),
     QueryDef("q_weighted_avg", weightedAvg, Some(weightedAvgSql)),

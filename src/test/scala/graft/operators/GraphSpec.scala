@@ -31,6 +31,28 @@ class GraphSpec extends SparkSuite {
     assert(a.sameElements(b))
   }
 
+  test("madOutliers: matches a driver-side median/MAD reference") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.madOutliers(spark, sf).collect()
+    val raw = Star.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().groupBy(_.getString(0))
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+    }
+    rows.foreach { r =>
+      val ys = raw(r.getString(0)).map(_.getLong(1)).toSeq
+      val m2 = med2(ys)
+      val dev2 = ys.map(y => math.abs(2 * y - m2))
+      val mad4 = med2(dev2)
+      assert(r.getLong(1) === ys.length.toLong)
+      assert(r.getDouble(2) === m2 / 2.0)
+      assert(r.getDouble(3) === mad4 / 4.0)
+      assert(r.getLong(4) === dev2.count(d => 2 * d > 3 * mad4).toLong)
+    }
+  }
+
   test("linregPerGroup: matches a driver-side OLS reference at sf0.001") {
     import org.apache.spark.sql.functions._
     val rows = Analytics.linregPerGroup(spark, sf).collect()
