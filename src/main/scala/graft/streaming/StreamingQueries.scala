@@ -517,7 +517,45 @@ object StreamingQueries {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Stream–static join: the replayed event stream enriched per
+    * micro-batch against the static customer dimension (broadcast hash
+    * join inside every trigger — stateless, append-mode, the standard
+    * stream-enrichment shape at any scale; the dim re-broadcasts per
+    * batch, so dimension updates between triggers are picked up). The
+    * gate aggregates the enriched sink table; oracle = the equivalent
+    * batch join. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Star.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = chronoReplay(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+    withStreamPartitions(spark) {
+      val q = enriched.writeStream
+        .format("memory")
+        .queryName("graft_stream_static")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table("graft_stream_static")
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(Star.cents(col("value"))).cast("double") / 100.0)
+          .as("total_value"))
+      .orderBy("c_mktsegment", "event_type")
+  }
+
+  private val streamStaticJoinSql =
+    s"""SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+       |  CAST(SUM(${graft.operators.Star.Sql.cents("value")}) AS DOUBLE)
+       |    / 100.0 AS total_value
+       |FROM events JOIN customer ON user_id = c_custkey
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_static_join", streamStaticJoin,
+      Some(streamStaticJoinSql)),
     QueryDef("q_stream_dedup_wm", streamDedupWm, Some(streamDedupWmSql)),
     QueryDef("q_stream_custom_session", streamCustomSession,
       Some(streamCustomSessionSql)),
