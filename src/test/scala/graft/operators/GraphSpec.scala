@@ -31,6 +31,15 @@ class GraphSpec extends SparkSuite {
     assert(a.sameElements(b))
   }
 
+  test("kmeans: partitions the corpus, deterministic across runs") {
+    val a = Similarity.kmeans(spark, sf).collect()
+    assert(a.map(_.getLong(1)).sum ===
+      Star.table(spark, sf, "embeddings").count())
+    assert(a.map(_.getInt(0)).toSeq === a.map(_.getInt(0)).toSeq.sorted)
+    val b = Similarity.kmeans(spark, sf).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+  }
+
   test("madOutliers: matches a driver-side median/MAD reference") {
     import org.apache.spark.sql.functions._
     val rows = Analytics.madOutliers(spark, sf).collect()
