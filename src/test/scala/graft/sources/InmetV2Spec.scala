@@ -48,6 +48,16 @@ class InmetV2Spec extends SparkSuite {
     assert(expected === 3L * 31L * 24L) // 3 stations, hourly March
   }
 
+  test("registered gate query q_inmet_dsv2 pushes its date range into the scan") {
+    val df = graft.operators.InmetQueries.inmetDsv2(spark, "unused")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("InmetScan"), scan)
+    assert(scan.contains("GreaterThanOrEqual(data_medicao") &&
+      scan.contains("LessThan(data_medicao"), scan)
+    // only the 2 columns the rollup needs are read
+    assert(scan.contains("ReadSchema: [wmo,data_medicao,temperatura_c]"), scan)
+  }
+
   test("wmo equality pushes down and short-circuits non-matching files") {
     val one = v2.filter(col("wmo") === "A507")
     val scan = one.queryExecution.executedPlan.collectLeaves().head.toString
