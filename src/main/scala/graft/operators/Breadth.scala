@@ -122,15 +122,41 @@ object Breadth {
 
   /** Distribution ranks: ntile quartiles + percent_rank + cume_dist over
     * a unique (c_acctbal, c_custkey) order. percent_rank/cume_dist are
-    * IEEE divisions of exact small integers — bit-identical cross-engine. */
+    * IEEE divisions of exact small integers — bit-identical cross-engine.
+    *
+    * NOT a `Window.orderBy` — an unpartitioned window plans as a
+    * single-partition sort (one task ranks the whole table). The global
+    * rank comes from the range-partitioned zipWithIndex idiom
+    * (Star.globalRank); the three rank functions are then closed-form in
+    * (rank, n) because the order key is unique: every row is its own
+    * peer group, so ntile/percent_rank/cume_dist reduce to integer
+    * arithmetic on the rank — evaluated map-side, fully parallel. */
   def ntileRanks(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("c_acctbal", "c_custkey")
-    Star.table(spark, dir, "customer")
+    val base = Star.table(spark, dir, "customer")
       .select(col("c_custkey"), col("c_acctbal"))
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
-      .withColumn("pct_rank", percent_rank().over(w))
-      .withColumn("cume", cume_dist().over(w))
+    val ranked = Star.globalRank(spark, base, "__rk",
+      col("c_acctbal"), col("c_custkey"))
+    // scalar row count broadcast alongside (count-only scan is metadata-cheap)
+    val n = broadcast(base.agg(count(lit(1)).as("__n")))
+    // ntile(k): the first n%k buckets take ceil(n/k) rows, the rest
+    // floor(n/k) — the SQL-standard fill both engines implement. All
+    // arithmetic is exact integer DIV/%, never a rounded double.
+    val k = 4
+    ranked.crossJoin(n)
+      .withColumn("__q", expr(s"__n DIV $k"))
+      .withColumn("__r", col("__n") % k)
+      .select(col("c_custkey"), col("c_acctbal"),
+        when(col("__rk") < (col("__q") + 1) * col("__r"),
+            expr("__rk DIV (__q + 1)") + 1)
+          .otherwise(expr("(__rk - __r) DIV __q") + 1)
+          .as("quartile"),
+        // unique order key => rank has no peers: percent_rank = rk/(n-1),
+        // cume_dist = (rk+1)/n — the same IEEE divisions as the builtins
+        when(col("__n") === 1, 0.0)
+          .otherwise(col("__rk").cast("double") /
+            (col("__n") - 1).cast("double")).as("pct_rank"),
+        ((col("__rk") + 1).cast("double") /
+          col("__n").cast("double")).as("cume"))
       .orderBy("c_acctbal", "c_custkey")
   }
 
@@ -743,23 +769,45 @@ object Breadth {
        |FROM m ORDER BY month""".stripMargin
 
   /** Pareto (80/20) analysis: suppliers ranked by revenue with cumulative
-    * share, cut at the 80% line — group-by reduction first, then windows
-    * over supplier-grain rows only. */
+    * share, cut at the 80% line — group-by reduction first, then rank and
+    * prefix-sum over supplier-grain rows only.
+    *
+    * Supplier grain grows with SF, so `Window.orderBy(...)` (a
+    * single-partition sort — one task at any scale) is out. The global
+    * rank is the range-partitioned zipWithIndex idiom (Star.globalRank);
+    * the cumulative revenue is a TWO-LEVEL prefix sum over the rank:
+    * a partitioned local cumsum within rank-buckets of 2^16 rows runs in
+    * parallel, and bucket totals (an n/2^16-row relation) prefix into
+    * per-bucket offsets — the only unpartitioned window left runs on
+    * that tiny aggregated relation, never on supplier rows. The grand
+    * total broadcasts from its own count-scan aggregate. */
   def paretoSuppliers(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rev = Star.table(spark, dir, "lineitem")
       .groupBy("l_suppkey")
       .agg(sum(Star.cents(col("l_extendedprice"))).as("rev_c"))
-    val wRank = Window.orderBy(col("rev_c").desc, col("l_suppkey"))
-    rev
-      .withColumn("rnk", row_number().over(wRank).cast("long"))
-      .withColumn("cum_c", sum(col("rev_c")).over(
-        wRank.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("total_c", sum(col("rev_c")).over(
-        Window.partitionBy()))
+    val ranked = Star.globalRank(spark, rev, "__rk",
+      col("rev_c").desc, col("l_suppkey"))
+      .withColumn("__b", shiftright(col("__rk"), 16))
+    val wLoc = Window.partitionBy("__b").orderBy("__rk")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wOff = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    // bucket totals + grand total in one pass over the bucket relation
+    val offs = ranked.groupBy("__b").agg(sum(col("rev_c")).as("__bt"))
+      .withColumn("__off", coalesce(sum(col("__bt")).over(wOff), lit(0L)))
+      .withColumn("total_c", sum(col("__bt")).over(wAll))
+      .select("__b", "__off", "total_c")
+    ranked
+      .withColumn("__lcum", sum(col("rev_c")).over(wLoc))
+      .join(broadcast(offs), "__b")
+      .withColumn("cum_c", col("__lcum") + col("__off"))
       .withColumn("cum_share", Star.ratio6(col("cum_c"), col("total_c")))
       .filter(col("cum_share") <= 0.8)
-      .select("rnk", "l_suppkey", "rev_c", "cum_share")
+      .select((col("__rk") + 1).as("rnk"), col("l_suppkey"), col("rev_c"),
+        col("cum_share"))
       .orderBy("rnk")
   }
 

@@ -96,6 +96,25 @@ object Star {
   def ratio6(num: Column, den: Column): Column =
     idiv(num.cast("long") * 1000000L, den).cast("double") / 1000000.0
 
+  /** Contiguous 0-based global rank over a total order WITHOUT a
+    * single-task window. `Window.orderBy(...)` plans as Exchange
+    * SinglePartition + Sort — one task ranks the whole relation at any
+    * scale. Here `orderBy` is Spark's range-partitioned parallel sort
+    * (sampled split points, every core sorts a slice) and `zipWithIndex`
+    * assigns contiguous ids with one lightweight per-partition count job,
+    * preserving the total order deterministically. `sortCols` must be a
+    * UNIQUE key of the relation — ties would make the rank
+    * partition-layout-dependent. */
+  def globalRank(spark: SparkSession, df: DataFrame, rankCol: String,
+                 sortCols: Column*): DataFrame = {
+    import org.apache.spark.sql.Row
+    val sorted = df.orderBy(sortCols: _*)
+    val schema = sorted.schema.add(rankCol, LongType)
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
+  }
+
   /** SQL-side mirrors of the helpers, DuckDB dialect. */
   object Sql {
     def dsum(c: String): String =

@@ -156,6 +156,29 @@ class PlanSpec extends SparkSuite {
       "bloom filter should be below the join in the plan tree\n" + p)
   }
 
+  test("ntileRanks / paretoSuppliers: no single-task global window over " +
+    "row-grain data") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // ntile: the rank functions are closed-form over the zipWithIndex
+    // rank — the plan must contain NO window operator at all (a
+    // Window.orderBy here would plan a single-partition sort)
+    val ntile = Breadth.ntileRanks(spark, dir).queryExecution.sparkPlan
+    assert(ntile.collect { case w: WindowExec => w }.isEmpty,
+      "ntileRanks must not plan any Window\n" + ntile)
+    // pareto: local cumsum windows must be partitioned; an unpartitioned
+    // window is only allowed over the aggregated bucket-totals relation
+    // (n/2^16 rows), never over supplier-grain rows
+    val pareto = Breadth.paretoSuppliers(spark, dir).queryExecution.sparkPlan
+    val wins = pareto.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, pareto.toString)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.collect { case a: BaseAggregateExec => a }.nonEmpty,
+        "unpartitioned Window must sit above the bucket aggregate, not " +
+          "row-grain data\n" + w)
+    }
+  }
+
   test("INMET ingest: one distributed text scan, no per-file plans") {
     val st = graft.inmet.Pipeline.stage(spark,
       resourcePath("/inmet") + "/*.csv")
