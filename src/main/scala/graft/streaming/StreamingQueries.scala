@@ -177,19 +177,31 @@ object StreamingQueries {
     * which the next batch reads back. After the 3-file replay the serving
     * table IS the batch daily rollup — shared oracle with q_inmet_daily.
     *
-    * Scale note: this is the production maintenance loop for a serving
-    * aggregate — per batch it shuffles only that batch's partials plus
-    * the touched state rows, never the history. With a transactional
-    * format the re-aggregate becomes MERGE on the touched keys; plain
-    * parquet here swaps versioned directories instead (same dataflow). */
+    * Scale note: the state is ONE parquet dir hash-bucketed on the
+    * station key. Per batch: the batch's partials name their buckets (a
+    * driver-side list bounded by the bucket count, never by data), the
+    * state read is partition-PRUNED to exactly those buckets, and the
+    * merged result is written back with dynamic partition overwrite —
+    * untouched buckets are neither read nor rewritten. Per batch the
+    * loop shuffles only that batch's partials plus the touched state
+    * rows, never the history. With a transactional format the same
+    * dataflow becomes MERGE on the touched keys. */
   def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
     import graft.inmet.{Ingest, Pipeline, Warehouse}
     val fixtureDir = "/root/repo/src/test/resources/inmet"
     val fixtureGlob = s"$fixtureDir/*.csv"
     val work = java.nio.file.Files.createTempDirectory("graft_upsert")
-    val dim = Warehouse
-      .dimCidadeAtributos(Pipeline.stage(spark, fixtureGlob).cidades)
-      .select("wmo", "cidade_sk")
+    val stateDir = s"$work/state"
+    val nBuckets = 8
+    // materialized once — the dim lineage is a full CSV stage parse and
+    // would otherwise re-run inside every micro-batch's broadcast; the
+    // 3-row materialization doesn't need 32 shuffle partitions
+    val dim = withStreamPartitions(spark) {
+      Warehouse
+        .dimCidadeAtributos(Pipeline.stage(spark, fixtureGlob).cidades)
+        .select("wmo", "cidade_sk")
+        .localCheckpoint(true)
+    }
     val keys = Seq("wmo", "cidade_sk", "data_medicao")
     def partials(df: DataFrame): DataFrame = df
       .join(broadcast(dim), Seq("wmo"))
@@ -202,32 +214,53 @@ object StreamingQueries {
         sum(Star.cents(col("vento_mps"))).as("vento_c"),
         sum(Star.cents(col("umidade_porcentagem"))).as("umid_c"),
         count(lit(1)).as("n"))
+      .withColumn("__bk", pmod(xxhash64(col("wmo")), lit(nBuckets)))
     def merge(cur: Option[DataFrame], batch: DataFrame): DataFrame = {
       val both = cur.fold(batch)(_.unionByName(batch))
-      both.groupBy(keys.map(col): _*)
+      both.groupBy((keys :+ "__bk").map(col): _*)
         .agg(min("temp_min_c").as("temp_min_c"),
           max("temp_max_c").as("temp_max_c"),
           sum("temp_c").as("temp_c"), sum("precip_c").as("precip_c"),
           sum("pressao_c").as("pressao_c"), sum("vento_c").as("vento_c"),
           sum("umid_c").as("umid_c"), sum("n").as("n"))
     }
-    var version = -1
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prevOverwriteMode =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val src = InmetStreaming.previsoesStream(spark, fixtureDir, fixtureGlob)
-    withStreamPartitions(spark) {
+    try withStreamPartitions(spark) {
       val q = src.writeStream
         .option("checkpointLocation", s"$work/ckpt")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val cur = if (version < 0) None
-            else Some(spark.read.parquet(s"$work/v$version"))
-          merge(cur, partials(batch))
-            .write.mode("overwrite").parquet(s"$work/v${version + 1}")
-          version += 1
+          // one materialization of the batch partials feeds both the
+          // touched-bucket probe and the merge (no double aggregation)
+          val bp = partials(batch).localCheckpoint(true)
+          val touched = bp.select("__bk").distinct()
+            .collect().map(_.getLong(0))
+          val cur =
+            if (!fs.exists(new org.apache.hadoop.fs.Path(stateDir))) None
+            else Some(spark.read.parquet(stateDir)
+              .filter(col("__bk").isin(touched: _*)))
+          // localCheckpoint materializes the merged buckets so the
+          // overwrite below does not read from the path it replaces
+          val merged = merge(cur, bp).localCheckpoint(true)
+          merged.write.mode("overwrite").partitionBy("__bk")
+            .parquet(stateDir)
+          merged.unpersist()
+          bp.unpersist()
           ()
         }
         .start()
       try q.processAllAvailable() finally q.stop()
+    } finally prevOverwriteMode match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    val state = spark.read.parquet(s"$work/v$version")
+    val state = spark.read.parquet(stateDir)
     def avgD(c: String) = col(c).cast("double") / 100.0 / col("n")
     state.select(col("wmo"), col("cidade_sk"), col("data_medicao"),
         col("temp_min_c"), col("temp_max_c"),
