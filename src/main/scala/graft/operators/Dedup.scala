@@ -656,8 +656,11 @@ object Dedup {
     val drop = starComponents(verified)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
+    // no broadcast hint: the drop set is O(duplicates) — at a high dup
+    // rate it is corpus-sized and a forced broadcast would OOM the
+    // driver. AQE picks broadcast itself whenever the set is small.
     Star.table(spark, dir, "documents")
-      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .join(drop, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }

@@ -164,15 +164,31 @@ object Training {
     * driver-side build collects ~1 bit-array, same cost class as a
     * broadcast. (Spark can inject this itself when
     * `spark.sql.optimizer.runtime.bloomFilter.enabled` fires; the explicit
-    * operator covers plans/thresholds the injection rule skips.) */
+    * operator covers plans/thresholds the injection rule skips.)
+    *
+    * The build and the probe are Spark's NATIVE bloom expressions
+    * (BloomFilterAggregate / BloomFilterMightContain — the same pair the
+    * runtime-filter rule injects), not a Scala UDF: might_contain
+    * participates in whole-stage codegen, so the probe filter fuses into
+    * the scan stage instead of breaking it at a black-box UDF call. */
   def bloomPrefilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
     val cust = Star.table(spark, dir, "customer")
       .filter(col("c_nationkey") === 7)
       .select(col("c_custkey"), col("c_name"))
-    val bf = cust.stat.bloomFilter("c_custkey", 1000000L, 0.01)
-    val mightContain = udf((k: Long) => bf.mightContainLong(k))
+    // ~9.6M bits = the optimal sizing for 1M items at 1% fpp (any fpp is
+    // correctness-neutral: the exact join drops false positives)
+    val bfAgg = new BloomFilterAggregate(
+      Bridge.expression(xxhash64(col("c_custkey"))),
+      Literal(1000000L), Literal(9585059L)).toAggregateExpression()
+    val bfBytes = cust.select(Bridge.column(bfAgg).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Literal(bfBytes), Bridge.expression(xxhash64(col("o_custkey")))))
     Star.table(spark, dir, "orders")
-      .filter(mightContain(col("o_custkey")))
+      .filter(mightContain)
       .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_name")
       .agg(count(lit(1)).as("n_orders"),

@@ -145,15 +145,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastExchange"), p)
   }
 
-  test("bloomPrefilterJoin: the bloom filter is evaluated at the probe " +
-    "scan, before the join exchange") {
+  test("bloomPrefilterJoin: native might_contain at the probe scan, " +
+    "before the join exchange — no UDF") {
     val p = plan(Training.bloomPrefilterJoin(spark, dir))
-    // the UDF filter must sit under the join, adjacent to the probe scan
-    val udfIdx = p.indexOf("UDF(knownnotnull(o_custkey")
+    // the bloom probe must be Spark's codegen-capable expression, sitting
+    // under the join adjacent to the probe scan
+    val probeIdx = p.indexOf("might_contain")
     val joinIdx = p.indexOf("BroadcastHashJoin")
-    assert(udfIdx >= 0, p)
-    assert(joinIdx >= 0 && udfIdx > joinIdx,
+    assert(probeIdx >= 0, p)
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
       "bloom filter should be below the join in the plan tree\n" + p)
+    assert(!p.contains("UDF"), "bloom probe must not be a UDF\n" + p)
   }
 
   test("ntileRanks / paretoSuppliers: no single-task global window over " +

@@ -116,6 +116,14 @@ class Round4Spec extends SparkSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(exactKeep.subsetOf(lshKeep),
       s"exact-keep docs missing from LSH keep: ${exactKeep -- lshKeep}")
+    // END-TO-END equivalence gate: the chain's only divergence from the
+    // oracled exact path is band-recall loss, so the symmetric difference
+    // IS lshKeep -- exactKeep (superset asserted above). The measured
+    // recall bound on this corpus is 1 doc (one >=0.5 pair whose
+    // MinHash signatures agree on no band); pin it so a banding/verify
+    // regression can't silently widen the gap the oracle doesn't see.
+    assert((lshKeep -- exactKeep).size <= 1,
+      s"LSH recall loss grew past the measured bound: ${lshKeep -- exactKeep}")
     // every dropped doc is a non-canonical member of some exact cluster
     val all = Star.table(spark, sf, "documents")
       .select("doc_id").collect().map(_.getLong(0)).toSet
