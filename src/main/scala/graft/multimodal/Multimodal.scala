@@ -9,8 +9,12 @@ import org.apache.spark.sql.types._
   * processing runs batched per partition — the Scala analog of a Pandas-UDF
   * `mapInPandas` stage.
   *
-  * The actual media DECODE IS A STUB (`decodeStub`): the container has no
-  * image/audio codecs, so decode produces a deterministic fake derived from
+  * IMAGE decode is REAL: `image/png` payloads are encoded and decoded with
+  * `javax.imageio` (Java SE, no external deps) — see `renderPng` /
+  * `decodeImageFeatures`; q_media_features round-trips deterministic PNGs
+  * through the actual codec and is oracle-gated on the decoded pixel sums.
+  * Audio/video decode remains a STUB (`decodeStub`): the container has no
+  * such codecs, so decode produces a deterministic fake derived from
   * the payload bytes. Everything around it — schema, batch shape,
   * partitioning, null-safety, feature-vector plumbing — is real and tested,
   * so swapping in a JNI/foreign decoder changes one function.
@@ -108,21 +112,104 @@ object Multimodal {
       |FROM documents WHERE strlen(text) > 0
       |ORDER BY media_id""".stripMargin
 
-  /** The batched per-partition featurize stage in the gate (rows-only —
-    * the stub features are engine-specific): id, length, and the first
-    * pseudo-feature per media item. */
-  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val media = fromDocuments(
-      graft.operators.Star.table(spark, dir, "documents"))
-    extractFeatures(media, 8).toDF()
-      .select(col("media_id"), col("byte_len"),
-        round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
-      .orderBy("media_id")
+  // ------------------------------------------------- real image codec path
+
+  /** Pixel value formulas shared by the renderer and the SQL oracle: each
+    * channel at (x, y) for media `id` is a closed-form integer, so the
+    * decoded-pixel aggregates are computable from first principles by an
+    * engine that never sees the PNG bytes. */
+  private final val W = 16
+  private final val H = 16
+
+  /** Render the deterministic W x H RGB image for `id` and encode it as a
+    * real PNG via javax.imageio (lossless — decode returns the exact
+    * channel values). Runs on executors. */
+  def renderPng(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      W, H, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < H) {
+      var x = 0
+      while (x < W) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 5 + y * 11) % 256).toInt
+        val b = ((id * 13 + x * 3 + y * 29) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
   }
+
+  /** Synthetic PNG media table: one image per document, rendered and
+    * encoded per-partition on executors — payload bytes never pass through
+    * the driver. */
+  def pngMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Star.table(spark, dir, "documents")
+      .select("doc_id").as[Long]
+      .mapPartitions(_.map(id => (id, renderPng(id))))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), col("payload"),
+        struct(
+          lit("image/png").as("format"),
+          length(col("payload")).cast("long").as("byte_len"),
+          lit("synthetic").as("source")).as("meta"))
+  }
+
+  final case class ImageFeatures(media_id: Long, width: Long, height: Long,
+                                 sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Batched per-partition REAL decode: javax.imageio parses each PNG
+    * payload and the per-channel pixel sums come off the decoded raster —
+    * the featurize stage with an actual codec behind the seam. */
+  def decodeImageFeatures(media: DataFrame): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ImageFeatures(id, img.getWidth.toLong, img.getHeight.toLong,
+          sr, sg, sb)
+      })
+  }
+
+  /** Decoded-image features through the REAL codec, oracle-gated: the PNG
+    * round-trip is lossless, so the per-channel sums equal the closed-form
+    * pixel formulas DuckDB evaluates directly. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    decodeImageFeatures(pngMedia(spark, dir)).toDF()
+      .orderBy("media_id")
+
+  private val mediaFeaturesSql =
+    s"""SELECT doc_id AS media_id,
+       |  CAST($W AS BIGINT) AS width, CAST($H AS BIGINT) AS height,
+       |  CAST(SUM((doc_id*31 + x.x*7 + y.y*13) % 256) AS BIGINT) AS sum_r,
+       |  CAST(SUM((doc_id*17 + x.x*5 + y.y*11) % 256) AS BIGINT) AS sum_g,
+       |  CAST(SUM((doc_id*13 + x.x*3 + y.y*29) % 256) AS BIGINT) AS sum_b
+       |FROM documents, range($W) x(x), range($H) y(y)
+       |GROUP BY doc_id ORDER BY media_id""".stripMargin
 
   val defs: Seq[graft.QueryDef] = Seq(
     graft.QueryDef("q_media_frames", mediaFrames, Some(mediaFramesSql)),
-    graft.QueryDef("q_media_features", mediaFeatures, None),
+    graft.QueryDef("q_media_features", mediaFeatures, Some(mediaFeaturesSql)),
   )
 
   /** Frame-sampling plumbing for variable-length media: explode a payload

@@ -30,6 +30,29 @@ class MultimodalSpec extends SparkSuite {
     assert(f1.size === 500)
   }
 
+  test("PNG round-trip: javax.imageio decode recovers the exact closed-form pixels") {
+    // real codec both ways: bytes are a genuine PNG stream...
+    val bytes = Multimodal.renderPng(42L)
+    assert(bytes.take(8).map(_ & 0xff).toSeq ===
+      Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a),
+      "payload must carry the PNG signature")
+    // ...and the decoded channel sums equal the closed-form formula the
+    // SQL oracle evaluates without ever seeing the bytes
+    val feats = Multimodal.decodeImageFeatures(
+      Multimodal.pngMedia(spark, dir)).collect()
+    assert(feats.length === 500)
+    feats.foreach { f =>
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        sr += (f.media_id * 31 + x * 7 + y * 13) % 256
+        sg += (f.media_id * 17 + x * 5 + y * 11) % 256
+        sb += (f.media_id * 13 + x * 3 + y * 29) % 256
+      }
+      assert((f.width, f.height, f.sum_r, f.sum_g, f.sum_b) ===
+        ((16L, 16L, sr, sg, sb)), s"media ${f.media_id}")
+    }
+  }
+
   test("frame sampling: zero-byte media yields zero frames, not phantoms") {
     import spark.implicits._
     val m = Multimodal.fromDocuments(
