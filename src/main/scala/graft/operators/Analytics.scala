@@ -506,7 +506,11 @@ object Analytics {
           (col("n") % 2 === 0 &&
             (col("rk") === col("n") / 2 || col("rk") === col("n") / 2 + 1)))
         .groupBy("g")
-        .agg((sum(col(valueCol)) * 2L / count(lit(1))).cast("long").as("m2"))
+        // integer DIV, not double-divide-then-cast: the quotient must stay
+        // in exact integer arithmetic per the determinism doctrine (DIV
+        // and DuckDB's // both truncate toward zero), independent of the
+        // middle-row count staying tiny
+        .agg(expr(s"(sum($valueCol) * 2L) div count(*)").as("m2"))
     }
     val base = Star.events(spark, dir)
       .select(col("event_type").as("g"), Star.cents(col("value")).as("y"))

@@ -520,10 +520,22 @@ object Training {
          |  SELECT p, cnt, replace(p, ' ', '') AS m FROM pairs$i
          |  ORDER BY cnt DESC, p LIMIT 1),
          |rec$i AS (
+         |  -- leftmost SINGLE-occurrence splice per step, not a global
+         |  -- replace: global replace consumes the shared ' ' delimiter
+         |  -- between consecutive self-pair occurrences (pa = pb over a
+         |  -- run of >= 5 identical symbols), skipping merges the greedy
+         |  -- left-to-right fold performs. Splicing only the first
+         |  -- occurrence and re-scanning is exactly the greedy pass: a
+         |  -- merged token can never equal pa or pb (it is strictly
+         |  -- longer), so no earlier match is ever created.
          |  SELECT ' ' || s || ' ' AS s, freq FROM $src
          |  UNION ALL
-         |  SELECT replace(s, ' ' || (SELECT p FROM top$i) || ' ',
-         |                    ' ' || (SELECT m FROM top$i) || ' '), freq
+         |  SELECT substr(s, 1,
+         |           position((' ' || (SELECT p FROM top$i) || ' ') IN s) - 1) ||
+         |         ' ' || (SELECT m FROM top$i) || ' ' ||
+         |         substr(s,
+         |           position((' ' || (SELECT p FROM top$i) || ' ') IN s)
+         |           + length(' ' || (SELECT p FROM top$i) || ' ')), freq
          |  FROM rec$i
          |  WHERE position((' ' || (SELECT p FROM top$i) || ' ') IN s) > 0),
          |m$i AS (

@@ -32,8 +32,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * PUSHDOWN via SupportsPushDownFilters on `data_medicao` bounds and
   * `wmo` equality — a time-scoped query skips non-matching rows inside
   * the scan, and a wmo-pinned query short-circuits whole files right
-  * after their metadata section. Pushed filters are also re-applied by
-  * Spark above the scan (the contract allows best-effort pushdown). */
+  * after their metadata section. NOTE the DSv2 contract: filters this
+  * builder ACCEPTS (returns from pushFilters as handled) are trusted and
+  * NOT re-evaluated by Spark above the scan — the reader's bound/equality
+  * application is load-bearing, which is why pushFilters only accepts
+  * date filters whose literal is a Date/LocalDate it knows how to apply
+  * and hands everything else back for post-scan evaluation. */
 class InmetSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     InmetSource.schema
@@ -45,7 +49,31 @@ class InmetSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = false
 }
 
+/** Hadoop `Configuration` is not serializable; this minimal wrapper ships
+  * the SESSION's conf (credentials, custom filesystem schemes) from the
+  * driver-side scan to executor-side readers instead of each site
+  * rebuilding a default `new Configuration()` that drops user settings. */
+class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 object InmetSource {
+  /** The active session's hadoop conf on the driver; default conf when
+    * called outside a session (tests constructing readers directly). */
+  def sessionHadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
   val schema: StructType = StructType(Seq(
     StructField("wmo", StringType),
     StructField("data_medicao", DateType),
@@ -96,14 +124,23 @@ class InmetScanBuilder(pathGlob: String) extends ScanBuilder
   private var required: StructType = InmetSource.schema
   private var pushed: Array[Filter] = Array.empty
 
+  // accepted filters are NOT re-evaluated by Spark — only claim values
+  // the reader can apply exactly (Date/LocalDate literals); anything else
+  // is handed back so Spark evaluates it post-scan instead of the reader
+  // failing at runtime on an unanticipated literal type
+  private def isDateLit(v: Any): Boolean = v match {
+    case _: java.sql.Date | _: java.time.LocalDate => true
+    case _ => false
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
       case EqualTo("wmo", _: String) => true
-      case EqualTo("data_medicao", _) => true
-      case GreaterThan("data_medicao", _) => true
-      case GreaterThanOrEqual("data_medicao", _) => true
-      case LessThan("data_medicao", _) => true
-      case LessThanOrEqual("data_medicao", _) => true
+      case EqualTo("data_medicao", v) => isDateLit(v)
+      case GreaterThan("data_medicao", v) => isDateLit(v)
+      case GreaterThanOrEqual("data_medicao", v) => isDateLit(v)
+      case LessThan("data_medicao", v) => isDateLit(v)
+      case LessThanOrEqual("data_medicao", v) => isDateLit(v)
       case _ => false
     }
     pushed = accepted
@@ -119,6 +156,11 @@ class InmetScanBuilder(pathGlob: String) extends ScanBuilder
 
 class InmetScan(pathGlob: String, required: StructType,
     pushed: Array[Filter]) extends Scan with Batch {
+  // captured ON THE DRIVER at scan-build time: the session's hadoop conf
+  // (credentials, custom schemes), shipped serialized to every reader
+  private val hconf = new SerializableHadoopConf(
+    InmetSource.sessionHadoopConf())
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -127,32 +169,33 @@ class InmetScan(pathGlob: String, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(pathGlob)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hconf.value)
     val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
     matched.map(s => InmetPartition(s.getPath.toString): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new InmetReaderFactory(required, pushed)
+    new InmetReaderFactory(required, pushed, hconf)
 }
 
 case class InmetPartition(path: String) extends InputPartition
 
-class InmetReaderFactory(required: StructType, pushed: Array[Filter])
-    extends PartitionReaderFactory {
+class InmetReaderFactory(required: StructType, pushed: Array[Filter],
+    hconf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new InmetReader(partition.asInstanceOf[InmetPartition].path, required, pushed)
+    new InmetReader(partition.asInstanceOf[InmetPartition].path, required,
+      pushed, hconf)
 }
 
 /** Streams one station file: metadata → header indices → filtered,
   * pruned hourly rows. Only the REQUIRED measures are parsed per row. */
-class InmetReader(path: String, required: StructType, pushed: Array[Filter])
-    extends PartitionReader[InternalRow] {
+class InmetReader(path: String, required: StructType, pushed: Array[Filter],
+    hconf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
   import graft.inmet.Ingest.{measureRenames, sanitize}
   import InmetSource.{commaDouble, parseDate}
 
   private val p = new Path(path)
-  private val in = p.getFileSystem(new Configuration()).open(p)
+  private val in = p.getFileSystem(hconf.value).open(p)
   private val reader = new java.io.BufferedReader(
     new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
 
