@@ -26,7 +26,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Between-query hygiene, UNTIMED: queries are independent, but the
+    // streaming replays register memory-sink tables (whole result sets
+    // pinned on the heap) and iterative queries persist RDD leaves — left
+    // in place they tax every query that runs after them (measured: the
+    // alphabetically-adjacent q_string_*/q_text_* block ran ~2x slower
+    // after the round-4 stream block grew). Clearing between runs makes
+    // each timing stand alone.
+    def cleanup(): Unit = {
+      spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.startsWith("graft_stream"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     def exec(name: String): Double = {
+      cleanup()
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
