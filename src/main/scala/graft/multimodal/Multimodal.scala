@@ -9,15 +9,17 @@ import org.apache.spark.sql.types._
   * processing runs batched per partition — the Scala analog of a Pandas-UDF
   * `mapInPandas` stage.
   *
-  * IMAGE decode is REAL: `image/png` payloads are encoded and decoded with
-  * `javax.imageio` (Java SE, no external deps) — see `renderPng` /
-  * `decodeImageFeatures`; q_media_features round-trips deterministic PNGs
-  * through the actual codec and is oracle-gated on the decoded pixel sums.
-  * Audio/video decode remains a STUB (`decodeStub`): the container has no
-  * such codecs, so decode produces a deterministic fake derived from
-  * the payload bytes. Everything around it — schema, batch shape,
-  * partitioning, null-safety, feature-vector plumbing — is real and tested,
-  * so swapping in a JNI/foreign decoder changes one function.
+  * IMAGE and AUDIO decode are REAL: `image/png` payloads round-trip
+  * through `javax.imageio` (renderPng / decodeImageFeatures;
+  * q_media_features oracle-gated on decoded pixel sums) and `audio/wav`
+  * payloads through `javax.sound.sampled` (renderWav /
+  * decodeAudioFeatures; q_media_audio oracle-gated on decoded PCM sample
+  * stats) — both Java SE codecs, no external deps. Only VIDEO decode
+  * remains a STUB (`decodeStub`): the JVM has no video codec, so decode
+  * produces a deterministic fake derived from the payload bytes.
+  * Everything around the stub — schema, batch shape, partitioning,
+  * null-safety, feature-vector plumbing — is real and tested, so swapping
+  * in a JNI/foreign decoder changes one function.
   *
   * Scale notes: payloads stay columnar (parquet binary) end-to-end; the
   * per-partition iterator processes items one batch at a time without
@@ -198,6 +200,149 @@ object Multimodal {
     decodeImageFeatures(pngMedia(spark, dir)).toDF()
       .orderBy("media_id")
 
+  final case class ResizedFeatures(media_id: Long, w_out: Long, h_out: Long,
+                                   sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** RESIZE through the real codec: decode each PNG and nearest-neighbor
+    * downsample 16x16 -> 4x4 (output pixel (x,y) = source pixel
+    * (4x, 4y) — exact pixel picks, no interpolation, so the result is
+    * bit-deterministic and SQL-derivable). Emits the per-channel sums of
+    * the RESIZED image. */
+  def decodeResizeFeatures(media: DataFrame, k: Int): Dataset[ResizedFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        val (wo, ho) = (img.getWidth / k, img.getHeight / k)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < ho) {
+          var x = 0
+          while (x < wo) {
+            val rgb = img.getRGB(x * k, y * k)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ResizedFeatures(id, wo.toLong, ho.toLong, sr, sg, sb)
+      })
+  }
+
+  /** The multimodal RESIZE stage in the gate: decoded + downsampled
+    * channel sums, oracle-computed from the closed-form pixels at the
+    * sampled source coordinates. */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame =
+    decodeResizeFeatures(pngMedia(spark, dir), 4).toDF()
+      .orderBy("media_id")
+
+  private val mediaResizeSql =
+    s"""SELECT doc_id AS media_id,
+       |  CAST(4 AS BIGINT) AS w_out, CAST(4 AS BIGINT) AS h_out,
+       |  CAST(SUM((doc_id*31 + x.x*4*7 + y.y*4*13) % 256) AS BIGINT)
+       |    AS sum_r,
+       |  CAST(SUM((doc_id*17 + x.x*4*5 + y.y*4*11) % 256) AS BIGINT)
+       |    AS sum_g,
+       |  CAST(SUM((doc_id*13 + x.x*4*3 + y.y*4*29) % 256) AS BIGINT)
+       |    AS sum_b
+       |FROM documents, range(4) x(x), range(4) y(y)
+       |GROUP BY doc_id ORDER BY media_id""".stripMargin
+
+  // ------------------------------------------------- real audio codec path
+
+  /** Closed-form 16-bit sample for media `id` at position `t` — shared by
+    * the PCM renderer and the SQL oracle (fits a signed short: +-16384). */
+  private final val NSamples = 256
+  @inline private def sample(id: Long, t: Int): Int =
+    (((id * 31 + t * 17) % 2048 - 1024) * 16).toInt
+
+  /** Render the deterministic PCM signal for `id` and encode it as a real
+    * WAV container via javax.sound.sampled (16-bit little-endian signed
+    * mono, 8 kHz). Runs on executors. */
+  def renderWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val pcm = new Array[Byte](NSamples * 2)
+    var t = 0
+    while (t < NSamples) {
+      val s = sample(id, t)
+      pcm(2 * t) = (s & 0xff).toByte
+      pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, NSamples.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Synthetic WAV media table: one clip per document, encoded
+    * per-partition on executors. */
+  def wavMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Star.table(spark, dir, "documents")
+      .select("doc_id").as[Long]
+      .mapPartitions(_.map(id => (id, renderWav(id))))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), col("payload"),
+        struct(
+          lit("audio/wav").as("format"),
+          length(col("payload")).cast("long").as("byte_len"),
+          lit("synthetic").as("source")).as("meta"))
+  }
+
+  final case class AudioFeatures(media_id: Long, n_samples: Long,
+                                 sum_s: Long, min_s: Long, max_s: Long)
+
+  /** Batched per-partition REAL audio decode: javax.sound.sampled parses
+    * each WAV container (header, format, frame stream) and the sample
+    * statistics come off the decoded PCM frames. */
+  def decodeAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"unexpected decoded format $fmt")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var (sum, mn, mx) = (0L, Long.MaxValue, Long.MinValue)
+        var t = 0
+        while (t < n) {
+          val s = ((bytes(2 * t) & 0xff) | (bytes(2 * t + 1) << 8)).toShort.toLong
+          sum += s; if (s < mn) mn = s; if (s > mx) mx = s
+          t += 1
+        }
+        AudioFeatures(id, n.toLong, sum, mn, mx)
+      })
+  }
+
+  /** Decoded-audio features through the REAL codec, oracle-gated like the
+    * PNG path: WAV PCM is lossless, so the decoded sample stats equal the
+    * closed-form formula DuckDB evaluates directly. */
+  def mediaAudio(spark: SparkSession, dir: String): DataFrame =
+    decodeAudioFeatures(wavMedia(spark, dir)).toDF()
+      .orderBy("media_id")
+
+  private val mediaAudioSql =
+    s"""SELECT doc_id AS media_id, CAST($NSamples AS BIGINT) AS n_samples,
+       |  CAST(SUM(((doc_id*31 + t.t*17) % 2048 - 1024) * 16) AS BIGINT)
+       |    AS sum_s,
+       |  CAST(MIN(((doc_id*31 + t.t*17) % 2048 - 1024) * 16) AS BIGINT)
+       |    AS min_s,
+       |  CAST(MAX(((doc_id*31 + t.t*17) % 2048 - 1024) * 16) AS BIGINT)
+       |    AS max_s
+       |FROM documents, range($NSamples) t(t)
+       |GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   private val mediaFeaturesSql =
     s"""SELECT doc_id AS media_id,
        |  CAST($W AS BIGINT) AS width, CAST($H AS BIGINT) AS height,
@@ -210,6 +355,8 @@ object Multimodal {
   val defs: Seq[graft.QueryDef] = Seq(
     graft.QueryDef("q_media_frames", mediaFrames, Some(mediaFramesSql)),
     graft.QueryDef("q_media_features", mediaFeatures, Some(mediaFeaturesSql)),
+    graft.QueryDef("q_media_audio", mediaAudio, Some(mediaAudioSql)),
+    graft.QueryDef("q_media_resize", mediaResize, Some(mediaResizeSql)),
   )
 
   /** Frame-sampling plumbing for variable-length media: explode a payload

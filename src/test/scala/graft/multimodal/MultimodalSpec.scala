@@ -53,6 +53,23 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("WAV round-trip: javax.sound decode recovers the exact closed-form PCM") {
+    val bytes = Multimodal.renderWav(7L)
+    // real container: RIFF....WAVE magic
+    assert(new String(bytes.take(4), "US-ASCII") === "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") === "WAVE")
+    val feats = Multimodal.decodeAudioFeatures(
+      Multimodal.wavMedia(spark, dir)).collect()
+    assert(feats.length === 500)
+    feats.foreach { f =>
+      val ss = (0 until 256).map(t =>
+        ((f.media_id * 31 + t * 17) % 2048 - 1024) * 16)
+      assert((f.n_samples, f.sum_s, f.min_s, f.max_s) ===
+        ((256L, ss.sum.toLong, ss.min.toLong, ss.max.toLong)),
+        s"media ${f.media_id}")
+    }
+  }
+
   test("frame sampling: zero-byte media yields zero frames, not phantoms") {
     import spark.implicits._
     val m = Multimodal.fromDocuments(
