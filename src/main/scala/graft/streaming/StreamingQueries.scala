@@ -331,6 +331,62 @@ object StreamingQueries {
       .parquet(base.toString)
   }
 
+  /** STREAM-STREAM inner join with an event-time range condition — the
+    * attribution join (view -> purchase by the same user within 1 hour)
+    * as Structured Streaming executes it: both sides are unbounded
+    * streams, each buffered in watermarked state, matches emitted as
+    * they meet.
+    *
+    * Completeness argument (why the oracle is the plain batch join):
+    * the replay is chronological (no late data) and the watermark delay
+    * (2 h) strictly exceeds the join window (1 h), so a view is never
+    * evicted before its last matchable purchase (view_ts + 1 h) has
+    * either arrived in the same micro-batch or survives into the next
+    * one — every matching pair is emitted by end of replay. State stays
+    * bounded: each side holds only rows younger than watermark + window,
+    * exactly what an unbounded 100 TB/day attribution pipeline needs. */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val views = chronoReplay(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+        col("user_id"))
+      .withWatermark("view_ts", "2 hours")
+    val purchases = chronoReplay(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id").as("p_user_id"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = views.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+    withStreamPartitions(spark) {
+      val q = joined.writeStream
+        .format("memory")
+        .queryName("graft_stream_stream_join")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table("graft_stream_stream_join")
+      .orderBy("view_id", "purchase_id")
+  }
+
+  private val streamStreamJoinSql =
+    """WITH e AS (
+      |  SELECT event_id, epoch_us(ts) AS us, user_id, event_type
+      |  FROM events)
+      |SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+      |  v.user_id, v.us AS view_us, p.us AS purchase_us
+      |FROM e v JOIN e p
+      |  ON v.user_id = p.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND p.us >= v.us AND p.us <= v.us + 3600000000
+      |ORDER BY view_id, purchase_id""".stripMargin
+
   def streamWindowedAppend(spark: SparkSession, dir: String): DataFrame = {
     val src = chronoReplay(spark, dir)
       .select("event_id", "ts", "event_type", "value")
@@ -590,6 +646,8 @@ object StreamingQueries {
     QueryDef("q_stream_static_join", streamStaticJoin,
       Some(streamStaticJoinSql)),
     QueryDef("q_stream_dedup_wm", streamDedupWm, Some(streamDedupWmSql)),
+    QueryDef("q_stream_stream_join", streamStreamJoin,
+      Some(streamStreamJoinSql)),
     QueryDef("q_stream_custom_session", streamCustomSession,
       Some(streamCustomSessionSql)),
     QueryDef("q_stream_windowed_append", streamWindowedAppend,
