@@ -151,8 +151,12 @@ object Multimodal {
     * the driver. */
   def pngMedia(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.operators.Star.table(spark, dir, "documents")
-      .select("doc_id").as[Long]
+    // fan: local testdata arrives as ONE split and codec work is
+    // per-row-dominant — without it 500 encode/decode round-trips run
+    // on a single core
+    graft.operators.Star.fan(spark,
+        graft.operators.Star.table(spark, dir, "documents").select("doc_id"))
+      .as[Long]
       .mapPartitions(_.map(id => (id, renderPng(id))))
       .toDF("media_id", "payload")
       .select(col("media_id"), col("payload"),
@@ -285,8 +289,9 @@ object Multimodal {
     * per-partition on executors. */
   def wavMedia(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.operators.Star.table(spark, dir, "documents")
-      .select("doc_id").as[Long]
+    graft.operators.Star.fan(spark,
+        graft.operators.Star.table(spark, dir, "documents").select("doc_id"))
+      .as[Long]
       .mapPartitions(_.map(id => (id, renderWav(id))))
       .toDF("media_id", "payload")
       .select(col("media_id"), col("payload"),

@@ -29,10 +29,11 @@ object StreamingQueries {
     * to state volume, not core count — state partitioning is a durability
     * layout, not a parallelism knob; it can exceed cores only when state
     * genuinely needs the spread. */
-  private def withStreamPartitions[T](spark: SparkSession)(body: => T): T = {
+  private def withStreamPartitions[T](spark: SparkSession, n: Int = 8)
+      (body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, n.toString)
     try body finally spark.conf.set(key, old)
   }
 
@@ -363,7 +364,9 @@ object StreamingQueries {
       .select(col("view_id"), col("purchase_id"), col("user_id"),
         unix_micros(col("view_ts")).as("view_us"),
         unix_micros(col("purchase_ts")).as("purchase_us"))
-    withStreamPartitions(spark) {
+    // stream-stream join commits TWO state stores per shuffle partition
+    // per trigger (one per side); a few hundred buffered rows need 4, not 8
+    withStreamPartitions(spark, 4) {
       val q = joined.writeStream
         .format("memory")
         .queryName("graft_stream_stream_join")
