@@ -679,19 +679,26 @@ object Dedup {
     * equi-join on rank. The known blind spot — near-dups whose blocking
     * keys land far apart — is the standard SNM trade; multi-pass with a
     * second key is the production answer. */
-  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.LongType
+  /** Shingle+token base relation for SNM passes: doc_id, shingle set
+    * `s`, its size `c`, and the token array `w` the blocking keys are
+    * cut from. */
+  private def snmBase(spark: SparkSession, dir: String): DataFrame = {
     val arr =
       "array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)), " +
         "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1), try_element_at(w, i + 2))))"
-    val base = Star.fan(spark, Star.table(spark, dir, "documents"))
+    Star.fan(spark, Star.table(spark, dir, "documents"))
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-      .select(col("doc_id"), expr(arr).as("s"),
-        array_join(slice(sort_array(array_distinct(col("w"))), 1, 3), " ")
-          .as("k"))
-      .select(col("doc_id"), col("s"), size(col("s")).as("c"), col("k"))
-    val sorted = base.orderBy("k", "doc_id")
+      .select(col("doc_id"), expr(arr).as("s"), col("w"))
+      .select(col("doc_id"), col("s"), size(col("s")).as("c"), col("w"))
+  }
+
+  /** One SNM pass over a blocking key: range-partitioned global sort on
+    * (k, doc_id), contiguous rank via zipWithIndex, neighbors at rank
+    * offsets 1..w-1 scored by exact shingle Jaccard. */
+  private def snmPass(spark: SparkSession, keyed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val sorted = keyed.select("doc_id", "s", "c", "k").orderBy("k", "doc_id")
     val schema = sorted.schema.add("rk", LongType)
     val ranked = spark.createDataFrame(
       sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
@@ -709,7 +716,28 @@ object Dedup {
       .select(least(col("ida"), col("idb")).as("id_a"),
         greatest(col("ida"), col("idb")).as("id_b"),
         shared.as("shared"), jac.as("jaccard"))
-      .orderBy("id_a", "id_b")
+  }
+
+  private def snmFirstKey(df: DataFrame): DataFrame = df.withColumn("k",
+    array_join(slice(sort_array(array_distinct(col("w"))), 1, 3), " "))
+
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame =
+    snmPass(spark, snmFirstKey(snmBase(spark, dir))).orderBy("id_a", "id_b")
+
+  /** Multi-pass SNM — the production answer to the single-key blind
+    * spot (near-dups whose keys land far apart in one sort order): a
+    * SECOND pass blocks on the descending-sorted token prefix, so a
+    * pair differing in its smallest tokens but sharing its largest
+    * still lands adjacent somewhere. Candidates stay linear (≤ 2n per
+    * pass); the union dedups on the pair key. Both passes score the
+    * same exact Jaccard, so the union is a set-union of identical
+    * scored rows — `distinct`, not a re-score. */
+  def snmMultipass(spark: SparkSession, dir: String): DataFrame = {
+    val base = snmBase(spark, dir)
+    val pass1 = snmPass(spark, snmFirstKey(base))
+    val pass2 = snmPass(spark, base.withColumn("k",
+      array_join(slice(sort_array(array_distinct(col("w")), asc = false), 1, 3), " ")))
+    pass1.union(pass2).distinct().orderBy("id_a", "id_b")
   }
 
   private val sortedNeighborhoodSql =
@@ -737,9 +765,44 @@ object Dedup {
        |WHERE ${Star.Sql.ratio6("shared", "ca + cb - shared")} >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  private val snmMultipassSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(greatest(len(w) - 2, 1)),
+       |      i -> concat_ws(' ', w[i+1], w[i+2], w[i+3]))) AS s,
+       |    array_to_string(list_sort(list_distinct(w))[1:3], ' ') AS k1,
+       |    array_to_string(list_reverse_sort(list_distinct(w))[1:3], ' ') AS k2
+       |  FROM w),
+       |r1 AS (
+       |  SELECT doc_id, s, len(s) AS c,
+       |    ROW_NUMBER() OVER (ORDER BY k1, doc_id) - 1 AS rk
+       |  FROM sh),
+       |r2 AS (
+       |  SELECT doc_id, s, len(s) AS c,
+       |    ROW_NUMBER() OVER (ORDER BY k2, doc_id) - 1 AS rk
+       |  FROM sh),
+       |p AS (
+       |  SELECT least(a.doc_id, b.doc_id) AS id_a,
+       |    greatest(a.doc_id, b.doc_id) AS id_b,
+       |    len(list_intersect(a.s, b.s)) AS shared, a.c + b.c AS cc
+       |  FROM r1 a JOIN r1 b ON b.rk - a.rk IN (1, 2)
+       |  UNION
+       |  SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id),
+       |    len(list_intersect(a.s, b.s)), a.c + b.c
+       |  FROM r2 a JOIN r2 b ON b.rk - a.rk IN (1, 2))
+       |SELECT id_a, id_b, CAST(shared AS INT) AS shared,
+       |  ${Star.Sql.ratio6("shared", "cc - shared")} AS jaccard
+       |FROM p
+       |WHERE ${Star.Sql.ratio6("shared", "cc - shared")} >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_sorted_neighborhood", sortedNeighborhood,
       Some(sortedNeighborhoodSql)),
+    QueryDef("q_snm_multipass", snmMultipass, Some(snmMultipassSql)),
     QueryDef("q_dedup_lsh_keep", dedupLshKeep, None),
     QueryDef("q_dedup_containment", containmentPairs,
       Some(containmentPairsSql)),

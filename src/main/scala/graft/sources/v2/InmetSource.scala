@@ -114,7 +114,7 @@ class InmetTable(pathGlob: String) extends Table with SupportsRead {
   override def name(): String = s"inmet(`$pathGlob`)"
   override def schema(): StructType = InmetSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new InmetScanBuilder(pathGlob)
 }
@@ -163,6 +163,9 @@ class InmetScan(pathGlob: String, required: StructType,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new InmetMicroBatchStream(pathGlob, required, pushed, hconf)
   override def description(): String =
     s"InmetScan ReadSchema: ${required.fieldNames.mkString("[", ",", "]")}, " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
@@ -179,6 +182,64 @@ class InmetScan(pathGlob: String, required: StructType,
 }
 
 case class InmetPartition(path: String) extends InputPartition
+
+/** File-count offset into the sorted discovery log. */
+case class InmetOffset(n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+/** Micro-batch face of the same scan: `spark.readStream.format(...)`
+  * serves the streaming ingest path through the identical per-file
+  * reader — pruning and pushdown included, since the stream is built
+  * from the already-negotiated ScanBuilder state.
+  *
+  * Offsets are FILE-granularity: the stream keeps a driver-side
+  * discovery log (first glob sorted by path; later-appearing files
+  * appended in sorted order at each `latestOffset` poll), and an offset
+  * is a prefix length of that log. A batch (start, end] reads exactly
+  * the files in log positions [start, end) — one input partition per
+  * file, same as the batch scan, so a 10k-station estate still streams
+  * with per-station parallelism. Station files are treated as immutable
+  * once visible (the INMET estate is drop-complete-files). Recovery
+  * contract: on restart the log is rebuilt by re-globbing, so a
+  * checkpointed prefix is valid when the directory grew append-only in
+  * sorted order — the same assumption file-granularity offsets imply
+  * for any glob-discovery source without a per-file ledger. */
+class InmetMicroBatchStream(pathGlob: String, required: StructType,
+    pushed: Array[Filter], hconf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val log = new scala.collection.mutable.LinkedHashSet[String]
+
+  private def refresh(): Unit = {
+    val p = new Path(pathGlob)
+    val fs = p.getFileSystem(hconf.value)
+    val now = Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .map(_.getPath.toString).sorted
+    now.foreach { f => if (!log.contains(f)) log += f }
+  }
+
+  override def initialOffset(): Offset = InmetOffset(0)
+  override def latestOffset(): Offset = { refresh(); InmetOffset(log.size) }
+  override def deserializeOffset(json: String): Offset =
+    InmetOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[InmetOffset].n
+    val e = end.asInstanceOf[InmetOffset].n
+    if (log.size < e) refresh()
+    log.iterator.slice(s, e)
+      .map(f => InmetPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new InmetReaderFactory(required, pushed, hconf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class InmetReaderFactory(required: StructType, pushed: Array[Filter],
     hconf: SerializableHadoopConf) extends PartitionReaderFactory {

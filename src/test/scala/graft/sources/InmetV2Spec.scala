@@ -58,6 +58,29 @@ class InmetV2Spec extends SparkSuite {
     assert(scan.contains("ReadSchema: [wmo,data_medicao,temperatura_c]"), scan)
   }
 
+  test("micro-batch stream equals the batch scan and picks up new files") {
+    val dir = java.nio.file.Files.createTempDirectory("inmet_stream").toFile
+    val src = new java.io.File("/root/repo/src/test/resources/inmet")
+    val files = src.listFiles().filter(_.getName.endsWith(".csv")).sortBy(_.getName)
+    def copyIn(f: java.io.File): Unit = {
+      val _ = java.nio.file.Files.copy(f.toPath,
+        new java.io.File(dir, f.getName).toPath)
+    }
+    copyIn(files(0)); copyIn(files(1))
+    val glob = dir.getAbsolutePath + "/*.csv"
+    val q = spark.readStream.format(fmt).load(glob)
+      .writeStream.format("memory").queryName("inmet_mb")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val afterTwo = spark.table("inmet_mb").count()
+      assert(afterTwo === spark.read.format(fmt).load(glob).count())
+      copyIn(files(2)) // a newly-landed station file becomes its own batch
+      q.processAllAvailable()
+      assert(spark.table("inmet_mb").count() === 13032L) // full 3-station estate
+    } finally q.stop()
+  }
+
   test("wmo equality pushes down and short-circuits non-matching files") {
     val one = v2.filter(col("wmo") === "A507")
     val scan = one.queryExecution.executedPlan.collectLeaves().head.toString
