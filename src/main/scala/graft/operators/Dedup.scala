@@ -765,6 +765,63 @@ object Dedup {
        |WHERE ${Star.Sql.ratio6("shared", "ca + cb - shared")} >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Exact substring-span dedup signal (the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" shape, at n-gram-window
+    * granularity): for every document, the fraction of its 8-token
+    * windows that also occur verbatim in at least one OTHER document.
+    * Downstream curation drops or trims high-overlap docs; this query
+    * emits the per-doc signal (windows, shared windows, shared
+    * fraction).
+    *
+    * Scale shape: ONE exchange. Windows are hashed (xxhash64 — 8-byte
+    * shuffle keys instead of ~50-byte strings; the oracle groups the raw
+    * strings, counts match barring a 2^-64-scale collision, the same
+    * trade the oracled shingle-Jaccard chain already makes), partially
+    * aggregated map-side to (h, doc_id, cnt), shuffled once on h; the
+    * per-gram doc count and the join back to per-doc totals reuse that
+    * same hash partitioning, so no second corpus-wide exchange. */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val grams = Star.fan(spark, Star.table(spark, dir, "documents"))
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      // sub-window docs contribute no rows (Spark's sequence(1, 0) is the
+      // DESCENDING [1, 0], not empty — the filter, not greatest(), is
+      // what mirrors DuckDB's empty range here)
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(w, i, $n)))")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val perDoc = grams.groupBy("h", "doc_id").agg(count(lit(1)).as("cnt"))
+    val perGram = perDoc.groupBy("h").agg(count(lit(1)).as("n_docs"))
+    perDoc.join(perGram, "h")
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_windows"),
+        sum(when(col("n_docs") >= 2, col("cnt")).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_windows"), col("n_shared"),
+        Star.ratio6(col("n_shared"), col("n_windows")).as("shared_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val substringDedupSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(greatest(len(w) - 7, 0)),
+       |      i -> array_to_string(w[i+1:i+8], ' '))) AS g
+       |  FROM w),
+       |pd AS (SELECT g, doc_id, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+       |pg AS (SELECT g, COUNT(*) AS n_docs FROM pd GROUP BY 1)
+       |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_windows,
+       |  CAST(SUM(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+       |    AS n_shared,
+       |  ${Star.Sql.ratio6("SUM(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END)",
+             "SUM(cnt)")} AS shared_frac
+       |FROM pd JOIN pg USING (g)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val snmMultipassSql =
     s"""WITH w AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
@@ -803,6 +860,7 @@ object Dedup {
     QueryDef("q_sorted_neighborhood", sortedNeighborhood,
       Some(sortedNeighborhoodSql)),
     QueryDef("q_snm_multipass", snmMultipass, Some(snmMultipassSql)),
+    QueryDef("q_substring_dedup", substringDedup, Some(substringDedupSql)),
     QueryDef("q_dedup_lsh_keep", dedupLshKeep, None),
     QueryDef("q_dedup_containment", containmentPairs,
       Some(containmentPairsSql)),

@@ -422,7 +422,11 @@ object Training {
       .orderBy("doc_id")
   }
 
-  private val unigramLikelihoodSql =
+  /** Shared WITH-block: fit the 80% unigram model, score the held-out
+    * >=90% bucket into `scored(doc_id, n_tokens, n_oov, avg_p)`.
+    * Already margin-stripped — consumers CONCATENATE (never re-embed in
+    * an outer stripMargin template; see the `||` gotcha in NOTES.md). */
+  private val unigramScoredCtes =
     s"""WITH b AS (
        |  SELECT doc_id, text,
        |    (doc_id * 2654435761) % 4294967296 % 100 AS bucket
@@ -433,15 +437,64 @@ object Training {
        |  FROM b),
        |model AS (
        |  SELECT t, COUNT(*) AS cnt FROM toks WHERE bucket < 80 GROUP BY t),
-       |total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS model_total FROM model)
-       |SELECT doc_id, COUNT(*) AS n_tokens,
-       |  CAST(SUM(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS n_oov,
-       |  ${Star.Sql.ratio6("COALESCE(SUM(m.cnt), 0)",
-                 "COUNT(*) * ANY_VALUE(model_total)")} AS avg_p
-       |FROM toks k LEFT JOIN model m USING (t) CROSS JOIN total
-       |WHERE bucket >= 90
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS model_total FROM model),
+       |scored AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_oov,
+       |    ${Star.Sql.ratio6("COALESCE(SUM(m.cnt), 0)",
+                   "COUNT(*) * ANY_VALUE(model_total)")} AS avg_p
+       |  FROM toks k LEFT JOIN model m USING (t) CROSS JOIN total
+       |  WHERE bucket >= 90
+       |  GROUP BY doc_id)""".stripMargin
+
+  private val unigramLikelihoodSql = unigramScoredCtes + "\n" +
+    "SELECT doc_id, n_tokens, n_oov, avg_p FROM scored ORDER BY doc_id"
+
+  /** CCNet-style perplexity bucketing: score the held-out corpus with
+    * the unigram LM and cut it into head/middle/tail TERTILES by model
+    * likelihood (bucket 0 = most in-distribution third). CCNet keeps
+    * head+middle and drops (or down-weights) the tail; this query emits
+    * the bucket summary a curation pass would act on.
+    *
+    * Scale shape: the tertile cut needs a GLOBAL rank over the scored
+    * docs — computed with the range-partitioned sort + zipWithIndex
+    * idiom (parallel at any scale; the single-task
+    * `Window.orderBy`-over-everything shape is exactly what round 4
+    * flagged, and only the DuckDB ORACLE uses ROW_NUMBER). The doc
+    * count joins in as a broadcast scalar; bucket membership is then
+    * map-side integer math `(rank * 3) div n`. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val scored = unigramLikelihood(spark, dir)
+      .select("doc_id", "n_tokens", "avg_p")
+    val sorted = scored.orderBy(col("avg_p").desc, col("doc_id"))
+    val schema = sorted.schema.add("rk", LongType)
+    val ranked = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
+    val total = ranked.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("avg_p"),
+        Star.idiv(col("rk") * 3, col("n")).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), min("avg_p").as("min_p"),
+        max("avg_p").as("max_p"), sum("n_tokens").as("sum_tokens"))
+      .orderBy("bucket")
+  }
+
+  private val perplexityBucketsSql = unigramScoredCtes + "," + "\n" +
+    s"""r AS (
+       |  SELECT doc_id, n_tokens, avg_p,
+       |    ROW_NUMBER() OVER (ORDER BY avg_p DESC, doc_id) - 1 AS rk
+       |  FROM scored),
+       |n AS (SELECT COUNT(*) AS n FROM scored)
+       |SELECT (rk * 3) // n AS bucket, COUNT(*) AS n_docs,
+       |  MIN(avg_p) AS min_p, MAX(avg_p) AS max_p,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM r CROSS JOIN n
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ------------------------------------------------- BPE merge training
 
@@ -629,6 +682,8 @@ object Training {
     QueryDef("q_contamination", contamination, Some(contaminationSql)),
     QueryDef("q_unigram_likelihood", unigramLikelihood,
       Some(unigramLikelihoodSql)),
+    QueryDef("q_perplexity_buckets", perplexityBuckets,
+      Some(perplexityBucketsSql)),
     QueryDef("q_domain_mixture", domainMixture, Some(domainMixtureSql)),
     QueryDef("q_bpe_merges", bpeMerges, Some(bpeMergesSql)),
   )

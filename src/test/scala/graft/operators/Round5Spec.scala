@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSuite
+import org.apache.spark.sql.functions._
 
 /** Specs for the round-5 additions: multi-pass sorted-neighborhood
   * blocking and the packed-array k-means centroid update. */
@@ -23,6 +24,37 @@ class Round5Spec extends SparkSuite {
       assert(full.get(pair).contains(j), s"pair $pair missing or score drift")
     }
     assert(multi.keys.forall { case (a, b) => a < b })
+  }
+
+  test("substringDedup: verbatim-copy fixture docs show high shared fraction") {
+    val rows = Dedup.substringDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (win, shared, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(win > 0 && shared >= 0 && shared <= win)
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // the corpus carries near-dup pairs (the LSH fixtures): their verbatim
+    // 8-gram overlap must register as shared spans for at least some docs
+    assert(rows.count(_.getDouble(3) > 0.5) >= 2)
+    // docs shorter than one window are absent, not zero-row'd
+    val short = Star.table(spark, sf, "documents")
+      .filter(size(split(trim(col("text")), "\\s+")) < 8).count()
+    assert(rows.length + short.toInt ===
+      Star.table(spark, sf, "documents").count().toInt)
+  }
+
+  test("perplexityBuckets: tertiles partition the held-out set, ordered by likelihood") {
+    val rows = Training.perplexityBuckets(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === rows.map(_.getLong(0)).toSeq.sorted)
+    assert(rows.map(_.getLong(0)).forall(b => b >= 0 && b <= 2))
+    // tertile sizes differ by at most 1 from each other
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+    // buckets are likelihood-ordered: head's floor >= middle's ceiling, etc.
+    rows.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi.getDouble(2) >= lo.getDouble(3)) // min_p(head) >= max_p(next)
+    }
   }
 
   test("kmeans: packed-array update shuffles arrays, not exploded (cid, dim) rows") {
