@@ -14,12 +14,14 @@ import org.apache.spark.sql.types._
   * q_media_features oracle-gated on decoded pixel sums) and `audio/wav`
   * payloads through `javax.sound.sampled` (renderWav /
   * decodeAudioFeatures; q_media_audio oracle-gated on decoded PCM sample
-  * stats) — both Java SE codecs, no external deps. Only VIDEO decode
-  * remains a STUB (`decodeStub`): the JVM has no video codec, so decode
-  * produces a deterministic fake derived from the payload bytes.
-  * Everything around the stub — schema, batch shape, partitioning,
-  * null-safety, feature-vector plumbing — is real and tested, so swapping
-  * in a JNI/foreign decoder changes one function.
+  * stats) — both Java SE codecs, no external deps. VIDEO decode runs
+  * through the JVM's one real multi-frame temporal codec — animated GIF
+  * (renderGif / decodeVideoFeatures; q_media_video oracle-gated on
+  * frame-sampled pixel sums). The `decodeStub` seam remains for codecs
+  * the JVM lacks (H.264 etc.): everything around it — schema, batch
+  * shape, partitioning, null-safety, feature-vector plumbing — is real
+  * and tested, so swapping in a JNI/foreign decoder changes one
+  * function.
   *
   * Scale notes: payloads stay columnar (parquet binary) end-to-end; the
   * per-partition iterator processes items one batch at a time without
@@ -348,6 +350,135 @@ object Multimodal {
        |FROM documents, range($NSamples) t(t)
        |GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  // ------------------------------------------------- real video codec path
+
+  /** Video through a REAL multi-frame temporal codec: animated GIF — the
+    * one video-shaped container the JVM decodes natively
+    * (javax.imageio's GIF ImageReader exposes the frame sequence via
+    * getNumImages/read(i)). Frames are 256-gray palette images, and GIF
+    * LZW is lossless, so the decoded rasters equal the closed-form pixel
+    * formula exactly. The `decodeStub` seam stays for codecs the JVM
+    * lacks (H.264 etc.); this path exercises the real thing: container
+    * parse, frame iteration, temporal sampling. */
+  private final val VFrames = 8
+  private final val VSample = 2 // decode every 2nd frame
+
+  @inline private def gray(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f * 7 + x * 3 + y * 5) % 256).toInt
+
+  /** Render the deterministic VFrames-frame grayscale animation for `id`
+    * as a real animated GIF. Runs on executors. */
+  def renderGif(id: Long): Array[Byte] = {
+    import javax.imageio._
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    // identity 256-gray INDEXED palette: TYPE_BYTE_GRAY would round-trip
+    // through a linear-gray <-> sRGB conversion and skew the values; an
+    // IndexColorModel stores the sample verbatim and GIF is indexed
+    // natively, so encode->decode is the identity on the gray value
+    val grays = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    var f = 0
+    while (f < VFrames) {
+      val img = new java.awt.image.BufferedImage(
+        W, H, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      var y = 0
+      while (y < H) {
+        var x = 0
+        while (x < W) {
+          img.getRaster.setSample(x, y, 0, gray(id, f, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      val meta = writer.getDefaultImageMetadata(
+        new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+      writer.writeToSequence(new IIOImage(img, null, meta),
+        writer.getDefaultWriteParam)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    baos.toByteArray
+  }
+
+  /** Synthetic GIF media table: one clip per document, encoded
+    * per-partition on executors. */
+  def gifMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Star.fan(spark,
+        graft.operators.Star.table(spark, dir, "documents").select("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, renderGif(id))))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), col("payload"),
+        struct(
+          lit("image/gif").as("format"),
+          length(col("payload")).cast("long").as("byte_len"),
+          lit("synthetic").as("source")).as("meta"))
+  }
+
+  final case class VideoFeatures(media_id: Long, n_frames: Long,
+                                 n_sampled: Long, sum_gray: Long)
+
+  /** Batched per-partition REAL video decode: the GIF ImageReader parses
+    * the container, reports the frame count, and decodes only the
+    * TEMPORALLY SAMPLED frames (every VSample-th) — the frame-sampling
+    * stage a real video featurizer runs, with an actual multi-frame
+    * decoder behind it. */
+  def decodeVideoFeatures(media: DataFrame): Dataset[VideoFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload)))
+        val n = reader.getNumImages(true)
+        var (sampled, sum) = (0L, 0L)
+        var f = 0
+        while (f < n) {
+          if (f % VSample == 0) {
+            val img = reader.read(f)
+            sampled += 1
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += img.getRGB(x, y) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+          }
+          f += 1
+        }
+        reader.dispose()
+        VideoFeatures(id, n.toLong, sampled, sum)
+      })
+  }
+
+  /** Frame-sampled decoded-video features through the REAL codec,
+    * oracle-gated: the gray palette round-trips losslessly, so the
+    * sampled-frame pixel sums equal the closed-form formula. */
+  def mediaVideo(spark: SparkSession, dir: String): DataFrame =
+    decodeVideoFeatures(gifMedia(spark, dir)).toDF()
+      .orderBy("media_id")
+
+  private val mediaVideoSql =
+    s"""SELECT doc_id AS media_id, CAST($VFrames AS BIGINT) AS n_frames,
+       |  CAST(${VFrames / VSample} AS BIGINT) AS n_sampled,
+       |  CAST(SUM((doc_id*31 + fs.fs*$VSample*7 + x.x*3 + y.y*5) % 256)
+       |    AS BIGINT) AS sum_gray
+       |FROM documents, range(${VFrames / VSample}) fs(fs),
+       |  range($W) x(x), range($H) y(y)
+       |GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   private val mediaFeaturesSql =
     s"""SELECT doc_id AS media_id,
        |  CAST($W AS BIGINT) AS width, CAST($H AS BIGINT) AS height,
@@ -362,6 +493,7 @@ object Multimodal {
     graft.QueryDef("q_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     graft.QueryDef("q_media_audio", mediaAudio, Some(mediaAudioSql)),
     graft.QueryDef("q_media_resize", mediaResize, Some(mediaResizeSql)),
+    graft.QueryDef("q_media_video", mediaVideo, Some(mediaVideoSql)),
   )
 
   /** Frame-sampling plumbing for variable-length media: explode a payload

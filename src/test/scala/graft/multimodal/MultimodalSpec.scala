@@ -70,6 +70,31 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("GIF round-trip: real multi-frame decode recovers exact sampled pixels") {
+    // one clip decoded directly, against the closed-form frames
+    val payload = Multimodal.renderGif(7L)
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload)))
+    assert(reader.getNumImages(true) === 8)
+    (0 until 8).foreach { f =>
+      val img = reader.read(f)
+      assert((img.getWidth, img.getHeight) === ((16, 16)))
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val expected = ((7L * 31 + f * 7 + x * 3 + y * 5) % 256).toInt
+        assert((img.getRGB(x, y) & 0xff) === expected, s"f=$f x=$x y=$y")
+      }
+    }
+    reader.dispose()
+    // the registered query: every 2nd frame, summed — spot-check one row
+    val row = Multimodal.mediaVideo(spark, dir)
+      .filter(col("media_id") === 7L).collect().head
+    val expectedSum = (for (f <- Seq(0, 2, 4, 6); x <- 0 until 16; y <- 0 until 16)
+      yield (7L * 31 + f * 7 + x * 3 + y * 5) % 256).sum
+    assert((row.getLong(1), row.getLong(2), row.getLong(3)) ===
+      ((8L, 4L, expectedSum)))
+  }
+
   test("frame sampling: zero-byte media yields zero frames, not phantoms") {
     import spark.implicits._
     val m = Multimodal.fromDocuments(
