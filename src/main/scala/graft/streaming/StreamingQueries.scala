@@ -390,6 +390,126 @@ object StreamingQueries {
       | AND p.us >= v.us AND p.us <= v.us + 3600000000
       |ORDER BY view_id, purchase_id""".stripMargin
 
+  /** chronoReplay plus TWO far-future SENTINEL files (+36 h and +72 h,
+    * synthetic user -1): the first advances the final watermark beyond
+    * every real row's state-eviction time; the second exists because
+    * watermarks take effect a batch LATE (computed at batch end), and the
+    * eviction-only "no-data micro-batch" that would otherwise apply it is
+    * asynchronous — processAllAvailable can return before it runs. A
+    * second real data batch is guaranteed to run, and IT performs the
+    * evictions under the first sentinel's watermark. Without the
+    * sentinels, rows buffered near the end of input stay in state forever
+    * and the result depends on where the input happens to stop — this
+    * makes end-of-stream explicit, the streaming analog of closing the
+    * books. */
+  private def chronoReplayWithSentinel(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val ev = Star.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"), s"graft_stream_chrono_s_$tag")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(base, "_READY"))) {
+      fs.delete(base, true)
+      val Array(lo, hi) = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).collect().head
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val span = (hi - lo) / 4 + 1
+      def sentinel(hours: Long) = spark.range(2).select(
+        (col("id") * -1 - 1).as("event_id"),
+        timestamp_micros(lit(hi + hours * 3600L * 1000000L)).as("ts"),
+        lit(-1L).as("user_id"),
+        when(col("id") === 0, "view").otherwise("purchase").as("event_type"),
+        lit(0.0).as("value"))
+      (0 until 6).foreach { k =>
+        val part =
+          if (k < 4) ev.filter(
+            unix_micros(col("ts")) >= lo + k * span &&
+              unix_micros(col("ts")) < lo + (k + 1) * span)
+          else sentinel(if (k == 4) 36L else 72L)
+        val tmp = new org.apache.hadoop.fs.Path(base, s"_tmp$k")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val f = fs.globStatus(
+          new org.apache.hadoop.fs.Path(tmp, "part-*.parquet")).head.getPath
+        fs.rename(f, new org.apache.hadoop.fs.Path(base, s"q$k.parquet"))
+        fs.delete(tmp, true)
+      }
+      fs.create(new org.apache.hadoop.fs.Path(base, "_READY")).close()
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "q*.parquet")
+      .parquet(base.toString)
+  }
+
+  /** STREAM-STREAM LEFT OUTER join — the attribution join that also
+    * emits every UNMATCHED view, with null purchase columns, once the
+    * watermark proves no matching purchase can still arrive. This is a
+    * different state-machine than the inner join: matched pairs emit
+    * eagerly, but the null row for an unmatched view emits only when the
+    * watermark passes view_ts + join window — state eviction IS the
+    * emission trigger. The sentinel replay drives the final watermark
+    * past every real view, so the result is exactly the batch LEFT JOIN
+    * (the oracle); sentinel rows themselves are filtered out (user -1,
+    * and the view sentinel never evicts — the stream ends first). */
+  def streamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val views = chronoReplayWithSentinel(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+        col("user_id"))
+      .withWatermark("view_ts", "2 hours")
+    val purchases = chronoReplayWithSentinel(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id").as("p_user_id"))
+      .withWatermark("purchase_ts", "2 hours")
+    // The sentinel rows are filtered AFTER the memory sink, not inside
+    // the streaming query: a pre-sink filter(user_id >= 0) gets pushed
+    // by Catalyst below the watermark operator into the view scan — and
+    // through the join's user_id = p_user_id equality constraint into
+    // the purchase scan too — so the sentinels never reach the watermark
+    // nodes and the final evictions never fire. Hard-won lesson: a
+    // watermark-driving row must survive every pushable predicate.
+    val joined = views.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+    withStreamPartitions(spark, 4) {
+      val q = joined.writeStream
+        .format("memory")
+        .queryName("graft_stream_stream_left")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table("graft_stream_stream_left")
+      .filter(col("user_id") >= 0) // drop the sentinel pairs (batch side)
+      .orderBy("view_id", "purchase_id")
+  }
+
+  private val streamStreamLeftJoinSql =
+    """WITH e AS (
+      |  SELECT event_id, epoch_us(ts) AS us, user_id, event_type
+      |  FROM events)
+      |SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+      |  v.user_id, v.us AS view_us, p.us AS purchase_us
+      |FROM (SELECT * FROM e WHERE event_type = 'view') v
+      |LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id
+      | AND p.us >= v.us AND p.us <= v.us + 3600000000
+      |ORDER BY view_id, purchase_id""".stripMargin
+
   def streamWindowedAppend(spark: SparkSession, dir: String): DataFrame = {
     val src = chronoReplay(spark, dir)
       .select("event_id", "ts", "event_type", "value")
@@ -651,6 +771,8 @@ object StreamingQueries {
     QueryDef("q_stream_dedup_wm", streamDedupWm, Some(streamDedupWmSql)),
     QueryDef("q_stream_stream_join", streamStreamJoin,
       Some(streamStreamJoinSql)),
+    QueryDef("q_stream_stream_left", streamStreamLeftJoin,
+      Some(streamStreamLeftJoinSql)),
     QueryDef("q_stream_custom_session", streamCustomSession,
       Some(streamCustomSessionSql)),
     QueryDef("q_stream_windowed_append", streamWindowedAppend,
