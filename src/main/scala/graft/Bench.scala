@@ -80,8 +80,11 @@ object Bench {
       .mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs":$timedRuns,"warmup":$warmup,"single_run":${fmt(singleRunTotal)},"best_of_n":${fmt(total)},"queries":$full,"sf":"$sfDir"}"""
+    // narrowed (SPARK_GRAFT_ONLY) runs write a scratch file so a focused
+    // iteration never clobbers the last full-run per-query map
+    val detailFile = if (only.isDefined) "bench_narrow.json" else "bench_full.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
+      java.nio.file.Paths.get(detailFile),
       (fullJson + "\n").getBytes("UTF-8"))
     val headline = Seq(
       "q_agg_pricing", "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
@@ -94,8 +97,11 @@ object Bench {
     val qs = headline.filter(resMap.contains)
       .map(k => "\"" + k + "\":" + fmt(resMap(k)))
       .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs":$timedRuns,"warmup":$warmup,"single_run":${fmt(singleRunTotal)},"best_of_n":${fmt(total)},"queries":$qs,"detail":"bench_full.json","sf":"$sfDir"}""")
+    // stop FIRST, print LAST: the driver tails combined output, and
+    // Spark shutdown logging after the JSON line can push it out of a
+    // short tail capture (BENCH_r04 "parsed": null)
     spark.stop()
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs":$timedRuns,"warmup":$warmup,"single_run":${fmt(singleRunTotal)},"best_of_n":${fmt(total)},"queries":$qs,"detail":"$detailFile","sf":"$sfDir"}""")
   }
 }
