@@ -96,6 +96,37 @@ object InmetQueries {
       .orderBy("wmo", "data_medicao")
   }
 
+  /** The SAME March rollup ingested through the DSv2 source's
+    * MICRO-BATCH face: `readStream.format(InmetSource)` replays the
+    * station files through the identical per-file reader (discovery-log
+    * offsets), a stateful streaming aggregation folds the hourly rows,
+    * and the complete-mode sink holds the final rollup. Deterministic —
+    * every file is replayed and the aggregate is order-independent — so
+    * the BATCH oracle (the DuckDB re-parse of the raw CSVs) gates the
+    * streaming ingest path end-to-end, not just a row-parity spec. */
+  def inmetStream(spark: SparkSession, dir: String): DataFrame = {
+    val v2 = spark.readStream.format("graft.sources.v2.InmetSource")
+      .load(fixtureGlob)
+    val agg = v2.filter(col("data_medicao") >= lit("2025-03-01") &&
+        col("data_medicao") < lit("2025-04-01"))
+      .groupBy("wmo", "data_medicao")
+      .agg(
+        min("temperatura_c").as("temp_min_c"),
+        max("temperatura_c").as("temp_max_c"),
+        (sum(Star.cents(col("temperatura_c"))).cast("double") / 100.0 /
+          count(lit(1))).as("temp_avg_c"),
+        count(lit(1)).as("registros_horarios"))
+    graft.streaming.StreamingQueries.withStreamPartitions(spark, 4) {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName("graft_inmet_stream")
+        .outputMode("complete")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table("graft_inmet_stream").orderBy("wmo", "data_medicao")
+  }
+
   private val inmetDsv2Sql =
     s"""$parsedCte
        |SELECT wmo, data_medicao,
@@ -240,5 +271,6 @@ object InmetQueries {
     QueryDef("q_inmet_station_distance", inmetStationDistance,
       Some(inmetStationDistanceSql)),
     QueryDef("q_inmet_dsv2", inmetDsv2, Some(inmetDsv2Sql)),
+    QueryDef("q_inmet_stream", inmetStream, Some(inmetDsv2Sql)),
   )
 }

@@ -29,7 +29,7 @@ object StreamingQueries {
     * to state volume, not core count — state partitioning is a durability
     * layout, not a parallelism knob; it can exceed cores only when state
     * genuinely needs the spread. */
-  private def withStreamPartitions[T](spark: SparkSession, n: Int = 8)
+  private[graft] def withStreamPartitions[T](spark: SparkSession, n: Int = 8)
       (body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)
