@@ -773,14 +773,19 @@ object Dedup {
     * emits the per-doc signal (windows, shared windows, shared
     * fraction).
     *
-    * Scale shape: ONE exchange. Windows are hashed (xxhash64 — 8-byte
-    * shuffle keys instead of ~50-byte strings; the oracle groups the raw
-    * strings, counts match barring a 2^-64-scale collision, the same
-    * trade the oracled shingle-Jaccard chain already makes), partially
-    * aggregated map-side to (h, doc_id, cnt), shuffled once on h; the
-    * per-gram doc count and the join back to per-doc totals reuse that
-    * same hash partitioning, so no second corpus-wide exchange. */
+    * Scale shape: ONE scan, one explode, three slim exchanges. Windows
+    * are hashed (xxhash64 — 8-byte shuffle keys instead of ~50-byte
+    * strings; the oracle groups the raw strings, counts match barring a
+    * 2^-64-scale collision, the same trade the oracled shingle-Jaccard
+    * chain already makes) and partially aggregated map-side to
+    * (h, doc_id, cnt). The per-gram doc count is a partitionBy(h)
+    * WINDOW over that aggregate — not a self-join, which would
+    * recompute the whole scan+explode lineage on the build side (the
+    * first cut did exactly that; the plan dump caught it). h is
+    * corpus-cardinality, so the window is fully partitioned — never the
+    * single-task shape. */
   def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val n = 8
     val grams = Star.fan(spark, Star.table(spark, dir, "documents"))
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
@@ -793,8 +798,8 @@ object Dedup {
           s"i -> concat_ws(' ', slice(w, i, $n)))")).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
     val perDoc = grams.groupBy("h", "doc_id").agg(count(lit(1)).as("cnt"))
-    val perGram = perDoc.groupBy("h").agg(count(lit(1)).as("n_docs"))
-    perDoc.join(perGram, "h")
+    perDoc
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("h")))
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_windows"),
         sum(when(col("n_docs") >= 2, col("cnt")).otherwise(0L)).as("n_shared"))

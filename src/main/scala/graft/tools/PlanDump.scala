@@ -96,10 +96,11 @@ object PlanDump {
           |the rank window sorts without an exchange.""".stripMargin,
       "q_bloom_prefilter_join" ->
         """Runtime row filtering, explicit form. What to look for: the
-          |`UDF(knownnotnull(o_custkey))` filter sits in `DataFilters` ON
-          |the probe-side parquet scan — fact rows that cannot join are
-          |dropped at scan time, before the exchange; the dim side is the
-          |BroadcastHashJoin build as usual.""".stripMargin,
+          |native `might_contain(...)` probe sits in `DataFilters` ON the
+          |probe-side parquet scan inside WholeStageCodegen (no UDF) —
+          |fact rows that cannot join are dropped at scan time, before
+          |the exchange; the dim side is the BroadcastHashJoin build as
+          |usual.""".stripMargin,
       "q_dedup_jaccard_capped" ->
         """DF-capped exact Jaccard. What to look for: the heavy-shingle
           |set reduces through a partial→final aggregate to a tiny
@@ -114,6 +115,23 @@ object PlanDump {
           |fact); the per-part average is a partial→final aggregate joined
           |back on l_partkey — no nested-loop, no cartesian
           |anywhere.""".stripMargin,
+      "q_kmeans" ->
+        """Packed k-means (final-iteration lineage). What to look for: the
+          |centroid update aggregates PACKED arrays through the VecSum
+          |ObjectHashAggregate (partial_vecsum below the exchange, map-side
+          |combine) — no posexplode of the vector relation anywhere; the
+          |assignment side meets the centroids as a BroadcastNestedLoop of
+          |a k-row relation (k arrays per vector, not k×dim rows); the
+          |vector leaf is the materialized RDD scan, appearing once per
+          |iteration half.""".stripMargin,
+      "q_substring_dedup" ->
+        """Verbatim-window overlap signal. What to look for: ONE parquet
+          |scan and ONE Generate (gram explode) in the whole plan — the
+          |per-gram doc count is a partitionBy(h) Window over the
+          |(h, doc_id) partial→final aggregate, NOT a self-join (which
+          |would recompute the scan+explode lineage on the build side);
+          |h is corpus-cardinality, so the Window sort is fully
+          |partitioned, never single-task.""".stripMargin,
     )
 
     val sb = new StringBuilder
