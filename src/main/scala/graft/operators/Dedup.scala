@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines, over the
@@ -244,30 +244,93 @@ object Dedup {
   val numHashes = 16
   val numBands = 4 // 4 rows per band
 
-  /** Per-doc MinHash signature (16 xxhash64 min-hashes) collapsed into 4
-    * band keys — the LSH sketch. Not SQL-expressible in the oracle dialect
-    * (hash functions differ), so it is verified by property tests instead:
-    * identical texts share all bands; jaccard-0.98 pairs share >=1 band
-    * with overwhelming probability. */
+  // --- portable sketch-hash family -----------------------------------
+  // Polynomial codepoint fold mod a 30-bit prime, computable identically
+  // by Spark (`aggregate` higher-order function) and the DuckDB oracle
+  // (`list_reduce`): H(s) = fold over chars of (acc*B + code(ch)) % P.
+  // 30-bit primes keep every intermediate product under 2^61 so both
+  // engines stay in exact int64 arithmetic. The MinHash family on top is
+  // the standard universal construction mh_j = min((a_j*H + b_j) % P).
+  // This makes the sketches ENGINE-PORTABLE — the signatures, band keys,
+  // and SimHash values hash-match in the oracle gate, unlike xxhash64,
+  // which no other engine reproduces. The hash is a seam: a deployment
+  // that doesn't need cross-engine parity swaps the fold for codegen'd
+  // xxhash64 (the band/verify structure above it is hash-agnostic).
+  private[operators] val HashP1 = 1000000007L
+  private[operators] val HashP2 = 999999937L
+  private val BandB = 1000003L
+  private def mhA(j: Int): Long = (j * 2654435761L + 1000003L) % HashP1
+  private def mhB(j: Int): Long = (j * 40503L + 12345L) % HashP1
+
+  private def portableHash(c: Column, b: Long, p: Long): Column =
+    aggregate(filter(split(c, ""), ch => ch =!= ""), lit(0L),
+      (acc, ch) => (acc * lit(b) + ascii(ch)) % lit(p))
+
+  private def portableHashSql(e: String, b: Long, p: Long): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      s"string_split($e, ''), c -> unicode(c)::BIGINT)), " +
+      s"(acc, c) -> (acc * $b + c) % $p)"
+
+  /** Shared oracle CTE: shingles -> portable hash -> 16 universal
+    * min-hashes per doc. The words/sh CTEs are the same formulation the
+    * oracled exact-Jaccard chain uses. */
+  private def minhashSigCte: String = {
+    val mins = (0 until numHashes)
+      .map(j => s"MIN((H * ${mhA(j)} + ${mhB(j)}) % $HashP1) AS mh$j")
+      .mkString(", ")
+    s"""WITH words AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(greatest(len(w) - 2, 1)),
+       |    i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))) AS s
+       |  FROM words),
+       |hh AS (SELECT doc_id, ${portableHashSql("s", 131L, HashP1)} AS H
+       |  FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Band-key fold (band id seeds the fold so bands never collide across
+    * band positions): mirrored exactly by [[bandKeySql]]. */
+  private def bandKey(b: Int): Column =
+    (0 until numHashes / numBands)
+      .map(r => col(s"mh${b * (numHashes / numBands) + r}"))
+      .foldLeft(lit(b.toLong): Column)(
+        (acc, m) => (acc * lit(BandB) + m) % lit(HashP1))
+
+  private def bandKeySql(b: Int): String =
+    (0 until numHashes / numBands)
+      .map(r => s"mh${b * (numHashes / numBands) + r}")
+      .foldLeft(s"$b::BIGINT")(
+        (acc, m) => s"((($acc) * $BandB + $m) % $HashP1)")
+
+  /** Per-doc MinHash signature (16 portable universal min-hashes)
+    * collapsed into 4 band keys — the LSH sketch. Hash-oracled: the
+    * DuckDB oracle computes the identical fold/family, so the gate
+    * compares full band values, not just row counts. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    withMinhashBands(shingles(Star.table(spark, dir, "documents")))
+    withMinhashBands(shingleRows(Star.table(spark, dir, "documents")))
 
   /** (doc_id, band_0..band_{numBands-1}) from exploded shingle rows. */
   def withMinhashBands(sh: DataFrame): DataFrame = {
+    val h = portableHash(col("s"), 131L, HashP1)
     val mins = (0 until numHashes).map(j =>
-      min(xxhash64(lit(j), col("s"))).as(s"mh$j"))
+      min((h * lit(mhA(j)) + lit(mhB(j))) % lit(HashP1)).as(s"mh$j"))
     val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-    val bands = (0 until numBands).map { b =>
-      val cols = (0 until numHashes / numBands)
-        .map(r => col(s"mh${b * (numHashes / numBands) + r}"))
-      xxhash64(lit(b) +: cols: _*).as(s"band$b")
-    }
+    val bands = (0 until numBands).map(b => bandKey(b).as(s"band$b"))
     sig.select(col("doc_id") +: bands: _*).orderBy("doc_id")
+  }
+
+  private val minhashSignaturesSql = {
+    val bands = (0 until numBands)
+      .map(b => s"${bandKeySql(b)} AS band$b").mkString(", ")
+    s"$minhashSigCte\nSELECT doc_id, $bands FROM sig ORDER BY doc_id"
   }
 
   /** MinHash-LSH near-dup candidate pairs: docs sharing >= 1 band. The
     * banded self-join is the 100 TB path — candidates are generated per
-    * band bucket, never all-pairs. */
+    * band bucket, never all-pairs. Hash-oracled (portable family). */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(spark, dir)
     val exploded = sig.select(col("doc_id"), explode(array(
@@ -283,22 +346,63 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** 64-bit SimHash per doc: per-token xxhash64, per-bit majority vote.
-    * Pure column expressions (64 conditional sums in one aggregate pass). */
+  private val minhashLshPairsSql = {
+    val bands = (0 until numBands)
+      .map(b => s"SELECT doc_id, $b AS band_id, ${bandKeySql(b)} AS h FROM sig")
+      .mkString(" UNION ALL ")
+    s"""$minhashSigCte,
+       |bands AS ($bands)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN bands b
+       |  ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** 60-bit SimHash per doc: per-token portable hash (two independent
+    * 30-bit folds packed into one 60-bit value), per-bit majority vote as
+    * pure column expressions (60 conditional sums in one aggregate pass).
+    * 60 bits (not 64) so the packed value and every bit mask stay inside
+    * exact nonnegative int64 in both engines — which is what makes the
+    * sketch hash-oracled rather than rows-only. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val d = Star.table(spark, dir, "documents")
     val tok = d.select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val votes: Seq[org.apache.spark.sql.Column] = (0 until 64).map(i =>
+      .select(col("doc_id"),
+        (portableHash(col("t"), 131L, HashP1) +
+          portableHash(col("t"), 137L, HashP2) * lit(1L << 30)).as("h"))
+    val votes: Seq[Column] = (0 until 60).map(i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
         .as(s"v$i"))
     val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val bits = (0 until 64).map(i =>
+    val bits = (0 until 60).map(i =>
       when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
     agg.select(col("doc_id"),
       bits.reduce(_.bitwiseOR(_)).as("simhash")).orderBy("doc_id")
   }
+
+  /** Shared oracle CTE for the simhash queries: tokens (multiset — votes
+    * are term-frequency-weighted) -> packed 60-bit hash -> majority bits. */
+  private def simhashSigCte: String = {
+    val votes = (0 until 60)
+      .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(", ")
+    val bits = (0 until 60)
+      .map(i => s"CASE WHEN v$i > 0 THEN (1::BIGINT << $i) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+       |  FROM documents),
+       |hh AS (SELECT doc_id,
+       |  ${portableHashSql("t", 131L, HashP1)}
+       |    + ${portableHashSql("t", 137L, HashP2)} * (1::BIGINT << 30) AS h
+       |  FROM tok),
+       |v AS (SELECT doc_id, $votes FROM hh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $bits AS simhash FROM v)""".stripMargin
+  }
+
+  private val simhashSql =
+    s"$simhashSigCte\nSELECT doc_id, simhash FROM sig ORDER BY doc_id"
 
   /** Near-dup pairs via winnowing sketches (the custom Catalyst expression
     * graft.functions.WinnowFingerprint): inverted-index join on sketch
@@ -336,19 +440,19 @@ object Dedup {
       .drop("shared")
   }
 
-  /** SimHash near-dup pairs by banded hamming join: the 64-bit simhash
-    * splits into 4×16-bit bands; by pigeonhole, any pair within hamming
+  /** SimHash near-dup pairs by banded hamming join: the 60-bit simhash
+    * splits into 4×15-bit bands; by pigeonhole, any pair within hamming
     * distance 3 shares at least one band, so the band-bucket self-join is
     * a COMPLETE candidate generator for d<=3 — never all-pairs. Distance
-    * itself is the codegen'd bit_count(xor). Engine-specific hashes →
-    * rows-only in the gate; completeness is spec-tested via exact-dup
-    * groups (distance-0 pairs must all appear). */
+    * itself is the codegen'd bit_count(xor). Hash-oracled (portable
+    * family); completeness additionally spec-tested via exact-dup groups
+    * (distance-0 pairs must all appear). */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = simhash(spark, dir)
     val bands = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_id"),
-          shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL))
+          shiftright(col("simhash"), 15 * b).bitwiseAND(lit(0x7FFFL))
             .as("bv"))): _*)).as("e"))
       .select(col("doc_id"), col("simhash"), col("e.band_id"), col("e.bv"))
     bands.as("a")
@@ -363,6 +467,20 @@ object Dedup {
       .filter(col("hamming") <= 3)
       .orderBy("id_a", "id_b")
   }
+
+  private val simhashPairsSql =
+    s"""$simhashSigCte,
+       |bands AS (
+       |  SELECT doc_id, simhash, b.range AS band_id,
+       |    (simhash >> (15 * b.range)) & 32767 AS bv
+       |  FROM sig CROSS JOIN range(4) b)
+       |SELECT * FROM (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |WHERE hamming <= 3
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Connected components over an undirected edge list (id_a, id_b) →
     * (doc_id, cluster_id = min doc_id reachable). Iterative min-label
@@ -878,10 +996,11 @@ object Dedup {
     QueryDef("q_dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("q_dedup_jaccard_capped", ngramJaccardCapped,
       Some(ngramJaccardCappedSql)),
-    QueryDef("q_dedup_minhash", minhashSignatures, None),
-    QueryDef("q_dedup_minhash_pairs", minhashLshPairs, None),
-    QueryDef("q_dedup_simhash", simhash, None),
-    QueryDef("q_dedup_simhash_pairs", simhashPairs, None),
+    QueryDef("q_dedup_minhash", minhashSignatures, Some(minhashSignaturesSql)),
+    QueryDef("q_dedup_minhash_pairs", minhashLshPairs,
+      Some(minhashLshPairsSql)),
+    QueryDef("q_dedup_simhash", simhash, Some(simhashSql)),
+    QueryDef("q_dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     QueryDef("q_dedup_winnow_pairs", winnowPairs, None),
   )
 }

@@ -181,6 +181,24 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("substringDedup: one scan + one explode; per-gram count is a " +
+    "partitioned window, never a self-join") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val sp = Dedup.substringDedup(spark, dir).queryExecution.sparkPlan
+    // a self-join on the gram hash would re-plan the scan+explode lineage
+    // on the build side: assert ONE parquet scan, ONE Generate, NO join
+    assert(sp.collect { case j: BaseJoinExec => j }.isEmpty,
+      "per-gram doc count must be a window, not a self-join\n" + sp)
+    val p = sp.toString
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert("Generate".r.findAllIn(p).size === 1, p)
+    // the window must be partitioned (by the corpus-cardinality gram
+    // hash) — an empty partitionSpec here would be the single-task shape
+    val wins = sp.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty), p)
+  }
+
   test("INMET ingest: one distributed text scan, no per-file plans") {
     val st = graft.inmet.Pipeline.stage(spark,
       resourcePath("/inmet") + "/*.csv")
