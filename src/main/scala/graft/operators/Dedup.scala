@@ -756,7 +756,10 @@ object Dedup {
     * scale — the exact-Jaccard chain (q_dedup_keep) is its correctness
     * reference: keep(LSH) ⊇ keep(exact) always (LSH can only miss
     * edges), spec-asserted, with equality whenever band recall is total.
-    * Rows-only in the gate (band layout is engine-specific). */
+    * Hash-oracled end-to-end since the sketch family went portable: the
+    * DuckDB oracle computes the identical band candidates, verifies the
+    * same candidate-restricted exact Jaccard, and resolves components
+    * with the recursive CTE the exact chain already uses. */
   def dedupLshKeep(spark: SparkSession, dir: String): DataFrame = {
     val cand = minhashLshPairs(spark, dir)
     val sh = shingles(Star.table(spark, dir, "documents"))
@@ -781,6 +784,62 @@ object Dedup {
       .join(drop, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
+  }
+
+  /** Oracle for [[dedupLshKeep]]: the portable-band candidate pairs,
+    * candidate-restricted exact-Jaccard verify, recursive-CTE
+    * components, and the keep anti-join — the whole scale chain in one
+    * checkable statement. */
+  private val dedupLshKeepSql = {
+    val mins = (0 until numHashes)
+      .map(j => s"MIN((H * ${mhA(j)} + ${mhB(j)}) % $HashP1) AS mh$j")
+      .mkString(", ")
+    val bandSelects = (0 until numBands)
+      .map(b => s"SELECT doc_id, $b AS band_id, ${bandKeySql(b)} AS h FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE words AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(greatest(len(w) - 2, 1)),
+       |    i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))) AS s
+       |  FROM words),
+       |hh AS (SELECT doc_id, ${portableHashSql("s", 131L, HashP1)} AS H
+       |  FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id),
+       |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT c.id_a, c.id_b, COUNT(*) AS shared
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id_a
+       |  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT id_a, id_b FROM pairs
+       |  JOIN cnt ca ON ca.doc_id = id_a
+       |  JOIN cnt cb ON cb.doc_id = id_b
+       |  WHERE (CAST((CAST(shared AS BIGINT) * 1000000)
+       |    // CAST(ca.c + cb.c - shared AS BIGINT) AS DOUBLE) / 1000000.0)
+       |    >= 0.5),
+       |und AS (
+       |  SELECT id_a AS s, id_b AS d FROM edges
+       |  UNION ALL SELECT id_b, id_a FROM edges),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM (SELECT DISTINCT s FROM und)
+       |  UNION
+       |  SELECT u.d, reach.r FROM reach JOIN und u ON u.s = reach.id)
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (
+       |  SELECT id FROM (
+       |    SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id) comp
+       |  WHERE id <> cluster_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Sorted-neighborhood blocking (the classic entity-resolution third
@@ -984,7 +1043,7 @@ object Dedup {
       Some(sortedNeighborhoodSql)),
     QueryDef("q_snm_multipass", snmMultipass, Some(snmMultipassSql)),
     QueryDef("q_substring_dedup", substringDedup, Some(substringDedupSql)),
-    QueryDef("q_dedup_lsh_keep", dedupLshKeep, None),
+    QueryDef("q_dedup_lsh_keep", dedupLshKeep, Some(dedupLshKeepSql)),
     QueryDef("q_dedup_containment", containmentPairs,
       Some(containmentPairsSql)),
     QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql)),
