@@ -263,8 +263,7 @@ object Dedup {
   private def mhB(j: Int): Long = (j * 40503L + 12345L) % HashP1
 
   private def portableHash(c: Column, b: Long, p: Long): Column =
-    aggregate(filter(split(c, ""), ch => ch =!= ""), lit(0L),
-      (acc, ch) => (acc * lit(b) + ascii(ch)) % lit(p))
+    graft.functions.HashFunctions.polyHash(c, b, p)
 
   private def portableHashSql(e: String, b: Long, p: Long): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
