@@ -132,6 +132,20 @@ object PlanDump {
           |would recompute the scan+explode lineage on the build side);
           |h is corpus-cardinality, so the Window sort is fully
           |partitioned, never single-task.""".stripMargin,
+      "q_dedup_lsh_keep" ->
+        """The 100 TB dedup chain end-to-end (now hash-oracled via the
+          |portable sketch family). The candidate generation (equi-join on
+          |(band_id, band key) — never all-pairs) and the
+          |candidate-restricted exact-Jaccard verify run INSIDE the
+          |components computation, whose per-round frontiers materialize
+          |as RDDs (the iterative-CC doctrine — bounded lineage), so the
+          |visible plan is the chain's LAST stage. What to look for
+          |there: the drop-set aggregate reads the materialized label
+          |leaf (Scan ExistingRDD — no re-execution of the band/verify
+          |lineage), and the final anti-join's build side is the
+          |planner's choice (no broadcast hint — the drop set is
+          |O(duplicates) and would OOM the driver at high dup
+          |rates).""".stripMargin,
     )
 
     val sb = new StringBuilder
