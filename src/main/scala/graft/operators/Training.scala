@@ -671,7 +671,57 @@ object Training {
        |    AS n_drawn
        |FROM ranked GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------ shuffle + shard
+
+  /** Deterministic global shuffle into training shards — the export step
+    * between curation and tokenization: every doc gets a pseudo-random
+    * but REPRODUCIBLE sort key (the portable two-squaring integer mix,
+    * same family as the LSH planes — affine-only rounds would leave a
+    * lattice), a shard = key % S, and an intra-shard position.
+    * Downstream trainers read shard files in position order and see a
+    * stable global permutation: re-runs, engine swaps, and backfills
+    * produce identical shards, which is what makes data-order
+    * reproducible across training jobs.
+    *
+    * Scale shape: ONE hash exchange keyed on shard; the row_number
+    * window is partitioned by shard (S is sized >> executor count at
+    * 100 TB, so never single-task), and that partitioning is exactly
+    * the layout the shard write needs (partitionBy(shard), sorted
+    * within). Hash-oracled: DuckDB derives the identical mix, shards,
+    * and positions. */
+  def shuffleShard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m1 = (col("doc_id") * lit(2048144789L) + lit(12345L)) %
+      lit(1000000007L)
+    val m2 = (m1 * m1) % lit(1000000007L)
+    val m3 = (m2 * lit(69069L) + col("doc_id")) % lit(999999937L)
+    val m4 = (m3 * m3) % lit(999999937L)
+    val keyed = Star.table(spark, dir, "documents")
+      .select(col("doc_id"), m4.as("k"), (m4 % lit(16L)).as("shard"))
+    keyed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("k"), col("doc_id")))
+        .cast("long"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
+  private val shuffleShardSql =
+    """WITH keyed AS (
+      |  SELECT doc_id,
+      |    (doc_id * 2048144789 + 12345) % 1000000007 AS m1,
+      |    (m1 * m1) % 1000000007 AS m2,
+      |    (m2 * 69069 + doc_id) % 999999937 AS m3,
+      |    (m3 * m3) % 999999937 AS k,
+      |    ((m3 * m3) % 999999937) % 16 AS shard
+      |  FROM documents)
+      |SELECT doc_id, shard,
+      |  CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+      |FROM keyed ORDER BY shard, pos""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_shuffle_shard", shuffleShard, Some(shuffleShardSql)),
     QueryDef("q_chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),
     QueryDef("q_bm25_topk", bm25Topk, Some(bm25TopkSql)),
     QueryDef("q_bloom_prefilter_join", bloomPrefilterJoin,

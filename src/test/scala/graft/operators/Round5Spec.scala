@@ -44,6 +44,27 @@ class Round5Spec extends SparkSuite {
       Star.table(spark, sf, "documents").count().toInt)
   }
 
+  test("shuffleShard: a true permutation — every doc once, contiguous " +
+    "positions per shard, deterministic across runs") {
+    val rows = Training.shuffleShard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = Star.table(spark, sf, "documents").count()
+    assert(rows.length.toLong === total)
+    assert(rows.map(_._1).distinct.length === rows.length, "doc repeated")
+    assert(rows.forall { case (_, s, _) => s >= 0 && s < 16 })
+    rows.groupBy(_._2).foreach { case (s, g) =>
+      val ps = g.map(_._3).sorted
+      assert(ps.toSeq === (1L to g.length.toLong), s"shard $s gap")
+    }
+    // shards are balanced-ish (pseudo-random): no shard hogs the corpus
+    val sizes = rows.groupBy(_._2).values.map(_.length)
+    assert(sizes.max < total / 4, s"skewed shards: ${sizes.toSeq.sorted}")
+    // deterministic: a second evaluation yields the identical permutation
+    val again = Training.shuffleShard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
   test("perplexityBuckets: tertiles partition the held-out set, ordered by likelihood") {
     val rows = Training.perplexityBuckets(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq === rows.map(_.getLong(0)).toSeq.sorted)
