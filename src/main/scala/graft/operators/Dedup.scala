@@ -291,7 +291,11 @@ object Dedup {
   }
 
   /** Band-key fold (band id seeds the fold so bands never collide across
-    * band positions): mirrored exactly by [[bandKeySql]]. */
+    * band positions): mirrored exactly by [[bandKeySql]]. Distinct
+    * min-hash 4-tuples can collide mod P (~n²/2P expected spurious
+    * band matches — <1 per million docs per band); both engines compute
+    * the identical key, so the gate is unaffected, and in the keep
+    * chain the exact-Jaccard verify filters any false candidate. */
   private def bandKey(b: Int): Column =
     (0 until numHashes / numBands)
       .map(r => col(s"mh${b * (numHashes / numBands) + r}"))
