@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken-style
-  * k-gram sketching): every k-byte gram gets a rolling polynomial hash,
+  * k-gram sketching): every k-codepoint gram gets a rolling polynomial hash,
   * then each sliding window of `w` consecutive gram hashes contributes its
   * minimum — yielding a compact, position-robust sketch whose overlap
   * estimates document similarity. The operator Spark lacks natively; built
@@ -19,27 +19,46 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Winnowing {
 
-  /** Core sketch over utf-8 bytes. Deterministic, allocation-light, and
+  /** Core sketch over codepoints. Deterministic, allocation-light, and
     * callable from generated code. Returns distinct window minima in
-    * first-seen order. */
+    * first-seen order.
+    *
+    * The gram hash is the ENGINE-PORTABLE modular polynomial fold from
+    * the sketch-hash family (`HashOps.polyFold`: acc*B + cp mod a 30-bit
+    * prime — see `Dedup.scala`, "portable sketch-hash family"), evaluated
+    * here as a ROLLING update (subtract the leading codepoint's
+    * contribution mod P, shift, append) so the per-document cost stays
+    * O(n) not O(n*k). Rolling is an optimization of the same polynomial:
+    * hash(i) == polyFold(substring(i, k), B, P) exactly, which is what
+    * lets the DuckDB oracle recompute the identical fingerprint from
+    * per-position `substr` folds and hash-gate the winnow dedup chain. */
   def sketch(s: UTF8String, k: Int, w: Int): ArrayData = {
-    val bytes = s.getBytes
-    val n = bytes.length
+    // Decode once: codepoint-indexed grams, matching the oracle's
+    // character-based substr (not bytes — multibyte text must agree).
+    var cps = new Array[Int](math.max(s.numBytes, 1))
+    var n = 0
+    val it = s.codePointIterator()
+    while (it.hasNext) {
+      if (n == cps.length) cps = java.util.Arrays.copyOf(cps, n * 2)
+      cps(n) = it.next(); n += 1
+    }
     if (n < k) return new GenericArrayData(Array.empty[Long])
     val nGrams = n - k + 1
     val hashes = new Array[Long](nGrams)
-    // polynomial rolling hash: h(i+1) = (h(i) - b[i]*B^(k-1))*B + b[i+k]
-    val B = 1000003L
+    val B = 131L
+    val P = 1000000007L // 30-bit prime: every intermediate stays < 2^62
     var topPow = 1L
     var j = 1
-    while (j < k) { topPow *= B; j += 1 }
+    while (j < k) { topPow = topPow * B % P; j += 1 }
     var h = 0L
     var i = 0
-    while (i < k) { h = h * B + (bytes(i) & 0xff); i += 1 }
+    while (i < k) { h = (h * B + cps(i)) % P; i += 1 }
     hashes(0) = h
     i = 1
     while (i < nGrams) {
-      h = (h - (bytes(i - 1) & 0xff) * topPow) * B + (bytes(i + k - 1) & 0xff)
+      var d = h - cps(i - 1) * topPow % P
+      if (d < 0) d += P
+      h = (d * B + cps(i + k - 1)) % P
       hashes(i) = h
       i += 1
     }

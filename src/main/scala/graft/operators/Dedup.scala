@@ -443,6 +443,47 @@ object Dedup {
       .drop("shared")
   }
 
+  /** Oracle for [[winnowPairs]]: the fingerprint is recomputed from first
+    * principles — per-position k-gram polynomial folds (the SAME portable
+    * family as the MinHash/SimHash oracles; the engine's rolling update is
+    * an optimization of the identical polynomial), window minima over w=4
+    * consecutive grams (ROWS window; truncation at the partition tail
+    * matches the engine's single-partial-window case when nGrams < w),
+    * distinct minima per doc, then the DF cap + containment chain. */
+  private val winnowPairsSql = {
+    val gh = portableHashSql("substr(text, i, 12)", 131L, HashP1)
+    val cont = Star.Sql.ratio6("shared", "least(ca.c, cb.c)")
+    s"""WITH gr AS (
+       |  SELECT doc_id, text,
+       |    unnest(range(1, greatest(length(text) - 11, 0) + 1)) AS i,
+       |    greatest(length(text) - 11, 0) AS ng
+       |  FROM documents),
+       |hh AS (SELECT doc_id, i, ng, $gh AS h0 FROM gr),
+       |wm AS (
+       |  SELECT doc_id, i, ng,
+       |    MIN(h0) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS h
+       |  FROM hh),
+       |sel AS (SELECT DISTINCT doc_id, h FROM wm
+       |  WHERE i <= greatest(ng - 4, 0) + 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |f AS (
+       |  SELECT doc_id, h FROM (
+       |    SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df, n_docs
+       |    FROM sel CROSS JOIN n) t
+       |  WHERE df <= greatest(16, n_docs // 100)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS c FROM f GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+       |  FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, $cont AS containment
+       |FROM pairs JOIN cnt ca ON ca.doc_id = id_a
+       |JOIN cnt cb ON cb.doc_id = id_b
+       |WHERE $cont >= 0.6
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** SimHash near-dup pairs by banded hamming join: the 60-bit simhash
     * splits into 4×15-bit bands; by pigeonhole, any pair within hamming
     * distance 3 shares at least one band, so the band-bucket self-join is
@@ -1063,6 +1104,6 @@ object Dedup {
       Some(minhashLshPairsSql)),
     QueryDef("q_dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("q_dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
-    QueryDef("q_dedup_winnow_pairs", winnowPairs, None),
+    QueryDef("q_dedup_winnow_pairs", winnowPairs, Some(winnowPairsSql)),
   )
 }
