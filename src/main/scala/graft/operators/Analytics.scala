@@ -111,20 +111,120 @@ object Analytics {
        |  COUNT(*) AS n
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** Statistical sketches (rows-only: accumulation order is
-    * engine-specific): HLL distinct estimate, sample stddev/variance,
-    * price-discount correlation, skewness. */
-  def statsSketch(spark: SparkSession, dir: String): DataFrame =
-    Star.table(spark, dir, "lineitem")
+  /** Portable statistical sketch, hash-oracled end to end — approximate
+    * distinct counting plus dispersion statistics that a cross-engine
+    * gate can check bit-for-bit:
+    *
+    *  - `approx_parts`: KMV (k-minimum-values) distinct estimate of parts
+    *    per return flag. Partkeys map through a universal hash onto
+    *    [0, P); the k=1024 smallest DISTINCT hash values per group are
+    *    kept via the TopKPerGroup partial-heap operator (per-partition
+    *    heaps, then merge — never a single-task global sort), and the
+    *    k-th smallest yields the estimate (k-1)*P / h_(k): one double
+    *    division, reproducible in any engine. Below k distinct values
+    *    the sketch IS the population and the count is exact; above,
+    *    relative error ~1/sqrt(k-2) = 3.2%. Spark's builtin
+    *    approx_count_distinct (HLL++ over xxhash64, engine-private
+    *    register layout — not cross-engine reproducible) stays pinned
+    *    by ExtensionOpsSpec instead.
+    *  - price variance/stddev/corr/skewness from raw power sums
+    *    accumulated as EXACT integers (cents in DECIMAL(38,0): order-
+    *    and partitioning-independent; the third power sum fits decimal
+    *    precision to ~sf100), combined into moments with IDENTICAL
+    *    double expression trees in Spark and DuckDB — IEEE 754 then
+    *    makes the doubles bit-equal. Skewness deliberately avoids
+    *    pow(B, 1.5) (library-dependent rounding) in favor of
+    *    B*sqrt(B), both correctly-rounded IEEE ops. */
+  def statsSketch(spark: SparkSession, dir: String): DataFrame = {
+    val P = 1000000007L
+    val kmvK = 1024
+    val li = Star.table(spark, dir, "lineitem")
+    val h = (lit(654435747L) * (col("l_partkey") % P) + lit(12345L)) % P
+    val kmv = graft.plans.TopKPerGroup
+      .topK(li.select(col("l_returnflag"), h.as("h")).distinct(),
+        Seq("l_returnflag"), Seq(("h", false)), kmvK)
       .groupBy("l_returnflag")
-      .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        stddev_samp(col("l_extendedprice")).as("price_stddev"),
-        var_samp(col("l_extendedprice")).as("price_var"),
-        corr(col("l_extendedprice"), col("l_discount")).as("price_disc_corr"),
-        skewness(col("l_extendedprice")).as("price_skew"),
-        count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("kc"), max("h").as("kth"))
+      .select(col("l_returnflag"),
+        when(col("kc") < kmvK, col("kc").cast("double"))
+          .otherwise(lit((kmvK - 1).toDouble) * lit(P.toDouble)
+            / col("kth").cast("double"))
+          .as("approx_parts"))
+    val c12 = Star.cents(col("l_extendedprice"))
+      .cast(org.apache.spark.sql.types.DecimalType(12, 0))
+    val moments = li
+      .select(col("l_returnflag"), c12.as("c"),
+        Star.cents(col("l_extendedprice")).as("cl"),
+        Star.cents(col("l_discount")).as("d"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("sp"),
+        sum(col("c") * col("c")).as("spp"),
+        sum(col("c") * col("c") * col("c")).as("sppp"),
+        sum(col("d")).as("sd"),
+        sum(col("d") * col("d")).as("sdd"),
+        sum(col("cl") * col("d")).as("spd"))
+    def dbl(x: org.apache.spark.sql.Column) = x.cast("double")
+    val nD = dbl(col("n"))
+    val bP = nD * dbl(col("spp")) - dbl(col("sp")) * dbl(col("sp"))
+    val bD = nD * dbl(col("sdd")) - dbl(col("sd")) * dbl(col("sd"))
+    val a3 = nD * nD * dbl(col("sppp")) -
+      lit(3.0) * nD * dbl(col("sp")) * dbl(col("spp")) +
+      lit(2.0) * dbl(col("sp")) * dbl(col("sp")) * dbl(col("sp"))
+    moments
+      .select(col("l_returnflag"), col("n"),
+        (bP / (nD * (nD - lit(1.0))) / lit(10000.0)).as("price_var"),
+        (sqrt(bP / (nD * (nD - lit(1.0)))) / lit(100.0)).as("price_stddev"),
+        ((nD * dbl(col("spd")) - dbl(col("sp")) * dbl(col("sd")))
+          / (sqrt(bP) * sqrt(bD))).as("price_disc_corr"),
+        (a3 / (bP * sqrt(bP))).as("price_skew"))
+      .join(kmv, Seq("l_returnflag"))
       .orderBy("l_returnflag")
+  }
+
+  private val statsSketchSql = {
+    val bP = "(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)" +
+      " - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))"
+    val bD = "(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)" +
+      " - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))"
+    val a3 = "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(sppp AS DOUBLE)" +
+      " - 3.0 * CAST(n AS DOUBLE) * CAST(sp AS DOUBLE) * CAST(spp AS DOUBLE)" +
+      " + 2.0 * CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))"
+    s"""WITH h AS (
+       |  SELECT DISTINCT l_returnflag,
+       |    (654435747 * (l_partkey % 1000000007) + 12345) % 1000000007 AS h
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT l_returnflag, h,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+       |  FROM h),
+       |kmv AS (
+       |  SELECT l_returnflag,
+       |    CASE WHEN COUNT(*) < 1024 THEN CAST(COUNT(*) AS DOUBLE)
+       |         ELSE 1023.0 * 1000000007.0 / CAST(MAX(h) AS DOUBLE) END
+       |      AS approx_parts
+       |  FROM r WHERE rn <= 1024 GROUP BY l_returnflag),
+       |m AS (
+       |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(c::HUGEINT) AS sp, SUM(c::HUGEINT * c) AS spp,
+       |    SUM(c::HUGEINT * c * c) AS sppp,
+       |    CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(d*d) AS BIGINT) AS sdd,
+       |    CAST(SUM(c*d) AS BIGINT) AS spd
+       |  FROM (SELECT l_returnflag, ${Star.Sql.cents("l_extendedprice")} AS c,
+       |          ${Star.Sql.cents("l_discount")} AS d FROM lineitem)
+       |  GROUP BY l_returnflag)
+       |SELECT m.l_returnflag, n, approx_parts,
+       |  $bP / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 10000.0
+       |    AS price_var,
+       |  sqrt($bP / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0
+       |    AS price_stddev,
+       |  (CAST(n AS DOUBLE) * CAST(spd AS DOUBLE)
+       |      - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
+       |    / (sqrt($bP) * sqrt($bD)) AS price_disc_corr,
+       |  $a3 / ($bP * sqrt($bP)) AS price_skew
+       |FROM m JOIN kmv ON m.l_returnflag = kmv.l_returnflag
+       |ORDER BY m.l_returnflag""".stripMargin
+  }
 
   /** Exact second-moment statistics, oracle-checked — the deterministic
     * counterpart of the rows-only sketch above. Moments are accumulated as
@@ -574,7 +674,7 @@ object Analytics {
     QueryDef("q_string_funcs", stringFuncs, Some(stringFuncsSql)),
     QueryDef("q_date_math", dateMath, Some(dateMathSql)),
     QueryDef("q_percentiles", percentiles, Some(percentilesSql)),
-    QueryDef("q_stats_sketch", statsSketch, None),
+    QueryDef("q_stats_sketch", statsSketch, Some(statsSketchSql)),
     QueryDef("q_stats_exact", statsExact, Some(statsExactSql)),
   )
 }

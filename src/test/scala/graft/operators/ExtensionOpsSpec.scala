@@ -117,7 +117,7 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 
-  test("stats sketch: HLL estimate within 10% of exact; stddev consistent") {
+  test("stats sketch: KMV estimate within 10% of exact; stddev consistent") {
     val sk = Analytics.statsSketch(spark, dir).collect()
       .map(r => r.getString(0) -> r).toMap
     val exact = Star.table(spark, dir, "lineitem")
@@ -125,12 +125,24 @@ class ExtensionOpsSpec extends SparkSuite {
       .agg(countDistinct("l_partkey").as("d"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, d) =>
-      val est = sk(k).getAs[Long]("approx_parts")
-      assert(math.abs(est - d).toDouble / d < 0.1,
-        s"HLL estimate $est vs exact $d for $k")
+      val est = sk(k).getAs[Double]("approx_parts")
+      assert(math.abs(est - d) / d < 0.1,
+        s"KMV estimate $est vs exact $d for $k")
       val sd = sk(k).getAs[Double]("price_stddev")
       val v = sk(k).getAs[Double]("price_var")
       assert(approx(sd * sd, v, 1e-9))
+    }
+  }
+
+  test("builtin approx_count_distinct (HLL++) stays within 10% of exact") {
+    val rows = Star.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("est"),
+        countDistinct("l_partkey").as("d"))
+      .collect()
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est"); val d = r.getAs[Long]("d")
+      assert(math.abs(est - d).toDouble / d < 0.1, s"HLL++ $est vs $d")
     }
   }
 }
