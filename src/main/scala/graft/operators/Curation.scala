@@ -205,11 +205,13 @@ object Curation {
   /** The capstone curation query — the corpus a training run would
     * actually consume: drop non-canonical near-dup cluster members, keep
     * docs inside the length band, drop boilerplate by top-bigram mass.
-    * One pass over documents, repetition signals joined on doc_id, the
-    * tiny drop-list broadcast — exactly the dedupKeep/rep_signals plans
-    * composed, nothing recomputed per filter. */
+    * One pass over documents, repetition signals joined on doc_id.
+    * The drop list comes from the DF-capped production cluster chain
+    * ([[Dedup.dedupClustersCapped]]), and carries no broadcast hint:
+    * it is O(duplicates), corpus-sized at a high dup rate — AQE
+    * broadcasts it when it is actually small. */
   def curationKeep(spark: SparkSession, dir: String): DataFrame = {
-    val drop = Dedup.dedupClusters(spark, dir)
+    val drop = Dedup.dedupClustersCapped(spark, dir)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
     val rep = repetitionSignals(spark, dir)
@@ -218,7 +220,7 @@ object Curation {
       .join(rep, "doc_id")
       .filter(col("n_chars").between(40, 400) &&
         col("top_bigram_frac") <= 0.5)
-      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .join(drop, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
   }
@@ -232,10 +234,17 @@ object Curation {
       |    range(greatest(len(w) - 2, 1)),
       |    i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))) AS s
       |  FROM words),
-      |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |heavy AS (
+      |  SELECT s FROM sh CROSS JOIN n GROUP BY s, n.n_docs
+      |  HAVING COUNT(*) > greatest(n.n_docs // 100, 5)),
+      |kept AS (
+      |  SELECT sh.doc_id, sh.s FROM sh
+      |  WHERE sh.s NOT IN (SELECT s FROM heavy)),
+      |cnt AS (SELECT doc_id, COUNT(*) AS c FROM kept GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
       |edges AS (
       |  SELECT id_a, id_b FROM pairs

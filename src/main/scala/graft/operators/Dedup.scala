@@ -660,9 +660,25 @@ object Dedup {
     * pipeline — keep-one-per-group needs transitive closure (a~b, b~c ⇒
     * {a,b,c} one cluster). Components over the exact-Jaccard edge set,
     * which keeps the whole chain (shingle → pair → cluster)
-    * oracle-checkable in SQL (DuckDB recursive CTE). */
+    * oracle-checkable in SQL (DuckDB recursive CTE).
+    *
+    * This is the ORACLE GATE for the cluster family — the uncapped
+    * shingle self-join is quadratic in hot-shingle document frequency,
+    * so production consumers (dedupKeep, dedupClusterStats,
+    * curationKeep) source [[dedupClustersCapped]] instead and this
+    * exact chain exists to cross-check them at test scale. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(ngramJaccard(spark, dir).select("id_a", "id_b"))
+      .orderBy("doc_id")
+
+  /** Production cluster resolution: components over the DF-CAPPED
+    * exact-Jaccard edges ([[ngramJaccardCapped]]) — boilerplate shingles
+    * (DF > max(n_docs/100, 5)) are dropped before pairing, killing the
+    * d²/2 hot-shingle candidate blowup that makes the uncapped chain a
+    * scale hazard. Everything a 100 TB run consumes downstream
+    * (dedupKeep, dedupClusterStats, curationKeep) sits on this chain. */
+  def dedupClustersCapped(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(ngramJaccardCapped(spark, dir).select("id_a", "id_b"))
       .orderBy("doc_id")
 
   private val dedupClustersSql =
@@ -695,32 +711,80 @@ object Dedup {
       |SELECT id AS doc_id, MIN(r) AS cluster_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
-  /** `dedupClustersSql` with its final SELECT swapped — shared
-    * recursive-CTE prefix, different consumer. */
-  private def withReachCtes(finalSelect: String): String = {
+  /** Oracle for [[dedupClustersCapped]]: the capped pair CTEs
+    * (n/heavy/kept, exactly the q_dedup_ngram_capped formulation)
+    * feeding the same recursive-CTE components. */
+  private val dedupClustersCappedSql =
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(greatest(len(w) - 2, 1)),
+      |    i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))) AS s
+      |  FROM words),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |heavy AS (
+      |  SELECT s FROM sh CROSS JOIN n GROUP BY s, n.n_docs
+      |  HAVING COUNT(*) > greatest(n.n_docs // 100, 5)),
+      |kept AS (
+      |  SELECT sh.doc_id, sh.s FROM sh
+      |  WHERE sh.s NOT IN (SELECT s FROM heavy)),
+      |cnt AS (SELECT doc_id, COUNT(*) AS c FROM kept GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT id_a, id_b FROM pairs
+      |  JOIN cnt ca ON ca.doc_id = id_a
+      |  JOIN cnt cb ON cb.doc_id = id_b
+      |  WHERE (CAST((CAST(shared AS BIGINT) * 1000000)
+      |    // CAST(ca.c + cb.c - shared AS BIGINT) AS DOUBLE) / 1000000.0) >= 0.5),
+      |und AS (
+      |  SELECT id_a AS s, id_b AS d FROM edges
+      |  UNION ALL SELECT id_b, id_a FROM edges),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM (SELECT DISTINCT s FROM und)
+      |  UNION
+      |  SELECT u.d, reach.r FROM reach JOIN und u ON u.s = reach.id)
+      |SELECT id AS doc_id, MIN(r) AS cluster_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** A cluster SQL with its final SELECT swapped — shared recursive-CTE
+    * prefix, different consumer. */
+  private def reachPrefix(sql: String, finalSelect: String): String = {
     val marker = "SELECT id AS doc_id"
-    val prefix = dedupClustersSql.substring(
-      0, dedupClustersSql.indexOf(marker))
+    val prefix = sql.substring(0, sql.indexOf(marker))
     require(prefix.nonEmpty, "reach CTE prefix not found")
     prefix + finalSelect
   }
 
+  /** [[dedupClustersCappedSql]]'s CTE prefix + a different consumer —
+    * the production keep/stats oracles sit on the capped chain. */
+  private def withCappedReachCtes(finalSelect: String): String =
+    reachPrefix(dedupClustersCappedSql, finalSelect)
+
   /** End of the dedup pipeline: keep one canonical document per near-dup
     * cluster (the min-id member) plus every unclustered doc — an anti-join
     * of the corpus against non-canonical cluster members. This is the
-    * operation a 100 TB curation run actually ships: the tiny
-    * cluster-member table broadcasts against the full corpus scan. */
+    * operation a 100 TB curation run actually ships, so it sits on the
+    * DF-CAPPED cluster chain ([[dedupClustersCapped]]) — the uncapped
+    * shingle self-join stays behind as the oracle gate. No broadcast
+    * hint on the drop set: it is O(duplicates) — at a high dup rate it
+    * is corpus-sized and a forced broadcast would OOM the driver. AQE
+    * picks broadcast itself whenever the set is small. */
   def dedupKeep(spark: SparkSession, dir: String): DataFrame = {
-    val drop = dedupClusters(spark, dir)
+    val drop = dedupClustersCapped(spark, dir)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
     Star.table(spark, dir, "documents")
-      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .join(drop, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }
 
-  private val dedupKeepSql = withReachCtes(
+  private val dedupKeepSql = withCappedReachCtes(
     """SELECT doc_id, lang, source, n_chars FROM documents
       |WHERE doc_id NOT IN (
       |  SELECT id FROM (
@@ -730,11 +794,12 @@ object Dedup {
 
   /** Cluster diagnostics: size, language purity, and length spread per
     * near-dup cluster — the report a curation run reviews before deciding
-    * keep-thresholds. Cluster labels broadcast back onto the documents
-    * scan (same shape as dedupKeep). */
+    * keep-thresholds. Sits on the capped production chain like dedupKeep;
+    * the cluster-label side is O(clustered docs), so the join is left to
+    * the planner (AQE broadcasts it when small) rather than hinted. */
   def dedupClusterStats(spark: SparkSession, dir: String): DataFrame =
     Star.table(spark, dir, "documents")
-      .join(broadcast(dedupClusters(spark, dir)), Seq("doc_id"))
+      .join(dedupClustersCapped(spark, dir), Seq("doc_id"))
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("lang")).as("n_langs"),
@@ -742,7 +807,7 @@ object Dedup {
         max(col("n_chars")).as("max_chars"))
       .orderBy("cluster_id")
 
-  private val dedupClusterStatsSql = withReachCtes(
+  private val dedupClusterStatsSql = withCappedReachCtes(
     """SELECT cluster_id, COUNT(*) AS n_docs,
       |  COUNT(DISTINCT lang) AS n_langs,
       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
@@ -1095,6 +1160,8 @@ object Dedup {
       Some(dedupClusterStatsSql)),
     QueryDef("q_dedup_normalized", dedupNormalized, Some(dedupNormalizedSql)),
     QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    QueryDef("q_dedup_clusters_capped", dedupClustersCapped,
+      Some(dedupClustersCappedSql)),
     QueryDef("q_dedup_keep", dedupKeep, Some(dedupKeepSql)),
     QueryDef("q_dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("q_dedup_jaccard_capped", ngramJaccardCapped,

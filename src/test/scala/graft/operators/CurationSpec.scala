@@ -43,8 +43,10 @@ class CurationSpec extends SparkSuite {
     }
   }
 
-  test("dedupKeep: exactly the canonical member of each cluster survives") {
-    val clusters = Dedup.dedupClusters(spark, sf)
+  test("dedupKeep: exactly the canonical member of each capped cluster survives") {
+    // dedupKeep ships the DF-capped production chain, so the expected
+    // drop set comes from dedupClustersCapped, not the oracle-gate chain
+    val clusters = Dedup.dedupClustersCapped(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     val keptIds = Dedup.dedupKeep(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet

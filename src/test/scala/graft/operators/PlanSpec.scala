@@ -77,10 +77,16 @@ class PlanSpec extends SparkSuite {
       "top-k must be a bounded heap, not a global sort + limit\n" + p)
   }
 
-  test("dedupKeep: corpus anti-joins against a BROADCAST drop-list") {
+  test("dedupKeep: anti-join with NO forced broadcast on the drop set") {
+    // the drop set is O(duplicates) — corpus-sized at a high dup rate —
+    // so the join strategy must be the planner's call (AQE broadcasts
+    // small sets at runtime), never a broadcast() hint that would pin a
+    // driver-side collect of a data-scale relation.
+    val lp = Dedup.dedupKeep(spark, dir).queryExecution.analyzed.toString
+    assert(!lp.contains("ResolvedHint") && !lp.contains("UnresolvedHint"),
+      "drop set must not carry a broadcast hint\n" + lp)
     val p = plan(Dedup.dedupKeep(spark, dir))
     assert(p.contains("LeftAnti"), p)
-    assert(p.contains("BroadcastExchange"), p)
   }
 
   test("zscoreOutliers: stats broadcast back, detection stays map-side") {

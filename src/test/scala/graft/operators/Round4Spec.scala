@@ -112,8 +112,16 @@ class Round4Spec extends SparkSuite {
   test("dedupLshKeep: keep(LSH) ⊇ keep(exact); dropped docs have a verified near-dup") {
     val lshKeep = Dedup.dedupLshKeep(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    val exactKeep = Dedup.dedupKeep(spark, sf)
+    // the exact reference comes from the UNCAPPED oracle-gate chain
+    // (dedupKeep itself now ships the DF-capped production chain, whose
+    // edge set is not comparable to LSH-over-all-shingles by construction)
+    val exactDrop = Dedup.dedupClusters(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") =!=
+        org.apache.spark.sql.functions.col("cluster_id"))
       .select("doc_id").collect().map(_.getLong(0)).toSet
+    val allDocs = Star.table(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exactKeep = allDocs -- exactDrop
     assert(exactKeep.subsetOf(lshKeep),
       s"exact-keep docs missing from LSH keep: ${exactKeep -- lshKeep}")
     // END-TO-END equivalence gate: the chain's only divergence from the
@@ -125,9 +133,7 @@ class Round4Spec extends SparkSuite {
     assert((lshKeep -- exactKeep).size <= 1,
       s"LSH recall loss grew past the measured bound: ${lshKeep -- exactKeep}")
     // every dropped doc is a non-canonical member of some exact cluster
-    val all = Star.table(spark, sf, "documents")
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    val dropped = all -- lshKeep
+    val dropped = allDocs -- lshKeep
     assert(dropped.nonEmpty, "corpus has near-dups; LSH chain must drop some")
     assert(dropped.intersect(exactKeep).isEmpty)
   }
