@@ -22,6 +22,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Testdata parquet timestamps carry isAdjustedToUTC=false; read them as
+      // session-TZ (UTC) TIMESTAMP, not TIMESTAMP_NTZ, so timestamp functions
+      // (unix_micros, watermarks) keep their pre-Spark-4-inference semantics.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -78,8 +82,20 @@ object Bench {
     // compact: total + a fixed headline subset, all 3-decimal.
     val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // Per-query [min, max, spread%] across the N timed runs: the min-vs-max
+    // band is the measurement noise floor, so a cross-round delta smaller
+    // than a query's own spread is noise, not a regression. spread% =
+    // (max-min)/min*100, -1 when any run errored.
+    val minmax = names.zipWithIndex.map { case (n, i) =>
+      val ts = all.map(_(i)._2)
+      val ok = ts.forall(_ >= 0)
+      val lo = if (ok) ts.min else -1.0
+      val hi = if (ok) ts.max else -1.0
+      val spreadPct = if (ok && lo > 0) (hi - lo) / lo * 100.0 else -1.0
+      "\"" + n + "\":[" + fmt(lo) + "," + fmt(hi) + "," + fmt(spreadPct) + "]"
+    }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs":$timedRuns,"warmup":$warmup,"single_run":${fmt(singleRunTotal)},"best_of_n":${fmt(total)},"queries":$full,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs":$timedRuns,"warmup":$warmup,"single_run":${fmt(singleRunTotal)},"best_of_n":${fmt(total)},"queries":$full,"min_max_spread":$minmax,"sf":"$sfDir"}"""
     // narrowed (SPARK_GRAFT_ONLY) runs write a scratch file so a focused
     // iteration never clobbers the last full-run per-query map
     val detailFile = if (only.isDefined) "bench_narrow.json" else "bench_full.json"

@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Testdata parquet timestamps carry isAdjustedToUTC=false; read them as
+      // session-TZ (UTC) TIMESTAMP, not TIMESTAMP_NTZ, so timestamp functions
+      // (unix_micros, watermarks) keep their pre-Spark-4-inference semantics.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

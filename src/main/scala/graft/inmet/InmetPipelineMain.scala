@@ -28,6 +28,10 @@ object InmetPipelineMain {
       .appName("graft-inmet-pipeline")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Testdata parquet timestamps carry isAdjustedToUTC=false; read them as
+      // session-TZ (UTC) TIMESTAMP, not TIMESTAMP_NTZ, so timestamp functions
+      // (unix_micros, watermarks) keep their pre-Spark-4-inference semantics.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // warehouse dir is a static conf — set before session creation
     if (catalog) builder.config("spark.sql.warehouse.dir", stageDir)
     val spark = builder

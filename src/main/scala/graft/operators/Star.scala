@@ -47,9 +47,11 @@ object Star {
   def fan(spark: SparkSession, df: DataFrame): DataFrame =
     df.repartition(spark.sparkContext.defaultParallelism)
 
-  /** `events` carries parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as long nanos and convert to a micro-precision
-    * timestamp (identical to DuckDB's nanos->micros truncation). */
+  /** `events` has shipped as both parquet TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — read as long nanos, truncate to micros,
+    * matching DuckDB) and TIMESTAMP(MICROS) (reads directly as a
+    * timestamp under inferTimestampNTZ=false + UTC session). Branch on the
+    * inferred type so either layout yields the same micro-precision ts. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")

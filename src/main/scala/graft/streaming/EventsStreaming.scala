@@ -18,19 +18,16 @@ import org.apache.spark.sql.types._
   */
 object EventsStreaming {
 
-  /** Schema of the events stream as stored (ns timestamps as long — the
-    * same normalization Star.events applies to the batch table). */
+  /** Schema of the events stream as stored (micro-precision timestamps —
+    * the same shape Star.events yields on the batch table). */
   val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** File-source stream over a directory of events parquet. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
-  }
 
   /** Hourly tumbling-window counts/sums per event type with a 1-hour
     * watermark — the streaming twin of `Relational.timeBucket`. */

@@ -43,12 +43,10 @@ object StreamingQueries {
   def streamTimeBucket(spark: SparkSession, dir: String): DataFrame = {
     // the streaming file source wants a directory; scope it to the events
     // table with a glob filter
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = spark.readStream
       .schema(EventsStreaming.eventSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
     val agg = src
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), Star.dsum(col("value")).as("sum_value"))
@@ -84,12 +82,10 @@ object StreamingQueries {
     * open-sessions x users, never event volume. */
   def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = spark.readStream
       .schema(EventsStreaming.eventSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
     val agg = src
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"),
@@ -147,7 +143,6 @@ object StreamingQueries {
     * horizon instead of growing with key cardinality; the bounded replay
     * here has no watermark so the full key set is the (small) state. */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = spark.readStream
       .schema(EventsStreaming.eventSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -622,12 +617,10 @@ object StreamingQueries {
   def streamCustomSession(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = spark.readStream
       .schema(EventsStreaming.eventSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_type"), col("event_id")).as[SessEvent]
     val closed = customSessionize(src)

@@ -10,6 +10,10 @@ trait SparkSuite extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // Testdata parquet timestamps carry isAdjustedToUTC=false; read them as
+    // session-TZ (UTC) TIMESTAMP, not TIMESTAMP_NTZ, so timestamp functions
+    // (unix_micros, watermarks) keep their pre-Spark-4-inference semantics.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft_wh").toString)
     .config("spark.ui.enabled", "false")

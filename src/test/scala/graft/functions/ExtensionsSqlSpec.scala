@@ -26,6 +26,10 @@ class ExtensionsSqlSpec extends AnyFunSuite
       .appName("graft-extensions-sql")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
+      // Testdata parquet timestamps carry isAdjustedToUTC=false; read them as
+      // session-TZ (UTC) TIMESTAMP, not TIMESTAMP_NTZ, so timestamp functions
+      // (unix_micros, watermarks) keep their pre-Spark-4-inference semantics.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()

@@ -12,9 +12,9 @@ class StreamingSpec extends SparkSuite {
 
   lazy val eventsDir: String = {
     val d = Files.createTempDirectory("graft_events").toString
-    // copy the raw parquet (keeps the ns-long ts the stream reader expects)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet").write
+    // copy through the normalizing batch loader so the copy carries the
+    // micro-precision ts the stream schema declares
+    graft.operators.Star.events(spark, dir).write
       .mode("overwrite").parquet(d)
     d
   }
@@ -42,8 +42,7 @@ class StreamingSpec extends SparkSuite {
     // a directory holding the SAME events twice (two files, identical
     // event_ids) — without dedup the counts would double
     val replayDir = Files.createTempDirectory("graft_events_replay").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = Star.events(spark, dir)
     raw.write.mode("overwrite").parquet(replayDir)
     raw.write.mode("append").parquet(replayDir)
     val q = EventsStreaming.readEvents(spark, replayDir)
