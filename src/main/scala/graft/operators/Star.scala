@@ -51,13 +51,23 @@ object Star {
     * vectorized reader rejects — read as long nanos, truncate to micros,
     * matching DuckDB) and TIMESTAMP(MICROS) (reads directly as a
     * timestamp under inferTimestampNTZ=false + UTC session). Branch on the
-    * inferred type so either layout yields the same micro-precision ts. */
+    * inferred type so either layout yields the same micro-precision ts.
+    * Self-contained: the loader pins its own reader confs (nanos-as-long,
+    * NTZ inference off) AND carries a TimestampNTZType arm, so a caller
+    * session built without the entry-point conf pins still gets
+    * session-TZ TIMESTAMP semantics (unix_micros, watermarks) instead of
+    * a silently-shifted NTZ column. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // a pre-pin session may have cached the footer-inferred NTZ schema;
+        // reinterpret the wall-clock micros as a UTC-instant TIMESTAMP
+        raw.withColumn("ts", to_utc_timestamp(col("ts"), "UTC"))
       case _ => raw
     }
   }

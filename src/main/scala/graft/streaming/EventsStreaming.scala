@@ -19,7 +19,17 @@ import org.apache.spark.sql.types._
 object EventsStreaming {
 
   /** Schema of the events stream as stored (micro-precision timestamps —
-    * the same shape Star.events yields on the batch table). */
+    * the same shape Star.events yields on the batch table).
+    *
+    * Layout contract: the streaming file source supports only the
+    * TIMESTAMP(MICROS) parquet layout — an explicit TimestampType schema
+    * over a TIMESTAMP(NANOS) file throws in the vectorized reader, and a
+    * streaming source cannot branch per-file the way batch
+    * [[graft.operators.Star.events]] does (the schema is fixed before any
+    * file is seen). Legacy NANOS data must be normalized through a batch
+    * rewrite first (StreamingSpec's fixture path does exactly that);
+    * EventsLayoutSpec pins both batch branches so the rewrite stays
+    * available. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),

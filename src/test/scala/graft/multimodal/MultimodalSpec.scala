@@ -95,6 +95,27 @@ class MultimodalSpec extends SparkSuite {
       ((8L, 4L, expectedSum)))
   }
 
+  test("JPEG round-trip: real lossy decode keeps bounded distortion") {
+    val bytes = Multimodal.renderJpeg(42L)
+    // real container: JPEG SOI marker
+    assert((bytes(0) & 0xff) === 0xff && (bytes(1) & 0xff) === 0xd8,
+      "payload must carry the JPEG SOI marker")
+    val feats = Multimodal.decodeJpegFeatures(
+      Multimodal.jpegMedia(spark, dir)).collect()
+    assert(feats.length === 500)
+    // dimensions/pixel-count survive the lossy codec exactly...
+    assert(feats.forall(f => f.width == 16L && f.height == 16L &&
+      f.n_pixels == 256L))
+    // ...and the default-quality quantization keeps the mean absolute
+    // channel error well inside the high-frequency-pattern worst case
+    // (3 channels x 256 pixels = 768 samples per image; bound chosen ~2x
+    // above the observed mean so codec-version drift doesn't flake)
+    val meanErr = feats.map(_.sum_err.toDouble / 768.0)
+    assert(meanErr.max < 48.0,
+      s"mean abs channel error ${meanErr.max} exceeds lossy bound")
+    assert(meanErr.sum / meanErr.length < 32.0)
+  }
+
   test("frame sampling: zero-byte media yields zero frames, not phantoms") {
     import spark.implicits._
     val m = Multimodal.fromDocuments(
