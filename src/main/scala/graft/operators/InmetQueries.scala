@@ -119,6 +119,8 @@ object InmetQueries {
     graft.streaming.StreamingQueries.withStreamPartitions(spark, 4) {
       val q = agg.writeStream
         .format("memory")
+        .option("checkpointLocation",
+          graft.streaming.StreamingQueries.replayCheckpoint("inmet_stream"))
         .queryName("graft_inmet_stream")
         .outputMode("complete")
         .start()

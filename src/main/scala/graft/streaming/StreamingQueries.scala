@@ -37,6 +37,23 @@ object StreamingQueries {
     try body finally spark.conf.set(key, old)
   }
 
+  /** Fresh checkpoint dir for a bounded replay, on tmpfs when the host
+    * has one. Every micro-batch fsyncs its offset log, commit log, and
+    * per-partition state deltas into the checkpoint; with the default
+    * temp location on a disk-backed /tmp those fsyncs are a fixed
+    * latency tax on every trigger of every replay. A TEST replay's
+    * checkpoint needs no durability — a real deployment points this at
+    * durable cluster storage (HDFS/S3), where the same fsync cost is the
+    * price of exactly-once. */
+  private[graft] def replayCheckpoint(name: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, s"graft_ckpt_$name").toString
+  }
+
   /** Hourly tumbling-window counts/sums per event type, computed by the
     * streaming engine (file source -> stateful agg -> memory sink) with
     * the decimal-exact sum the determinism doctrine requires. */
@@ -55,6 +72,7 @@ object StreamingQueries {
     withStreamPartitions(spark) {
       val q = agg.writeStream
         .format("memory")
+        .option("checkpointLocation", replayCheckpoint("time_bucket"))
         .queryName("graft_stream_time_bucket")
         .outputMode("complete")
         .start()
@@ -93,6 +111,7 @@ object StreamingQueries {
     withStreamPartitions(spark) {
       val q = agg.writeStream
         .format("memory")
+        .option("checkpointLocation", replayCheckpoint("sessionize"))
         .queryName("graft_stream_sessionize")
         .outputMode("complete")
         .start()
@@ -153,6 +172,7 @@ object StreamingQueries {
     withStreamPartitions(spark) {
       val q = deduped.writeStream
         .format("memory")
+        .option("checkpointLocation", replayCheckpoint("dedup"))
         .queryName("graft_stream_dedup")
         .outputMode("append")
         .start()
@@ -186,7 +206,8 @@ object StreamingQueries {
     import graft.inmet.{Ingest, Pipeline, Warehouse}
     val fixtureDir = "/root/repo/src/test/resources/inmet"
     val fixtureGlob = s"$fixtureDir/*.csv"
-    val work = java.nio.file.Files.createTempDirectory("graft_upsert")
+    val work = java.nio.file.Paths.get(
+      replayCheckpoint("upsert_work"))
     val stateDir = s"$work/state"
     val nBuckets = 8
     // materialized once — the dim lineage is a full CSV stage parse and
@@ -361,9 +382,13 @@ object StreamingQueries {
         unix_micros(col("purchase_ts")).as("purchase_us"))
     // stream-stream join commits TWO state stores per shuffle partition
     // per trigger (one per side); a few hundred buffered rows need 4, not 8
+    // (probing 1 loses more on the real batches' join parallelism than it
+    // saves on store commits — the ~570ms/trigger floor is batch-machinery,
+    // not store-count)
     withStreamPartitions(spark, 4) {
       val q = joined.writeStream
         .format("memory")
+        .option("checkpointLocation", replayCheckpoint("stream_join"))
         .queryName("graft_stream_stream_join")
         .outputMode("append")
         .start()
@@ -483,6 +508,7 @@ object StreamingQueries {
     withStreamPartitions(spark, 4) {
       val q = joined.writeStream
         .format("memory")
+        .option("checkpointLocation", replayCheckpoint("stream_left"))
         .queryName("graft_stream_stream_left")
         .outputMode("append")
         .start()
@@ -517,6 +543,7 @@ object StreamingQueries {
     withStreamPartitions(spark) {
       val q = agg.writeStream
         .format("memory")
+        .option("checkpointLocation", replayCheckpoint("windowed_append"))
         .queryName("graft_stream_windowed_append")
         .outputMode("append")
         .start()
@@ -627,6 +654,7 @@ object StreamingQueries {
     withStreamPartitions(spark) {
       val q = closed.toDF().writeStream
         .format("memory")
+        .option("checkpointLocation", replayCheckpoint("custom_session"))
         .queryName("graft_stream_custom_session")
         .outputMode("append")
         .start()
@@ -709,6 +737,7 @@ object StreamingQueries {
     withStreamPartitions(spark) {
       val q = dd.writeStream
         .format("memory")
+        .option("checkpointLocation", replayCheckpoint("dedup_wm"))
         .queryName("graft_stream_dedup_wm")
         .outputMode("append")
         .start()
@@ -738,6 +767,7 @@ object StreamingQueries {
     withStreamPartitions(spark) {
       val q = enriched.writeStream
         .format("memory")
+        .option("checkpointLocation", replayCheckpoint("static"))
         .queryName("graft_stream_static")
         .outputMode("append")
         .start()

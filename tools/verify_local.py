@@ -44,6 +44,11 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return repr(v)
+    # pyarrow yields pandas.Timestamp for parquet reads but
+    # datetime.datetime for duckdb arrow results — same instant, different
+    # repr; normalize anything datetime-like to its ISO string
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
     return repr(v)
 
 
