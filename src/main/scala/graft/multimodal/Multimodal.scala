@@ -52,7 +52,13 @@ object Multimodal {
     * couple of splits). */
   private def cachedMedia(spark: SparkSession, dir: String, kind: String)
       (render: => DataFrame): DataFrame = synchronized {
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    // cache key carries the SOURCE table's identity (length + mtime), not
+    // just the dir path: testdata regenerates between rounds (round 6's
+    // NANOS->MICROS migration) and a path-keyed cache would silently
+    // serve media rendered from the previous corpus
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val tag = java.lang.Long.toHexString(
+      dir.hashCode.toLong << 32 ^ src.length() ^ src.lastModified())
     val base = new org.apache.hadoop.fs.Path(
       System.getProperty("java.io.tmpdir"), s"graft_media_${kind}_$tag")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -313,7 +313,13 @@ object StreamingQueries {
     val ev = Star.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    // tag carries the events table's identity (length+mtime), not just
+    // the dir path: testdata regenerates between rounds (round 6's
+    // NANOS->MICROS migration) and a path-keyed fixture would replay the
+    // previous corpus
+    val srcF = new java.io.File(s"$dir/events.parquet")
+    val tag = java.lang.Long.toHexString(
+      dir.hashCode.toLong << 32 ^ srcF.length() ^ srcF.lastModified())
     val base = new org.apache.hadoop.fs.Path(
       System.getProperty("java.io.tmpdir"), s"graft_stream_chrono2_$tag")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -428,7 +434,9 @@ object StreamingQueries {
     val ev = Star.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val srcF = new java.io.File(s"$dir/events.parquet")
+    val tag = java.lang.Long.toHexString(
+      dir.hashCode.toLong << 32 ^ srcF.length() ^ srcF.lastModified())
     val base = new org.apache.hadoop.fs.Path(
       System.getProperty("java.io.tmpdir"), s"graft_stream_chrono_s_$tag")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
