@@ -89,6 +89,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("semanticDedupKeep: anti-join with NO forced broadcast on the drop set") {
+    // embedding-space twin of dedupKeep — same O(duplicates) drop-set
+    // argument, same planner-owned join strategy
+    val lp = Similarity.semanticDedupKeep(spark, dir)
+      .queryExecution.analyzed.toString
+    assert(!lp.contains("ResolvedHint") && !lp.contains("UnresolvedHint"),
+      "drop set must not carry a broadcast hint\n" + lp)
+    val p = plan(Similarity.semanticDedupKeep(spark, dir))
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("zscoreOutliers: stats broadcast back, detection stays map-side") {
     val p = plan(Analytics.zscoreOutliers(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p)
