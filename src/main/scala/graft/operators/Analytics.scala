@@ -135,6 +135,81 @@ object Analytics {
     *    makes the doubles bit-equal. Skewness deliberately avoids
     *    pow(B, 1.5) (library-dependent rounding) in favor of
     *    B*sqrt(B), both correctly-rounded IEEE ops. */
+  /** Count-Min heavy hitters over the token stream — THE bounded-state
+    * frequency primitive for an unbounded 100 TB corpus: d=4 rows of
+    * w=512 counters (2 048 cells total, independent of token
+    * cardinality), each cell an order-independent SUM, so the sketch is
+    * mergeable across partitions/executors/days and — unlike
+    * Misra-Gries/SpaceSaving, whose state depends on arrival order —
+    * deterministically equal on any engine. Hashes are the portable
+    * polynomial fold + universal-family rows the MinHash sketches use,
+    * so DuckDB derives the identical 2 048 cells and the gate
+    * hash-compares real sketch ESTIMATES, not just plumbing. Output:
+    * the top-20 true-count tokens (same tokenization as q_vocab_topk)
+    * with exact count and CMS estimate; est >= true always (CMS never
+    * undercounts), equality iff no bucket collision in some row.
+    *
+    * Plan shape: one map-side-combined aggregate to 2 048 cells + the
+    * exact vocab top-k it is judged against; the 20-row topk joins the
+    * tiny cell table — planner broadcasts both sides' builds. */
+  def heavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
+    val P = 1000000007L
+    val W = 512
+    val D = 4
+    def rowA(j: Int): Long = (j * 2654435761L + 1000003L) % P
+    def rowB(j: Int): Long = (j * 40503L + 12345L) % P
+    val toks = Star.fan(spark, Star.table(spark, dir, "documents"))
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .select(col("word"),
+        graft.functions.HashFunctions.polyHash(col("word"), 131L, P).as("h"))
+    // 4 (row, bucket) cells per token -> 2048-cell bucket sums
+    val cells = toks.select(posexplode(array((0 until D).map(j =>
+        ((col("h") * rowA(j) + rowB(j)) % P % W)): _*)))
+      .groupBy(col("pos").as("j"), col("col").as("bucket"))
+      .agg(count(lit(1)).as("cell_n"))
+    val topk = toks.groupBy("word", "h").agg(count(lit(1)).as("true_n"))
+      .orderBy(col("true_n").desc, col("word")).limit(20)
+    val est = (0 until D).map { j =>
+      cells.filter(col("j") === j)
+        .select(col("bucket").as(s"b$j"), col("cell_n").as(s"n$j"))
+    }.zipWithIndex.foldLeft(topk) { case (acc, (c, j)) =>
+      acc.join(c,
+        (col("h") * rowA(j) + rowB(j)) % P % W === col(s"b$j"))
+    }
+    est.select(col("word"), col("true_n"),
+        least((0 until D).map(j => col(s"n$j")): _*).as("est_n"))
+      .orderBy(col("true_n").desc, col("word"))
+  }
+
+  private val heavyHittersCmsSql = {
+    val P = 1000000007L
+    val W = 512
+    def rowA(j: Int): Long = (j * 2654435761L + 1000003L) % P
+    def rowB(j: Int): Long = (j * 40503L + 12345L) % P
+    val hashSql = "list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      "string_split(word, ''), c -> unicode(c)::BIGINT)), " +
+      s"(acc, c) -> (acc * 131 + c) % $P)"
+    val cellUnion = (0 until 4).map(j =>
+      s"SELECT $j AS j, (h * ${rowA(j)} + ${rowB(j)}) % $P % $W AS bucket " +
+        "FROM toks").mkString(" UNION ALL ")
+    val estMin = (0 until 4).map(j =>
+      s"(SELECT cell_n FROM cells WHERE j = $j AND " +
+        s"bucket = (t.h * ${rowA(j)} + ${rowB(j)}) % $P % $W)")
+      .mkString("LEAST(", ", ", ")")
+    s"""WITH words AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |  FROM documents),
+       |toks AS (SELECT word, $hashSql AS h FROM words),
+       |cells AS (
+       |  SELECT j, bucket, COUNT(*) AS cell_n FROM ($cellUnion) u
+       |  GROUP BY j, bucket),
+       |topk AS (
+       |  SELECT word, h, COUNT(*) AS true_n FROM toks GROUP BY word, h
+       |  ORDER BY true_n DESC, word LIMIT 20)
+       |SELECT word, true_n, $estMin AS est_n
+       |FROM topk t ORDER BY true_n DESC, word""".stripMargin
+  }
+
   def statsSketch(spark: SparkSession, dir: String): DataFrame = {
     val P = 1000000007L
     val kmvK = 1024
@@ -675,6 +750,7 @@ object Analytics {
     QueryDef("q_date_math", dateMath, Some(dateMathSql)),
     QueryDef("q_percentiles", percentiles, Some(percentilesSql)),
     QueryDef("q_stats_sketch", statsSketch, Some(statsSketchSql)),
+    QueryDef("q_heavy_hitters_cms", heavyHittersCms, Some(heavyHittersCmsSql)),
     QueryDef("q_stats_exact", statsExact, Some(statsExactSql)),
   )
 }
