@@ -51,6 +51,20 @@ object StreamingQueries {
       if (java.nio.file.Files.isDirectory(shm) &&
         java.nio.file.Files.isWritable(shm)) shm
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    // opportunistic sweep: a bounded replay runs for seconds, so any
+    // graft_ckpt_* dir untouched for 30+ min is an orphan from a finished
+    // query (this JVM or a previous one) — reap it so repeated bench/
+    // verify rounds don't accumulate checkpoint litter on tmpfs
+    val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
+    try java.nio.file.Files.list(base).iterator().forEachRemaining { p =>
+      if (p.getFileName.toString.startsWith("graft_ckpt_") &&
+        java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
+        try {
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        } catch { case _: java.io.IOException => () }
+      }
+    } catch { case _: java.io.IOException => () }
     java.nio.file.Files.createTempDirectory(base, s"graft_ckpt_$name").toString
   }
 
