@@ -187,4 +187,20 @@ class StreamingSpec extends SparkSuite {
         .collect().map(_._2).sorted.toSeq === Seq(7L, 7L, 99L))
     } finally q.stop()
   }
+
+  test("replayCheckpoint reaps stale orphan dirs, keeps fresh ones") {
+    import java.nio.file.{Files, Paths}
+    val fresh = Paths.get(StreamingQueries.replayCheckpoint("spec_fresh"))
+    val base = fresh.getParent
+    val stale = Files.createTempDirectory(base, "graft_ckpt_spec_stale")
+    Files.createFile(stale.resolve("offsets"))
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    val next = Paths.get(StreamingQueries.replayCheckpoint("spec_next"))
+    assert(!Files.exists(stale), "2h-old checkpoint dir must be reaped")
+    assert(Files.exists(fresh), "fresh checkpoint dir must survive the sweep")
+    Files.deleteIfExists(next)
+    Files.deleteIfExists(fresh)
+  }
 }
