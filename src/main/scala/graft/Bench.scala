@@ -30,8 +30,12 @@ object Bench {
     // SPARK_GRAFT_CONF="k=v;k2=v2": extra session confs for A/B probes
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_CONF entry '$kv' is not k=v (full value: " +
+              s"${sys.env("SPARK_GRAFT_CONF")})")
+        }
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -65,9 +65,17 @@ object Multimodal {
     val ready = new org.apache.hadoop.fs.Path(base, "_READY")
     val data = new org.apache.hadoop.fs.Path(base, "data")
     if (!fs.exists(ready)) {
-      fs.delete(base, true)
-      render.write.mode("overwrite").parquet(data.toString)
-      fs.create(ready).close()
+      // cross-PROCESS safety (bench and verify can race): render into a
+      // process-unique staging dir and atomically rename it into place,
+      // creating _READY last. Never delete `base` upfront — another
+      // process may be scanning it. If the rename loses the race the
+      // winner's cache is used and the staging dir is discarded.
+      val stage = new org.apache.hadoop.fs.Path(
+        base.getParent, s"${base.getName}_stage_${java.util.UUID.randomUUID}")
+      render.write.mode("overwrite").parquet(
+        new org.apache.hadoop.fs.Path(stage, "data").toString)
+      fs.create(new org.apache.hadoop.fs.Path(stage, "_READY")).close()
+      if (!fs.rename(stage, base)) fs.delete(stage, true)
     }
     graft.operators.Star.fan(spark, spark.read.parquet(data.toString))
   }

@@ -60,6 +60,10 @@ object Star {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // the NTZ arm below interprets wall-clock values through the session
+    // zone — pin it here so a session without the entry-point conf pins
+    // still yields the intended UTC instants
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>

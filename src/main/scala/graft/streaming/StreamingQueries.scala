@@ -54,16 +54,36 @@ object StreamingQueries {
     // opportunistic sweep: a bounded replay runs for seconds, so any
     // graft_ckpt_* dir untouched for 30+ min is an orphan from a finished
     // query (this JVM or a previous one) — reap it so repeated bench/
-    // verify rounds don't accumulate checkpoint litter on tmpfs
+    // verify rounds don't accumulate checkpoint litter on tmpfs.
+    // Staleness is keyed on the NEWEST mtime found anywhere under the
+    // dir, not the root's: a checkpoint root's mtime stops advancing
+    // once offsets/commits/state subdirs exist, while a live query
+    // (possibly another JVM) keeps touching files deep inside it on
+    // every trigger. Directory streams are closed so repeated launches
+    // don't leak fds.
     val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
-    try java.nio.file.Files.list(base).iterator().forEachRemaining { p =>
-      if (p.getFileName.toString.startsWith("graft_ckpt_") &&
-        java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
-        try {
-          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-        } catch { case _: java.io.IOException => () }
-      }
+    def newestMtime(p: java.nio.file.Path): Long = {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.mapToLong { f =>
+        try java.nio.file.Files.getLastModifiedTime(f).toMillis
+        catch { case _: java.io.IOException => 0L }
+      }.max.orElse(Long.MaxValue)
+      finally walk.close()
+    }
+    try {
+      val listing = java.nio.file.Files.list(base)
+      try listing.iterator().forEachRemaining { p =>
+        if (p.getFileName.toString.startsWith("graft_ckpt_") &&
+          (try newestMtime(p) < cutoff
+           catch { case _: java.io.IOException => false })) {
+          try {
+            val walk = java.nio.file.Files.walk(p)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+            finally walk.close()
+          } catch { case _: java.io.IOException => () }
+        }
+      } finally listing.close()
     } catch { case _: java.io.IOException => () }
     java.nio.file.Files.createTempDirectory(base, s"graft_ckpt_$name").toString
   }

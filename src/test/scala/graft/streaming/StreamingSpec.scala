@@ -192,14 +192,29 @@ class StreamingSpec extends SparkSuite {
     import java.nio.file.{Files, Paths}
     val fresh = Paths.get(StreamingQueries.replayCheckpoint("spec_fresh"))
     val base = fresh.getParent
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    // orphan: every file under it (root AND children) is 2h old
     val stale = Files.createTempDirectory(base, "graft_ckpt_spec_stale")
     Files.createFile(stale.resolve("offsets"))
-    Files.setLastModifiedTime(stale,
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    Files.setLastModifiedTime(stale.resolve("offsets"), old)
+    Files.setLastModifiedTime(stale, old)
+    // live query from another JVM: root mtime stopped advancing long ago
+    // (subdirs created once), but a state file deep inside is still being
+    // touched every trigger — must NOT be reaped
+    val live = Files.createTempDirectory(base, "graft_ckpt_spec_live")
+    val state = Files.createDirectories(live.resolve("state").resolve("0"))
+    Files.createFile(state.resolve("1.delta"))
+    Files.setLastModifiedTime(live, old)
+    Files.setLastModifiedTime(live.resolve("state"), old)
     val next = Paths.get(StreamingQueries.replayCheckpoint("spec_next"))
     assert(!Files.exists(stale), "2h-old checkpoint dir must be reaped")
     assert(Files.exists(fresh), "fresh checkpoint dir must survive the sweep")
+    assert(Files.exists(live.resolve("state").resolve("0").resolve("1.delta")),
+      "old-rooted dir with a freshly-touched state file is a LIVE query " +
+        "and must survive the sweep")
+    Files.walk(live).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => { Files.deleteIfExists(f); () })
     Files.deleteIfExists(next)
     Files.deleteIfExists(fresh)
   }
