@@ -484,6 +484,79 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** [[winnowPairs]] with an ABSOLUTE fingerprint-bucket DF cap (16):
+    * the scale-bounded production form, with the uncapped query as its
+    * recall gate — the same split the Jaccard family uses
+    * (q_dedup_jaccard_capped / q_dedup_ngram_jaccard).
+    *
+    * Two structural changes versus the uncapped path, both aimed at the
+    * 100 TB bound:
+    *  - the cap is absolute, not max(16, n_docs/100): a RELATIVE cap lets
+    *    the admissible bucket size — and with it the per-bucket candidate
+    *    quadratic df^2/2 — grow with the corpus, so the pair shuffle's
+    *    constant keeps climbing at scale. An absolute cap bounds every
+    *    bucket's contribution at 16^2/2 pairs regardless of corpus size;
+    *    candidates are then ∝ distinct fingerprints with a fixed, small
+    *    constant.
+    *  - the containment denominators come from a kept-hash GROUP-BY
+    *    (map-side partial combine; shuffles one (doc_id, count) row per
+    *    doc) joined onto the — post-threshold, tiny — pair set, instead
+    *    of riding a second full-row window shuffle by doc_id. The
+    *    uncapped path's window-by-doc shape shuffles every exploded
+    *    sketch row a second time; at 10x corpus that second full-data
+    *    exchange is pure constant-factor tax. */
+  def winnowPairsCapped(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WinnowFunctions
+    import org.apache.spark.sql.expressions.Window
+    val d = Star.fan(spark, Star.table(spark, dir, "documents"))
+      .select(col("doc_id"),
+        WinnowFunctions.winnowFingerprint(col("text"), 12, 4).as("sk"))
+    val all = d.select(col("doc_id"), explode(col("sk")).as("h"))
+    val f = all
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= lit(16L))
+      .select("doc_id", "h")
+    similarityPairs(f, "h", "containment",
+      (ca, cb, _) => least(ca, cb), 0.6)
+      .drop("shared")
+  }
+
+  /** Oracle for [[winnowPairsCapped]]: identical fingerprint
+    * reconstruction to [[winnowPairsSql]], absolute df <= 16 cap,
+    * denominators counted over the capped hash space. */
+  private val winnowPairsCappedSql = {
+    val gh = portableHashSql("substr(text, i, 12)", 131L, HashP1)
+    val cont = Star.Sql.ratio6("shared", "least(ca.c, cb.c)")
+    s"""WITH gr AS (
+       |  SELECT doc_id, text,
+       |    unnest(range(1, greatest(length(text) - 11, 0) + 1)) AS i,
+       |    greatest(length(text) - 11, 0) AS ng
+       |  FROM documents),
+       |hh AS (SELECT doc_id, i, ng, $gh AS h0 FROM gr),
+       |wm AS (
+       |  SELECT doc_id, i, ng,
+       |    MIN(h0) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS h
+       |  FROM hh),
+       |sel AS (SELECT DISTINCT doc_id, h FROM wm
+       |  WHERE i <= greatest(ng - 4, 0) + 1),
+       |f AS (
+       |  SELECT doc_id, h FROM (
+       |    SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df
+       |    FROM sel) t
+       |  WHERE df <= 16),
+       |cnt AS (SELECT doc_id, COUNT(*) AS c FROM f GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+       |  FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, $cont AS containment
+       |FROM pairs JOIN cnt ca ON ca.doc_id = id_a
+       |JOIN cnt cb ON cb.doc_id = id_b
+       |WHERE $cont >= 0.6
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** SimHash near-dup pairs by banded hamming join: the 60-bit simhash
     * splits into 4×15-bit bands; by pigeonhole, any pair within hamming
     * distance 3 shares at least one band, so the band-bucket self-join is
@@ -1172,5 +1245,7 @@ object Dedup {
     QueryDef("q_dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("q_dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     QueryDef("q_dedup_winnow_pairs", winnowPairs, Some(winnowPairsSql)),
+    QueryDef("q_dedup_winnow_capped", winnowPairsCapped,
+      Some(winnowPairsCappedSql)),
   )
 }
