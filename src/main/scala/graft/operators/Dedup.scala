@@ -331,15 +331,20 @@ object Dedup {
     s"$minhashSigCte\nSELECT doc_id, $bands FROM sig ORDER BY doc_id"
   }
 
+  /** (doc_id, band0..band3) wide signature -> exploded (doc_id, band_id,
+    * h) rows — the layout the LSH joins and the persisted band index
+    * share. */
+  private[operators] def bandRows(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array(
+      (0 until numBands).map(b =>
+        struct(lit(b).as("band_id"), col(s"band$b").as("h"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.band_id"), col("e.h"))
+
   /** MinHash-LSH near-dup candidate pairs: docs sharing >= 1 band. The
     * banded self-join is the 100 TB path — candidates are generated per
     * band bucket, never all-pairs. Hash-oracled (portable family). */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(spark, dir)
-    val exploded = sig.select(col("doc_id"), explode(array(
-      (0 until numBands).map(b =>
-        struct(lit(b).as("band_id"), col(s"band$b").as("h"))): _*)).as("e"))
-      .select(col("doc_id"), col("e.band_id"), col("e.h"))
+    val exploded = bandRows(minhashSignatures(spark, dir))
     exploded.as("a")
       .join(exploded.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.h") === col("b.h") &&
@@ -1024,6 +1029,107 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** INCREMENTAL dedup against a PERSISTED MinHash band index — the
+    * capability a 100 TB training pipeline actually runs day to day.
+    * Batch-global dedup (corpus -> pairs -> components -> keep) is the
+    * bootstrap; after it, new shards arrive and must be deduped against
+    * everything already accepted WITHOUT re-sketching the corpus.
+    *
+    * Shape: the base corpus's exploded band rows (doc_id, band_id, h)
+    * are persisted ONCE as a bucketed table keyed exactly like the probe
+    * join ([[IndexStore]]; build cost amortizes across every arriving
+    * shard — and across bench runs, mirroring production). The arriving
+    * shard — modeled as doc_id % 10 = 0 — is sketched fresh (it is the
+    * only text that gets shingled), its bands probe the index (plus the
+    * shard's own bands, so intra-shard dups are caught), candidates are
+    * verified by exact Jaccard computed over ONLY the candidate docs'
+    * shingles (semi-join pruned — verify cost scales with candidates,
+    * not corpus), and each shard doc gets a keep/drop verdict.
+    *
+    * Verdict semantics (the streaming-arrival rule, exactly mirrored by
+    * the oracle): a shard doc is dropped iff some EARLIER document
+    * (smaller doc_id, base or shard) is a verified near-dup (band match
+    * + Jaccard >= 0.5). First-seen wins; no connected components —
+    * components would need base-vs-base edges, which is precisely the
+    * recompute incrementality forbids.
+    *
+    * Scale: index side is a pruned scan of a bucketed table (never
+    * re-derived); probe side is shard-sized; candidate verify is
+    * O(candidates). At 1000 executors the band join co-locates on the
+    * index's bucketing and the shard side alone shuffles. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Star.table(spark, dir, "documents")
+    val isNew = col("doc_id") % 10 === 0
+    val index = graft.sources.IndexStore.cachedBucketTable(
+      spark, dir, "documents", "mhband", 8,
+      Seq("band_id", "h"), Seq("band_id", "h")) {
+      bandRows(withMinhashBands(shingleRows(docs.filter(!isNew))))
+    }
+    val newBands = bandRows(withMinhashBands(shingleRows(docs.filter(isNew))))
+    val cand = index.unionByName(newBands).as("a")
+      .join(newBands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val candIds = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+    val sh = shingles(docs.join(candIds, Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), col("c"), xxhash64(col("s")).as("s"))
+    val dropIds = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("s"),
+        col("c").as("ca")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("s"),
+        col("c").as("cb")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"), max("ca").as("ca"), max("cb").as("cb"))
+      .filter(Star.ratio6(col("shared"),
+        col("ca") + col("cb") - col("shared")) >= 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
+    docs.filter(isNew)
+      .join(dropIds.withColumn("__d", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("__d").isNotNull, lit("drop")).otherwise(lit("keep"))
+          .as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[dedupIncremental]]: the batch twin — bands over the
+    * FULL corpus (index ∪ shard is exactly bands(all docs)), candidates
+    * restricted to shard docs on the larger-id side, exact-Jaccard
+    * verify, first-seen-wins verdict per shard doc. */
+  private val dedupIncrementalSql = {
+    val bandSelects = (0 until numBands)
+      .map(b => s"SELECT doc_id, $b AS band_id, ${bandKeySql(b)} AS h FROM sig")
+      .mkString(" UNION ALL ")
+    val jac = Star.Sql.ratio6("shared", "ca.c + cb.c - shared")
+    s"""$minhashSigCte,
+       |bands AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id
+       |  WHERE b.doc_id % 10 = 0),
+       |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT c.id_a, c.id_b, COUNT(*) AS shared
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id_a
+       |  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |drops AS (
+       |  SELECT DISTINCT id_b AS doc_id FROM pairs
+       |  JOIN cnt ca ON ca.doc_id = id_a
+       |  JOIN cnt cb ON cb.doc_id = id_b
+       |  WHERE $jac >= 0.5)
+       |SELECT d.doc_id, d.lang, d.source,
+       |  CASE WHEN dr.doc_id IS NOT NULL THEN 'drop' ELSE 'keep' END
+       |    AS verdict
+       |FROM documents d LEFT JOIN drops dr ON dr.doc_id = d.doc_id
+       |WHERE d.doc_id % 10 = 0
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Sorted-neighborhood blocking (the classic entity-resolution third
     * way next to LSH banding and winnowing): sort the corpus by a cheap
     * blocking key — here the first 3 sorted distinct tokens — and score
@@ -1247,5 +1353,7 @@ object Dedup {
     QueryDef("q_dedup_winnow_pairs", winnowPairs, Some(winnowPairsSql)),
     QueryDef("q_dedup_winnow_capped", winnowPairsCapped,
       Some(winnowPairsCappedSql)),
+    QueryDef("q_dedup_incremental", dedupIncremental,
+      Some(dedupIncrementalSql)),
   )
 }

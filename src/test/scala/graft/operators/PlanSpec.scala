@@ -106,6 +106,24 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("dedupIncremental: serves from the persisted band index, only the shard is re-sketched") {
+    val df = Dedup.dedupIncremental(spark, dir)
+    val lp = df.queryExecution.optimizedPlan.toString
+    // the base corpus's bands come from the persisted bucketed table —
+    // a plain file scan, not the sketch lineage
+    assert(lp.contains("graft_idx_mhband"),
+      "index side must be a scan of the persisted band table\n" + lp)
+    // the only minhash-signature aggregates in the serve plan are the
+    // arriving shard's (its two references: probe side + self-dup side);
+    // a full-corpus re-sketch would add an UNFILTERED third
+    val sketchAggs = lp.split("\n")
+      .filter(l => l.contains("Aggregate") && l.contains("mh0"))
+    assert(sketchAggs.length <= 2,
+      s"expected <=2 shard sketch aggregates, got ${sketchAggs.length}\n" + lp)
+    assert(lp.contains("% 10)"),
+      "shard filter must gate the sketched text\n" + lp)
+  }
+
   test("sampleStratified: pure scan-side filter, zero exchanges") {
     val p = plan(Curation.sampleStratified(spark, dir))
     // the sample itself adds no shuffle; the only exchange allowed is the
