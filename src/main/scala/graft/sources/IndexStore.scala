@@ -31,6 +31,36 @@ object IndexStore {
   def cachedBucketTable(
       spark: SparkSession, dir: String, srcTable: String, name: String,
       nBuckets: Int, bucketCols: Seq[String], sortCols: Seq[String])
+      (build: => DataFrame): DataFrame =
+    cached(spark, dir, srcTable, name) { (w, loc, table) =>
+      w.bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(sortCols.head, sortCols.tail: _*)
+        .option("path", loc).saveAsTable(table)
+    }(build)
+
+  /** Index table partitioned by `partCols` — one directory per key value
+    * (e.g. one IVF cell per partition), so a serve query probing K cells
+    * statically prunes to K directories. */
+  def cachedPartitionedTable(
+      spark: SparkSession, dir: String, srcTable: String, name: String,
+      partCols: Seq[String])(build: => DataFrame): DataFrame =
+    cached(spark, dir, srcTable, name) { (w, loc, table) =>
+      w.partitionBy(partCols: _*).option("path", loc).saveAsTable(table)
+    }(build)
+
+  /** Small unclustered index table (e.g. the IVF coarse quantizer's
+    * centroids — broadcast at serve time). */
+  def cachedTable(
+      spark: SparkSession, dir: String, srcTable: String, name: String)
+      (build: => DataFrame): DataFrame =
+    cached(spark, dir, srcTable, name) { (w, loc, table) =>
+      w.option("path", loc).saveAsTable(table)
+    }(build)
+
+  private def cached(
+      spark: SparkSession, dir: String, srcTable: String, name: String)
+      (write: (org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+        String, String) => Unit)
       (build: => DataFrame): DataFrame = synchronized {
     val src = new java.io.File(s"$dir/$srcTable.parquet")
     val tag = java.lang.Long.toHexString(
@@ -41,12 +71,7 @@ object IndexStore {
     if (!spark.catalog.tableExists(table)) {
       val loc = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), table).toString
-      build.write
-        .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
-        .sortBy(sortCols.head, sortCols.tail: _*)
-        .option("path", loc)
-        .mode(SaveMode.Overwrite)
-        .saveAsTable(table)
+      write(build.write.mode(SaveMode.Overwrite), loc, table)
     }
     spark.table(table)
   }

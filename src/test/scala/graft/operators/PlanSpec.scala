@@ -124,6 +124,24 @@ class PlanSpec extends SparkSuite {
       "shard filter must gate the sketched text\n" + lp)
   }
 
+  test("annIvfServe: postings scan statically prunes to the probed cells") {
+    val df = Similarity.annIvfServe(spark, dir)
+    val p = plan(df)
+    // the serve path must read the PERSISTED postings (never retrain) ...
+    val scanLine = p.split("\n").find(_.contains("graft_idx_ivf_post"))
+    assert(scanLine.isDefined,
+      "serve must scan the persisted postings table\n" + p)
+    // ... and THAT scan must carry the probed-cell ids as a literal
+    // partition filter: only probed cell directories are listed/read.
+    // (At this toy nlist=8 the 5x4 probe set can cover all cells; the
+    // predicate in the plan is what prunes 4-of-4096 at a real nlist.)
+    assert(scanLine.get.contains("PartitionFilters: [cid"),
+      "postings scan must prune by probed cell ids\n" + scanLine.get)
+    assert(scanLine.get.contains(" IN "),
+      "partition filter must be the literal probed-cell IN list\n" +
+        scanLine.get)
+  }
+
   test("sampleStratified: pure scan-side filter, zero exchanges") {
     val p = plan(Curation.sampleStratified(spark, dir))
     // the sample itself adds no shuffle; the only exchange allowed is the
