@@ -77,7 +77,45 @@ def build(out_base, factors):
         print(f"{out}: documents={len(drows)} embeddings={len(erows)}")
 
 
+def build_skew(out_base, factors, hot_frac=0.3):
+    """Skewed-key replication of the events table for the AQE skew-join
+    probe (tools/SkewProbe.scala): replica rows keep their timestamps but
+    `hot_frac` of ALL rows are remapped to user_id=0 — one hot key whose
+    row count grows linearly with R while the tail stays uniform. This is
+    the adversarial shape AqeSkewSpec pins at unit scale; the probe
+    confirms the runtime split behavior (split count grows, wall time
+    sub-linear) at 10x."""
+    evts = pq.read_table(f"{SRC}/events.parquet").to_pylist()
+    nevt = len(evts)
+    for r in factors:
+        out = f"{out_base}/skew_x{r}"
+        os.makedirs(out, exist_ok=True)
+        rows = []
+        for k in range(r):
+            for e in evts:
+                eid = e["event_id"] + k * 10 * nevt
+                rows.append({
+                    "event_id": eid,
+                    "ts": e["ts"],
+                    "user_id": 0 if (eid % 1000) < hot_frac * 1000
+                    else e["user_id"] + 1,
+                    "event_type": e["event_type"],
+                    "value": e["value"],
+                    "props": e["props"]})
+        pq.write_table(pa.Table.from_pylist(rows, schema=pa.schema([
+            ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()), ("event_type", pa.string()),
+            ("value", pa.float64()), ("props", pa.string())])),
+            f"{out}/events.parquet")
+        print(f"{out}: events={len(rows)} hot_frac={hot_frac}")
+
+
 if __name__ == "__main__":
-    base = sys.argv[1]
-    factors = [int(a) for a in sys.argv[2:]] or [3, 10]
-    build(base, factors)
+    if sys.argv[1] == "--skew":
+        base = sys.argv[2]
+        factors = [int(a) for a in sys.argv[3:]] or [1, 10]
+        build_skew(base, factors)
+    else:
+        base = sys.argv[1]
+        factors = [int(a) for a in sys.argv[2:]] or [3, 10]
+        build(base, factors)
