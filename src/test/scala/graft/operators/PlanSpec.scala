@@ -124,6 +124,25 @@ class PlanSpec extends SparkSuite {
       "shard filter must gate the sketched text\n" + lp)
   }
 
+  test("semanticDedupIncremental: serves from the persisted embedding " +
+    "band index, only the shard is banded") {
+    val df = Similarity.semanticDedupIncremental(spark, dir)
+    val lp = df.queryExecution.optimizedPlan.toString
+    // the base corpus's bands come from the persisted bucketed table —
+    // a plain file scan, not the hyperplane lineage
+    assert(lp.contains("graft_idx_emblsh"),
+      "index side must be a scan of the persisted band table\n" + lp)
+    // the only banding expressions in the serve plan are the arriving
+    // shard's (two references: probe side + union member); a full-corpus
+    // re-band would add an UNFILTERED third over the raw embeddings
+    val bandRefs = lp.split("\n").count(_.toLowerCase.contains("lshbands"))
+    assert(bandRefs <= 2,
+      s"expected <=2 shard banding ops, got $bandRefs\n" + lp)
+    // every banded branch is gated by the shard-derivation filters
+    assert(lp.contains("% 5)") && lp.contains("% 7)"),
+      "shard filters must gate the banded vectors\n" + lp)
+  }
+
   test("annIvfServe: postings scan statically prunes to the probed cells") {
     val df = Similarity.annIvfServe(spark, dir)
     val p = plan(df)
