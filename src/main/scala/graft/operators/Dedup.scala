@@ -1326,6 +1326,75 @@ object Dedup {
        |WHERE ${Star.Sql.ratio6("shared", "cc - shared")} >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Index MAINTENANCE after an incremental dedup pass — the append half
+    * of build-once/probe-many: the updated band index is the persisted
+    * v1 scan ∪ the ACCEPTED shard docs' bands (dropped arrivals never
+    * enter the index, so future probes dedup against exactly the kept
+    * corpus). Nothing outside the shard is ever re-sketched — the base
+    * side remains a plain scan of the persisted table, which is the
+    * entire point of maintaining the index instead of rebuilding it.
+    * Output is the updated index's per-band profile (doc rows, distinct
+    * buckets, hottest-bucket DF — the quantity the DF-capped pair
+    * generators key on), an order-independent exact aggregate. */
+  def dedupIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Star.table(spark, dir, "documents")
+    val isNew = col("doc_id") % 10 === 0
+    // same IndexStore identity as dedupIncremental -> shared snapshot
+    val index = graft.sources.IndexStore.cachedBucketTable(
+      spark, dir, "documents", "mhband", 8,
+      Seq("band_id", "h"), Seq("band_id", "h")) {
+      bandRows(withMinhashBands(shingleRows(docs.filter(!isNew))))
+    }
+    val kept = dedupIncremental(spark, dir)
+      .filter(col("verdict") === "keep").select("doc_id")
+    val keptBands = bandRows(withMinhashBands(shingleRows(
+      docs.filter(isNew).join(kept, Seq("doc_id"), "left_semi"))))
+    index.unionByName(keptBands)
+      .groupBy("band_id", "h").agg(count(lit(1)).as("df"))
+      .groupBy("band_id")
+      .agg(sum("df").cast("long").as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        max("df").as("max_df"))
+      .orderBy("band_id")
+  }
+
+  /** Oracle: the incremental-dedup oracle's keep set, then bands over
+    * (base ∪ kept shard) profiled per band. */
+  private val dedupIndexAppendSql = {
+    val bandSelects = (0 until numBands)
+      .map(b => s"SELECT doc_id, $b AS band_id, ${bandKeySql(b)} AS h FROM sig")
+      .mkString(" UNION ALL ")
+    val jac = Star.Sql.ratio6("shared", "ca.c + cb.c - shared")
+    s"""$minhashSigCte,
+       |bands AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id
+       |  WHERE b.doc_id % 10 = 0),
+       |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT c.id_a, c.id_b, COUNT(*) AS shared
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id_a
+       |  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |drops AS (
+       |  SELECT DISTINCT id_b AS doc_id FROM pairs
+       |  JOIN cnt ca ON ca.doc_id = id_a
+       |  JOIN cnt cb ON cb.doc_id = id_b
+       |  WHERE $jac >= 0.5),
+       |updated AS (
+       |  SELECT b.* FROM bands b
+       |  WHERE b.doc_id % 10 <> 0
+       |     OR b.doc_id NOT IN (SELECT doc_id FROM drops)),
+       |bybucket AS (
+       |  SELECT band_id, h, COUNT(*) AS df FROM updated GROUP BY 1, 2)
+       |SELECT band_id, CAST(SUM(df) AS BIGINT) AS n_docs,
+       |  COUNT(*) AS n_buckets, MAX(df) AS max_df
+       |FROM bybucket GROUP BY band_id ORDER BY band_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_sorted_neighborhood", sortedNeighborhood,
       Some(sortedNeighborhoodSql)),
@@ -1355,5 +1424,7 @@ object Dedup {
       Some(winnowPairsCappedSql)),
     QueryDef("q_dedup_incremental", dedupIncremental,
       Some(dedupIncrementalSql)),
+    QueryDef("q_dedup_index_append", dedupIndexAppend,
+      Some(dedupIndexAppendSql)),
   )
 }
