@@ -186,7 +186,9 @@ object Breadth {
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("line"),
         col("l_shipdate"), col("first_ship"), col("last_ship"),
         col("second_ship"))
-      .orderBy("l_orderkey", "line")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus;
+      // l_shipdate makes the sort total (remaining ties are identical rows)
+      .orderBy("l_orderkey", "line", "l_shipdate")
   }
 
   private val firstLastValueSql =
@@ -199,7 +201,7 @@ object Breadth {
       |             ORDER BY l_shipdate, l_linenumber
       |             ROWS BETWEEN UNBOUNDED PRECEDING
       |             AND UNBOUNDED FOLLOWING)
-      |ORDER BY l_orderkey, line""".stripMargin
+      |ORDER BY l_orderkey, line, l_shipdate""".stripMargin
 
   // ----------------------------------------------------- shaping / groups
 

@@ -184,7 +184,9 @@ object Curation {
         when(col("mx") === col("mn"), lit(0.0))
           .otherwise(Star.ratio6(col("pc") - col("mn"), col("mx") - col("mn")))
           .as("price_scaled"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus;
+      // partkey + the scaled value make the sort total
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "price_scaled")
   }
 
   private val minmaxScaleSql =
@@ -200,7 +202,8 @@ object Curation {
        |SELECT l_orderkey, l_linenumber, l_partkey,
        |  CASE WHEN mx = mn THEN 0.0
        |       ELSE ${Star.Sql.ratio6("pc - mn", "mx - mn")} END AS price_scaled
-       |FROM w ORDER BY l_orderkey, l_linenumber""".stripMargin
+       |FROM w ORDER BY l_orderkey, l_linenumber, l_partkey, price_scaled"""
+      .stripMargin
 
   /** The capstone curation query — the corpus a training run would
     * actually consume: drop non-canonical near-dup cluster members, keep
