@@ -32,15 +32,26 @@ object SkewProbe {
       // would never register a skew; thresholds scale with the corpus,
       // the BEHAVIOR under them is what the probe pins
       .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      // threshold/advisory overridable: the hot partition's bytes are
+      // COMPRESSED shuffle bytes (its constant key column compresses
+      // away), so the register point is corpus-dependent
       .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-        "262144")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+        sys.env.getOrElse("SKEW_THRESHOLD", "65536"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SKEW_ADVISORY", "16384"))
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      // AQE splits a skewed reducer partition along MAP-task boundaries
+      // (each split re-reads a map-index range), so a shuffle fed by one
+      // map task is unsplittable no matter how skewed — and the probe
+      // corpus is a single parquet file. Cap the scan split size so the
+      // file fans into many map tasks, as any real cluster scan would.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SKEW_SPLIT_BYTES", "1048576"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SKEW_LOGLEVEL", "ERROR"))
 
     val events = spark.read.parquet(s"$dir/events.parquet")
     // per-key dim built once from the fact's key space (distinct user_ids)
@@ -54,24 +65,48 @@ object SkewProbe {
       .agg(count(lit(1)).as("n"),
         sum(graft.operators.Star.cents(col("value"))).as("sv_c"))
 
-    // warm-up (footers + codegen), then timed run
+    // warm-up (footers + codegen) on a twin execution, then a timed
+    // collect on `joined` ITSELF — the AQE skew metrics live on the
+    // QueryExecution that ran, so the inspected Dataset must be the one
+    // executed (a .write wraps the plan in a separate execution whose
+    // adaptive plan the metrics pull below would never see). The result
+    // is one row per user key (~1.5k), so collect is driver-safe.
     joined.write.format("noop").mode("overwrite").save()
     val t0 = System.nanoTime()
-    joined.write.format("noop").mode("overwrite").save()
+    val grouped = joined.collect()
     val sec = (System.nanoTime() - t0) / 1e9
 
-    // pull skew metrics from the final adaptive plan
-    val reads = joined.queryExecution.executedPlan.collect {
-      case r: AQEShuffleReadExec => r }
+    // pull skew metrics from the final adaptive plan. Both
+    // AdaptiveSparkPlanExec and every QueryStageExec (Result/Shuffle) are
+    // LEAVES to collect(), so descend through their wrapped plans
+    // explicitly.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def allReads(p: SparkPlan): Seq[AQEShuffleReadExec] =
+      p.collect {
+        case r: AQEShuffleReadExec => Seq(r)
+        case a: AdaptiveSparkPlanExec => allReads(a.executedPlan)
+        case q: QueryStageExec => allReads(q.plan)
+      }.flatten
+    val reads = allReads(joined.queryExecution.executedPlan)
     val skewedParts = reads.flatMap(_.metrics.get("numSkewedPartitions")
       .map(_.value)).sum
     val skewedSplits = reads.flatMap(_.metrics.get("numSkewedSplits")
       .map(_.value)).sum
-    val hot = joined.filter(col("user_id") === 0)
-      .collect().headOption.map(r => r.getLong(1)).getOrElse(-1L)
+    val hot = grouped.find(_.getLong(0) == 0L)
+      .map(_.getLong(1)).getOrElse(-1L)
+    val planSkew = joined.queryExecution.executedPlan.toString
+      .contains("skew=true")
+    if (sys.env.contains("SKEW_DEBUG")) {
+      reads.foreach(r => System.err.println(
+        s"SKEWDBG read: ${r.metrics.map { case (k, m) => s"$k=${m.value}" }
+          .mkString(", ")}"))
+      System.err.println(joined.queryExecution.executedPlan.toString)
+    }
     spark.stop()
     println(s"""{"probe":"skew","label":"$label","sec":${f"$sec%.3f"},""" +
       s""""skewed_partitions":$skewedParts,"skew_splits":$skewedSplits,""" +
-      s""""hot_rows":$hot}""")
+      s""""plan_skew":$planSkew,"hot_rows":$hot}""")
   }
 }

@@ -102,11 +102,15 @@ def build_skew(out_base, factors, hot_frac=0.3):
                     "event_type": e["event_type"],
                     "value": e["value"],
                     "props": e["props"]})
+        # many small row groups: AQE's skew split slices a reducer
+        # partition along MAP-task boundaries, and parquet assigns whole
+        # row groups to map splits — a single-row-group file is one map
+        # and therefore unsplittable regardless of skew
         pq.write_table(pa.Table.from_pylist(rows, schema=pa.schema([
             ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
             ("user_id", pa.int64()), ("event_type", pa.string()),
             ("value", pa.float64()), ("props", pa.string())])),
-            f"{out}/events.parquet")
+            f"{out}/events.parquet", row_group_size=25000)
         print(f"{out}: events={len(rows)} hot_frac={hot_frac}")
 
 
