@@ -218,4 +218,34 @@ class StreamingSpec extends SparkSuite {
     Files.deleteIfExists(next)
     Files.deleteIfExists(fresh)
   }
+
+  test("streaming dedup against the persisted band index == batch serve " +
+    "path, and the replay arrives as 3 chronological shards") {
+    val got = graft.operators.Dedup.streamDedupIndex(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    val want = graft.operators.Dedup.dedupIncremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(got === want,
+      "streaming arrival verdicts must converge to the batch twin")
+    assert(got.nonEmpty && got.map(_._1) === got.map(_._1).sorted)
+    // the build-once replay fixture is 3 contiguous doc_id-range files
+    val srcF = new java.io.File(s"$dir/documents.parquet")
+    val tag = java.lang.Long.toHexString(
+      dir.hashCode.toLong << 32 ^ srcF.length() ^ srcF.lastModified())
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_stream_dedupidx_$tag")
+    val parts = (1 to 3).map(k => base.resolve(s"q$k.parquet"))
+    assert(parts.forall(Files.exists(_)), s"expected 3 shard files in $base")
+    // file order == doc_id order (strictly increasing mtimes were set by
+    // the sequential rename; verify the ranges don't interleave)
+    val ranges = parts.map { p =>
+      val ids = spark.read.parquet(p.toString)
+        .agg(min("doc_id"), max("doc_id")).collect().head
+      (ids.getLong(0), ids.getLong(1))
+    }
+    assert(ranges.sliding(2).forall {
+      case Seq((_, hi), (lo2, _)) => hi < lo2
+      case _ => true
+    }, s"shard id ranges must be contiguous and ordered: $ranges")
+  }
 }
