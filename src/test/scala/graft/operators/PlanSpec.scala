@@ -161,6 +161,24 @@ class PlanSpec extends SparkSuite {
         scanLine.get)
   }
 
+  test("annIvfQuant: code postings prune to probed cells; full vectors " +
+    "only touched after the shortlist") {
+    val df = Similarity.annIvfQuant(spark, dir)
+    val p = plan(df)
+    val scanLine = p.split("\n").find(_.contains("graft_idx_ivf_code_post"))
+    assert(scanLine.isDefined,
+      "quant serve must scan the persisted code postings\n" + p)
+    assert(scanLine.get.contains("PartitionFilters: [cid") &&
+      scanLine.get.contains(" IN "),
+      "code postings scan must prune by probed cell ids\n" + scanLine.get)
+    // stage-2 exactness: the result is computed from true cosines, so
+    // the plan still reads the full-precision embeddings — but through
+    // the shortlist join, never as a per-posting score. The shortlist
+    // rank (cr <= 10) must sit between the code scan and the cosine.
+    assert(p.contains("cr") && p.contains("cd"),
+      "shortlist rank over integer code distance must be in-plan\n" + p)
+  }
+
   test("sampleStratified: pure scan-side filter, zero exchanges") {
     val p = plan(Curation.sampleStratified(spark, dir))
     // the sample itself adds no shuffle; the only exchange allowed is the
