@@ -358,6 +358,42 @@ object Training {
       .orderBy("doc_id")
   }
 
+  /** [[contamination]] split into BUILD and SERVE — decontamination as a
+    * pipeline actually runs it: the benchmark (train-side) n-gram hash
+    * set is persisted ONCE as a bucketed index (hash-keyed, so the probe
+    * join co-locates on the index's bucketing), and each arriving shard
+    * is shingled fresh and probed against it. Nothing re-shingles the
+    * benchmark corpus per shard — the build cost amortizes across every
+    * arrival, and at 1000 executors only the shard side shuffles.
+    * Same train/test split and scoring as the in-query form → shared
+    * oracle. */
+  def contaminationServe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Star.table(spark, dir, "documents")
+      .withColumn("bucket",
+        (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 100)
+    val arr =
+      "array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)), " +
+        "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1), try_element_at(w, i + 2))))"
+    def shingled(d: DataFrame): DataFrame =
+      Star.fan(spark, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        .select(col("doc_id"), explode(expr(arr)).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val index = graft.sources.IndexStore.cachedBucketTable(
+      spark, dir, "documents", "bench_ngrams", 8, Seq("h"), Seq("h")) {
+      shingled(docs.filter(col("bucket") < 80)).select("h").distinct()
+    }
+    shingled(docs.filter(col("bucket") >= 90))
+      .join(index.withColumn("hit", lit(1L)), Seq("h"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum("hit"), lit(0L)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        Star.ratio6(col("n_contaminated"), col("n_shingles"))
+          .as("contamination"))
+      .orderBy("doc_id")
+  }
+
   private val contaminationSql =
     s"""WITH b AS (
        |  SELECT doc_id, text,
@@ -730,6 +766,10 @@ object Training {
     QueryDef("q_quality_expectations", qualityExpectations,
       Some(qualityExpectationsSql)),
     QueryDef("q_contamination", contamination, Some(contaminationSql)),
+    // serve path against the persisted benchmark n-gram index — same
+    // split/scoring, index build amortized → shared oracle
+    QueryDef("q_contamination_serve", contaminationServe,
+      Some(contaminationSql)),
     QueryDef("q_unigram_likelihood", unigramLikelihood,
       Some(unigramLikelihoodSql)),
     QueryDef("q_perplexity_buckets", perplexityBuckets,

@@ -179,6 +179,19 @@ class PlanSpec extends SparkSuite {
       "shortlist rank over integer code distance must be in-plan\n" + p)
   }
 
+  test("contaminationServe: probes the persisted benchmark index, only " +
+    "the shard side is shingled") {
+    val df = graft.operators.Training.contaminationServe(spark, dir)
+    val p = plan(df)
+    assert(p.contains("graft_idx_bench_ngrams"),
+      "serve must scan the persisted benchmark n-gram index\n" + p)
+    // one explode lineage (the arriving shard's); the benchmark is never
+    // re-shingled at serve time
+    assert("Generate explode".r.findAllIn(p).size == 1,
+      "exactly one shingle explode (the shard's) allowed in the serve " +
+        "plan\n" + p)
+  }
+
   test("sampleStratified: pure scan-side filter, zero exchanges") {
     val p = plan(Curation.sampleStratified(spark, dir))
     // the sample itself adds no shuffle; the only exchange allowed is the
