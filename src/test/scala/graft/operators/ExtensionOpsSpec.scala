@@ -88,6 +88,24 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(mean >= 0.5, s"mean IVF recall@3 too low: $mean ($recalls)")
   }
 
+  test("similarity: the int8-code shortlist does not degrade IVF recall") {
+    // the quantized serve path searches the same probed cells as plain
+    // IVF; its only extra approximation is the code-distance shortlist.
+    // With shortlist size 10 >> k=3 and 8-bit codes, the re-ranked top-3
+    // must recall at least as much of the IVF result as the quantization
+    // error allows — gate at parity-with-IVF minus one neighbor total.
+    val ivf = Similarity.annIvf(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val qnt = Similarity.annIvfQuant(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(qnt.nonEmpty, "quantized IVF returned no candidates")
+    val missed = ivf.toSeq.map { case (q, want) =>
+      (want -- qnt.getOrElse(q, Set.empty)).size
+    }.sum
+    assert(missed <= 1,
+      s"int8 shortlist lost $missed IVF neighbors (allowed: 1)")
+  }
+
   test("similarity: cosine self-similarity sanity via norms") {
     val norms = Similarity.embeddingNorms(spark, dir).collect()
     assert(norms.length === 500)
