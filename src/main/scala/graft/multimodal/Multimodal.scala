@@ -638,6 +638,172 @@ object Multimodal {
        |FROM documents, range($W) x(x), range($H) y(y)
        |GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  // ------------------------------------- perceptual-hash image dedup
+
+  /** Renderer for the near-dup PNG variant: ids ending in 7 render the
+    * PREVIOUS id's image with a single-pixel perturbation (the (0,0) red
+    * channel +1 mod 256) — one planted near-duplicate pair per 10 ids;
+    * every other id renders its own formula image. Same closed-form
+    * pixel math as [[renderPng]], so the oracle derives every raster
+    * without the codec. */
+  def renderPngNear(id: Long): Array[Byte] = {
+    val src = if (id % 10 == 7) id - 1 else id
+    val img = new java.awt.image.BufferedImage(
+      W, H, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < H) {
+      var x = 0
+      while (x < W) {
+        // quadratic cross-term mixing (unlike renderPng's linear ramps):
+        // adjacent-pixel luma differences vary per (id, x, y), so dHash
+        // bits are near-random across unrelated images — a linear ramp
+        // makes every image's hash collapse onto the same few patterns
+        // and floods hamming<=3 with structural false positives
+        var r = ((src * 31 + (x * 7 + y * 13 + x * x * 3 + y * y * 5 +
+          x * y * 11) * (1 + src % 7)) % 256).toInt
+        val g = ((src * 17 + (x * 5 + y * 11 + x * x * 7 + y * y * 3 +
+          x * y * 19) * (1 + src % 11)) % 256).toInt
+        val b = ((src * 13 + (x * 3 + y * 29 + x * x * 5 + y * y * 7 +
+          x * y * 23) * (1 + src % 13)) % 256).toInt
+        if (id % 10 == 7 && x == 0 && y == 0) r = (r + 1) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Synthetic near-dup PNG media table (build-once fixture cache). */
+  def pngNearMedia(spark: SparkSession, dir: String): DataFrame =
+    cachedMedia(spark, dir, "png_near") {
+      import spark.implicits._
+      graft.operators.Star.fan(spark,
+          graft.operators.Star.table(spark, dir, "documents").select("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, renderPngNear(id))))
+        .toDF("media_id", "payload")
+        .select(col("media_id"), col("payload"),
+          struct(
+            lit("image/png").as("format"),
+            length(col("payload")).cast("long").as("byte_len"),
+            lit("synthetic").as("source")).as("meta"))
+    }
+
+  final case class ImageHash(media_id: Long, dhash: Long)
+
+  /** Difference-hash off the REAL decoded raster: an 8×8 luma grid
+    * sampled at every other pixel (integer luma 299r+587g+114b — exact,
+    * no float), one bit per horizontal neighbor comparison (7 per row ×
+    * 8 rows = 56 bits packed into a nonnegative long). A one-pixel edit
+    * flips at most its own grid cell's two adjacent comparisons, so
+    * planted near-copies land within hamming 2 of their source while
+    * unrelated images differ in ~28 bits. */
+  def decodeDhash(media: DataFrame): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        def luma(px: Int, py: Int): Long = {
+          val rgb = img.getRGB(px, py)
+          299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+            114L * (rgb & 0xff)
+        }
+        var hash = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 7) {
+            if (luma(2 * (x + 1), 2 * y) > luma(2 * x, 2 * y))
+              hash |= 1L << (y * 7 + x)
+            x += 1
+          }
+          y += 1
+        }
+        ImageHash(id, hash)
+      })
+  }
+
+  /** Image near-duplicate pairs through the whole multimodal dedup
+    * chain: real PNG decode → dHash → 4×14-bit LSH bands
+    * (pigeonhole-complete for hamming ≤ 3) → banded candidate join →
+    * exact hamming verify. The image-side twin of the text SimHash
+    * pipeline — candidates come from band buckets, never all-pairs, so
+    * the join scales with bucket density, not corpus². Hash-oracled:
+    * DuckDB derives every raster from the closed-form pixel formulas
+    * (never decoding a byte) and must land on identical pairs. */
+  def mediaPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = decodeDhash(pngNearMedia(spark, dir)).toDF()
+    val bands = hashes.select(col("media_id"), col("dhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          expr(s"shiftright(dhash, ${b * 14}) & 16383").as("k"))): _*))
+        .as("e"))
+      .select(col("media_id"), col("dhash"),
+        col("e.band_id").as("band_id"), col("e.k").as("k"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.k") === col("b.k") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"),
+        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Oracle for [[mediaPhashDedup]]: the identical dHash/band/verify
+    * chain over formula-derived rasters. */
+  private val mediaPhashDedupSql =
+    """WITH ids AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 10 = 7 THEN doc_id - 1 ELSE doc_id END AS src
+      |  FROM documents),
+      |lum AS (
+      |  SELECT media_id, x.x AS x, y.y AS y,
+      |    299 * ((src * 31 + ((2*x.x) * 7 + (2*y.y) * 13
+      |            + (2*x.x) * (2*x.x) * 3 + (2*y.y) * (2*y.y) * 5
+      |            + (2*x.x) * (2*y.y) * 11) * (1 + src % 7)
+      |            + CASE WHEN media_id % 10 = 7 AND x.x = 0 AND y.y = 0
+      |                   THEN 1 ELSE 0 END) % 256)
+      |    + 587 * ((src * 17 + ((2*x.x) * 5 + (2*y.y) * 11
+      |            + (2*x.x) * (2*x.x) * 7 + (2*y.y) * (2*y.y) * 3
+      |            + (2*x.x) * (2*y.y) * 19) * (1 + src % 11)) % 256)
+      |    + 114 * ((src * 13 + ((2*x.x) * 3 + (2*y.y) * 29
+      |            + (2*x.x) * (2*x.x) * 5 + (2*y.y) * (2*y.y) * 7
+      |            + (2*x.x) * (2*y.y) * 23) * (1 + src % 13)) % 256)
+      |      AS luma
+      |  FROM ids, UNNEST(range(0, 8)) x(x), UNNEST(range(0, 8)) y(y)),
+      |bits AS (
+      |  SELECT a.media_id, a.y, a.x,
+      |    CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+      |  FROM lum a JOIN lum b ON b.media_id = a.media_id AND b.y = a.y
+      |    AND b.x = a.x + 1
+      |  WHERE a.x < 7),
+      |hashes AS (
+      |  SELECT media_id,
+      |    CAST(SUM(CAST(bit AS BIGINT) * (1::BIGINT << (y * 7 + x)))
+      |      AS BIGINT) AS dhash
+      |  FROM bits GROUP BY media_id),
+      |bands AS (
+      |  SELECT media_id, dhash, b.b AS band_id,
+      |    (dhash >> (b.b * 14)) & 16383 AS k
+      |  FROM hashes, UNNEST([0, 1, 2, 3]) b(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+      |    a.dhash AS ha, b.dhash AS hb
+      |  FROM bands a JOIN bands b
+      |    ON a.band_id = b.band_id AND a.k = b.k
+      |    AND a.media_id < b.media_id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   val defs: Seq[graft.QueryDef] = Seq(
     graft.QueryDef("q_media_frames", mediaFrames, Some(mediaFramesSql)),
     graft.QueryDef("q_media_features", mediaFeatures, Some(mediaFeaturesSql)),
@@ -645,6 +811,8 @@ object Multimodal {
     graft.QueryDef("q_media_resize", mediaResize, Some(mediaResizeSql)),
     graft.QueryDef("q_media_video", mediaVideo, Some(mediaVideoSql)),
     graft.QueryDef("q_media_jpeg", mediaJpeg, Some(mediaJpegSql)),
+    graft.QueryDef("q_media_phash_dedup", mediaPhashDedup,
+      Some(mediaPhashDedupSql)),
   )
 
   /** Frame-sampling plumbing for variable-length media: explode a payload

@@ -136,4 +136,24 @@ class MultimodalSpec extends SparkSuite {
       col("n_frames") =!= ceil(col("byte_len") / 100.0)).count()
     assert(bad === 0L)
   }
+
+  test("perceptual-hash dedup finds every planted near-copy within " +
+    "hamming 2, through the real PNG codec") {
+    val pairs = Multimodal.mediaPhashDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = graft.operators.Star.table(spark, dir, "documents").count()
+    // every id ending in 7 is a one-pixel-perturbed copy of id-1
+    val planted = (0L until n).filter(_ % 10 == 7).map(b => (b - 1, b))
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.forall(found.contains),
+      s"missed planted pairs: ${planted.filterNot(found.contains)}")
+    // a single-pixel edit flips at most its own grid cell's two
+    // adjacent comparisons
+    val plantedSet = planted.toSet
+    assert(pairs.filter(p => plantedSet((p._1, p._2))).forall(_._3 <= 2),
+      "planted near-copy exceeded hamming 2")
+    // discriminative at this scale: nothing but the planted pairs
+    assert(pairs.length === planted.length,
+      s"expected ${planted.length} pairs, got ${pairs.length}")
+  }
 }
