@@ -638,6 +638,160 @@ object Multimodal {
        |FROM documents, range($W) x(x), range($H) y(y)
        |GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  // ------------------------------------- audio-fingerprint dedup
+
+  /** Closed-form sample for the near-dup WAV table: an id-dependent
+    * stride (17 + src % 97) AND quadratic phase (t²·(3 + src % 89)) so
+    * frame-energy deltas differ per clip — the audio analog of the image
+    * renderer's id-dependent gradient. A linear-only sweep collapses
+    * unrelated clips onto shifted copies of the same energy profile and
+    * floods the hamming gate (measured 402 pairs vs the 50 planted);
+    * with the quadratic term and wide moduli a 5000-clip simulation
+    * shows zero cross-clip pairs at hamming ≤ 3. */
+  @inline private def sampleNear(src: Long, t: Int): Int =
+    (((src * 31 + t * (17 + (src % 97)) + t.toLong * t * (3 + (src % 89)))
+      % 2048 - 1024) * 16).toInt
+
+  /** Near-dup WAV renderer: ids ending in 3 re-render the PREVIOUS id's
+    * clip with the first sample nudged by one quantization step (+16) —
+    * one planted near-duplicate pair per 10 ids. */
+  def renderWavNear(id: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val src = if (id % 10 == 3) id - 1 else id
+    val pcm = new Array[Byte](NSamples * 2)
+    var t = 0
+    while (t < NSamples) {
+      var s = sampleNear(src, t)
+      if (id % 10 == 3 && t == 0) s += 16
+      pcm(2 * t) = (s & 0xff).toByte
+      pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, NSamples.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Synthetic near-dup WAV media table (build-once fixture cache). */
+  def wavNearMedia(spark: SparkSession, dir: String): DataFrame =
+    cachedMedia(spark, dir, "wav_near") {
+      import spark.implicits._
+      graft.operators.Star.fan(spark,
+          graft.operators.Star.table(spark, dir, "documents").select("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, renderWavNear(id))))
+        .toDF("media_id", "payload")
+        .select(col("media_id"), col("payload"),
+          struct(
+            lit("audio/wav").as("format"),
+            length(col("payload")).cast("long").as("byte_len"),
+            lit("synthetic").as("source")).as("meta"))
+    }
+
+  final case class AudioFingerprint(media_id: Long, fp: Long)
+
+  /** Audio fingerprint off the REAL decoded PCM: 64 frames of 4 samples,
+    * exact integer frame energy (Σ s²), one bit per adjacent-frame
+    * energy comparison — the first 56 packed into a nonnegative long.
+    * A one-sample edit perturbs only its own frame's energy, flipping at
+    * most that frame's two adjacent comparisons. */
+  def decodeAudioFingerprint(media: DataFrame): Dataset[AudioFingerprint] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val energy = new Array[Long](n / 4)
+        var t = 0
+        while (t < n) {
+          val s = ((bytes(2 * t) & 0xff) | (bytes(2 * t + 1) << 8))
+            .toShort.toLong
+          energy(t / 4) += s * s
+          t += 1
+        }
+        var fp = 0L
+        var f = 0
+        while (f < 56) {
+          if (energy(f + 1) > energy(f)) fp |= 1L << f
+          f += 1
+        }
+        AudioFingerprint(id, fp)
+      })
+  }
+
+  /** Audio near-duplicate pairs — the audio member of the multimodal
+    * dedup chain (text shingles / embeddings / image dHash / audio
+    * energy fingerprint, all the same banded-LSH shape): real WAV decode
+    * → 56-bit energy fingerprint → 4×14-bit bands → banded candidate
+    * join → exact hamming verify. Hash-oracled from the closed-form
+    * sample formula, no codec on the oracle side. */
+  def mediaAudioDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fps = decodeAudioFingerprint(wavNearMedia(spark, dir)).toDF()
+    val bands = fps.select(col("media_id"), col("fp"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          expr(s"shiftright(fp, ${b * 14}) & 16383").as("k"))): _*))
+        .as("e"))
+      .select(col("media_id"), col("fp"),
+        col("e.band_id").as("band_id"), col("e.k").as("k"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.k") === col("b.k") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.fp").as("ha"), col("b.fp").as("hb"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"),
+        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Oracle for [[mediaAudioDedup]]: identical fingerprint/band/verify
+    * chain over formula-derived sample energies. */
+  private val mediaAudioDedupSql =
+    """WITH ids AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 10 = 3 THEN doc_id - 1 ELSE doc_id END AS src
+      |  FROM documents),
+      |sm AS (
+      |  SELECT media_id, t.t // 4 AS f,
+      |    ((src * 31 + t.t * (17 + src % 97)
+      |      + t.t * t.t * (3 + src % 89)) % 2048 - 1024) * 16
+      |    + CASE WHEN media_id % 10 = 3 AND t.t = 0 THEN 16 ELSE 0 END AS s
+      |  FROM ids, range(256) t(t)),
+      |en AS (
+      |  SELECT media_id, f, CAST(SUM(s * s) AS BIGINT) AS e
+      |  FROM sm GROUP BY 1, 2),
+      |bits AS (
+      |  SELECT a.media_id, a.f,
+      |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+      |  FROM en a JOIN en b ON b.media_id = a.media_id AND b.f = a.f + 1
+      |  WHERE a.f < 56),
+      |hashes AS (
+      |  SELECT media_id,
+      |    CAST(SUM(CAST(bit AS BIGINT) * (1::BIGINT << CAST(f AS INT)))
+      |      AS BIGINT) AS fp
+      |  FROM bits GROUP BY media_id),
+      |bands AS (
+      |  SELECT media_id, fp, b.b AS band_id,
+      |    (fp >> (b.b * 14)) & 16383 AS k
+      |  FROM hashes, UNNEST([0, 1, 2, 3]) b(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+      |    a.fp AS ha, b.fp AS hb
+      |  FROM bands a JOIN bands b
+      |    ON a.band_id = b.band_id AND a.k = b.k
+      |    AND a.media_id < b.media_id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------- perceptual-hash image dedup
 
   /** Renderer for the near-dup PNG variant: ids ending in 7 render the
@@ -813,6 +967,8 @@ object Multimodal {
     graft.QueryDef("q_media_jpeg", mediaJpeg, Some(mediaJpegSql)),
     graft.QueryDef("q_media_phash_dedup", mediaPhashDedup,
       Some(mediaPhashDedupSql)),
+    graft.QueryDef("q_media_audio_dedup", mediaAudioDedup,
+      Some(mediaAudioDedupSql)),
   )
 
   /** Frame-sampling plumbing for variable-length media: explode a payload

@@ -156,4 +156,21 @@ class MultimodalSpec extends SparkSuite {
     assert(pairs.length === planted.length,
       s"expected ${planted.length} pairs, got ${pairs.length}")
   }
+
+  test("audio-fingerprint dedup finds every planted near-copy within " +
+    "hamming 2, through the real WAV codec") {
+    val pairs = Multimodal.mediaAudioDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = graft.operators.Star.table(spark, dir, "documents").count()
+    // every id ending in 3 is a one-sample-nudged copy of id-1
+    val planted = (0L until n).filter(_ % 10 == 3).map(b => (b - 1, b))
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.forall(found.contains),
+      s"missed planted pairs: ${planted.filterNot(found.contains)}")
+    val plantedSet = planted.toSet
+    assert(pairs.filter(p => plantedSet((p._1, p._2))).forall(_._3 <= 2),
+      "planted near-copy exceeded hamming 2")
+    assert(pairs.length === planted.length,
+      s"expected ${planted.length} pairs, got ${pairs.length}")
+  }
 }
