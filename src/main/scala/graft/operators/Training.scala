@@ -149,6 +149,129 @@ object Training {
       |SELECT doc_id, term, tf, score, rnk FROM r WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
 
+  // ------------------------------------------------- hybrid retrieval (RRF)
+
+  /** Hybrid retrieval by reciprocal-rank fusion — the standard RAG
+    * serving pattern: a lexical ranking and a vector ranking are
+    * computed independently per query and fused by
+    * RRF(d) = Σ 1/(60 + rank_i(d)), which needs only RANKS, never
+    * cross-scorer score calibration. Items are the ids carrying BOTH a
+    * text and an embedding; queries are items 0..4 (query = the item
+    * itself, matching the ANN family's convention; the item is excluded
+    * from its own rankings).
+    *
+    * Lexical side: idf-weighted distinct-token overlap — Σ over shared
+    * distinct terms of idf_m = (n_items·1000)//df, the integer-rational
+    * BM25 idf reused from [[bm25Topk]]. Vector side: the rounded-cosine
+    * ranking of the ANN family. Both fused as
+    * rrf_u = Σ 1e9//(60 + rank), exact integers end-to-end; a document
+    * ranked by only one side contributes only that term (standard RRF
+    * over unioned candidate sets).
+    *
+    * Scale shape: the query side is tiny and broadcasts; the lexical
+    * score is an inverted-index join (never all-pairs); the vector side
+    * here scores all items per query (5 queries — brute force is the
+    * exact baseline, the IVF serve path is the drop-in at corpus scale);
+    * rank windows partition per query. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = Star.table(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+    val docs = Star.table(spark, dir, "documents")
+      .join(items.select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val tok = docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id").as("id"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+      .distinct()
+    val nItems = items.count()
+    val df_ = tok.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf_m", Star.idiv(lit(nItems) * 1000L, col("df")))
+    val qtok = tok.filter(col("id") < 5)
+      .select(col("id").as("q_id"), col("term"))
+    val lex = tok.join(broadcast(qtok), Seq("term"))
+      .filter(col("id") =!= col("q_id"))
+      .join(broadcast(df_.select("term", "idf_m")), Seq("term"))
+      .groupBy("q_id", "id")
+      .agg(sum("idf_m").as("lex_score"))
+      .withColumn("lex_rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("lex_score").desc, col("id"))).cast("long"))
+      .select("q_id", "id", "lex_rank")
+    val qv = items.filter(col("id") < 5)
+      .select(col("id").as("q_id"), col("v").as("qv"))
+    val vec = items.crossJoin(broadcast(qv))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"),
+        round(expr("aggregate(zip_with(qv, v, (a, b) -> a * b), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)") /
+          (sqrt(expr("aggregate(zip_with(qv, qv, (a, b) -> a * b), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")) *
+           sqrt(expr("aggregate(zip_with(v, v, (a, b) -> a * b), " +
+             "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))), 6).as("cosine"))
+      .withColumn("vec_rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("id"))).cast("long"))
+      .select("q_id", "id", "vec_rank")
+    val fused = lex.join(vec, Seq("q_id", "id"), "full_outer")
+      .select(col("q_id"), col("id"),
+        (coalesce(Star.idiv(lit(1000000000L), col("lex_rank") + 60L),
+          lit(0L)) +
+         coalesce(Star.idiv(lit(1000000000L), col("vec_rank") + 60L),
+           lit(0L))).as("rrf_u"))
+    fused.withColumn("rnk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("rrf_u").desc, col("id"))).cast("long"))
+      .filter(col("rnk") <= 5)
+      .orderBy("q_id", "rnk")
+  }
+
+  private val hybridRrfSql =
+    """WITH items AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |docs AS (
+      |  SELECT d.doc_id AS id, d.text FROM documents d
+      |  JOIN items i ON i.id = d.doc_id),
+      |tok AS (
+      |  SELECT DISTINCT id,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM docs),
+      |n AS (SELECT COUNT(*) AS n_items FROM items),
+      |df AS (
+      |  SELECT term, ((n.n_items * 1000) // COUNT(*)) AS idf_m
+      |  FROM tok CROSS JOIN n GROUP BY term, n.n_items),
+      |lex AS (
+      |  SELECT q.id AS q_id, t.id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q.id
+      |      ORDER BY SUM(df.idf_m) DESC, t.id) AS BIGINT) AS lex_rank
+      |  FROM tok q
+      |  JOIN tok t ON t.term = q.term AND t.id <> q.id
+      |  JOIN df ON df.term = q.term
+      |  WHERE q.id < 5
+      |  GROUP BY q.id, t.id),
+      |vec AS (
+      |  SELECT q.id AS q_id, i.id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
+      |      round(list_dot_product(q.v, i.v)
+      |        / (sqrt(list_dot_product(q.v, q.v))
+      |           * sqrt(list_dot_product(i.v, i.v))), 6) DESC, i.id)
+      |      AS BIGINT) AS vec_rank
+      |  FROM items q JOIN items i ON i.id <> q.id
+      |  WHERE q.id < 5),
+      |fused AS (
+      |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+      |    COALESCE(l.id, v.id) AS id,
+      |    COALESCE(1000000000 // (l.lex_rank + 60), 0)
+      |      + COALESCE(1000000000 // (v.vec_rank + 60), 0) AS rrf_u
+      |  FROM lex l FULL OUTER JOIN vec v
+      |    ON v.q_id = l.q_id AND v.id = l.id),
+      |r AS (
+      |  SELECT q_id, id, rrf_u,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY rrf_u DESC, id) AS BIGINT) AS rnk
+      |  FROM fused)
+      |SELECT q_id, id, rrf_u, rnk FROM r WHERE rnk <= 5
+      |ORDER BY q_id, rnk""".stripMargin
+
   // -------------------------------------------------- bloom prefilter join
 
   /** Join with an explicit bloom prefilter on the probe side: build a
@@ -760,6 +883,7 @@ object Training {
     QueryDef("q_shuffle_shard", shuffleShard, Some(shuffleShardSql)),
     QueryDef("q_chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),
     QueryDef("q_bm25_topk", bm25Topk, Some(bm25TopkSql)),
+    QueryDef("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("q_bloom_prefilter_join", bloomPrefilterJoin,
       Some(bloomPrefilterJoinSql)),
     QueryDef("q_train_split", trainSplit, Some(trainSplitSql)),
