@@ -150,6 +150,23 @@ object PlanDump {
           |planner's choice (no broadcast hint — the drop set is
           |O(duplicates) and would OOM the driver at high dup
           |rates).""".stripMargin,
+      "q_dedup_incremental" ->
+        """Incremental dedup SERVE path. What to look for: the band-probe
+          |join's left side scans the PERSISTED bucketed index table
+          |(graft_idx_mhband_*) — no re-shingling of the base corpus
+          |anywhere in the plan; only the arriving shard's lineage carries
+          |the explode/minhash stages; the exact-Jaccard verify reads the
+          |documents scan through a LeftSemi against candidate ids, so
+          |verify cost is O(candidates), not O(corpus).""".stripMargin,
+      "q_ann_ivf_quant" ->
+        """Quantized ANN serve. What to look for: the postings scan is the
+          |persisted cell-partitioned code table
+          |(graft_idx_ivf_code_post_*) with the probed cell ids as a
+          |LITERAL PartitionFilters IN-list (static directory pruning);
+          |the integer code-distance shortlist (rank cr <= 10) sits
+          |between that scan and the full-precision embeddings join, so
+          |true vectors are read only for 10 candidates per
+          |query.""".stripMargin,
     )
 
     val sb = new StringBuilder
