@@ -1148,20 +1148,28 @@ object Dedup {
       System.getProperty("java.io.tmpdir"), s"graft_stream_dedupidx_$tag")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(base, "_READY"))) {
-      fs.delete(base, true)
+      // cross-process safety (bench and verify can race): build into a
+      // process-unique staging dir and atomically rename into place,
+      // never deleting a dir another process may be reading (same
+      // pattern as the media fixture cache)
+      val stage = new org.apache.hadoop.fs.Path(
+        base.getParent, s"${base.getName}_stage_${java.util.UUID.randomUUID}")
       import org.apache.spark.sql.expressions.Window
       val shard = docs.filter(isNew)
         .withColumn("__b", ntile(3).over(Window.orderBy("doc_id")))
       (1 to 3).foreach { k =>
-        val tmp = new org.apache.hadoop.fs.Path(base, s"_tmp$k")
+        val tmp = new org.apache.hadoop.fs.Path(stage, s"_tmp$k")
         shard.filter(col("__b") === k).drop("__b")
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val f = fs.globStatus(
           new org.apache.hadoop.fs.Path(tmp, "part-*.parquet")).head.getPath
-        fs.rename(f, new org.apache.hadoop.fs.Path(base, s"q$k.parquet"))
+        // sequential rename => strictly increasing mtimes => file source
+        // replays the shards in doc_id order
+        fs.rename(f, new org.apache.hadoop.fs.Path(stage, s"q$k.parquet"))
         fs.delete(tmp, true)
       }
-      fs.create(new org.apache.hadoop.fs.Path(base, "_READY")).close()
+      fs.create(new org.apache.hadoop.fs.Path(stage, "_READY")).close()
+      if (!fs.rename(stage, base)) fs.delete(stage, true)
     }
 
     // per-run scratch: accumulated arrival bands + per-batch verdicts
