@@ -358,7 +358,12 @@ object StreamingQueries {
       System.getProperty("java.io.tmpdir"), s"graft_stream_chrono2_$tag")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(base, "_READY"))) {
-      fs.delete(base, true)
+      // cross-process safety (bench and verify can race): build into a
+      // process-unique staging dir and atomically rename into place,
+      // never deleting a dir another process may be reading (same
+      // pattern as the media fixture cache)
+      val stage = new org.apache.hadoop.fs.Path(
+        base.getParent, s"${base.getName}_stage_${java.util.UUID.randomUUID}")
       val Array(lo, hi) = ev.agg(min(unix_micros(col("ts"))),
         max(unix_micros(col("ts")))).collect().head
         .toSeq.map(_.asInstanceOf[Long]).toArray
@@ -367,16 +372,17 @@ object StreamingQueries {
         val part = ev.filter(
           unix_micros(col("ts")) >= lo + k * span &&
             unix_micros(col("ts")) < lo + (k + 1) * span)
-        val tmp = new org.apache.hadoop.fs.Path(base, s"_tmp$k")
+        val tmp = new org.apache.hadoop.fs.Path(stage, s"_tmp$k")
         part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val f = fs.globStatus(
           new org.apache.hadoop.fs.Path(tmp, "part-*.parquet")).head.getPath
         // sequential rename => strictly increasing mtimes => the file
         // source replays in chronological order (no late data)
-        fs.rename(f, new org.apache.hadoop.fs.Path(base, s"q$k.parquet"))
+        fs.rename(f, new org.apache.hadoop.fs.Path(stage, s"q$k.parquet"))
         fs.delete(tmp, true)
       }
-      fs.create(new org.apache.hadoop.fs.Path(base, "_READY")).close()
+      fs.create(new org.apache.hadoop.fs.Path(stage, "_READY")).close()
+      if (!fs.rename(stage, base)) fs.delete(stage, true)
     }
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", TimestampType),
