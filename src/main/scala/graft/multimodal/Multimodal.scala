@@ -51,33 +51,16 @@ object Multimodal {
     * cached files are tiny, so the scan would otherwise coalesce to a
     * couple of splits). */
   private def cachedMedia(spark: SparkSession, dir: String, kind: String)
-      (render: => DataFrame): DataFrame = synchronized {
-    // cache key carries the SOURCE table's identity (length + mtime), not
-    // just the dir path: testdata regenerates between rounds (round 6's
-    // NANOS->MICROS migration) and a path-keyed cache would silently
-    // serve media rendered from the previous corpus
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val tag = java.lang.Long.toHexString(
-      dir.hashCode.toLong << 32 ^ src.length() ^ src.lastModified())
-    val base = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"), s"graft_media_${kind}_$tag")
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ready = new org.apache.hadoop.fs.Path(base, "_READY")
-    val data = new org.apache.hadoop.fs.Path(base, "data")
-    if (!fs.exists(ready)) {
-      // cross-PROCESS safety (bench and verify can race): render into a
-      // process-unique staging dir and atomically rename it into place,
-      // creating _READY last. Never delete `base` upfront — another
-      // process may be scanning it. If the rename loses the race the
-      // winner's cache is used and the staging dir is discarded.
-      val stage = new org.apache.hadoop.fs.Path(
-        base.getParent, s"${base.getName}_stage_${java.util.UUID.randomUUID}")
+      (render: => DataFrame): DataFrame = {
+    // identity-keyed build-once dir with staged atomic publication —
+    // see graft.sources.FixtureCache for the concurrency contract
+    val base = graft.sources.FixtureCache.buildOnce(
+      spark, s"graft_media_$kind", dir, "documents") { stage =>
       render.write.mode("overwrite").parquet(
         new org.apache.hadoop.fs.Path(stage, "data").toString)
-      fs.create(new org.apache.hadoop.fs.Path(stage, "_READY")).close()
-      if (!fs.rename(stage, base)) fs.delete(stage, true)
     }
-    graft.operators.Star.fan(spark, spark.read.parquet(data.toString))
+    graft.operators.Star.fan(spark,
+      spark.read.parquet(new org.apache.hadoop.fs.Path(base, "data").toString))
   }
 
   val mediaSchema: StructType = StructType(Seq(

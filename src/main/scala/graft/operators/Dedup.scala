@@ -1067,7 +1067,7 @@ object Dedup {
     }
     val newBands = bandRows(withMinhashBands(shingleRows(docs.filter(isNew))))
     val dropIds =
-      bandProbeDropIds(docs, index.unionByName(newBands), newBands)
+      bandProbeDropIds(docs, Seq(index, newBands), newBands)
     docs.filter(isNew)
       .join(dropIds.withColumn("__d", lit(1)), Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("source"),
@@ -1076,21 +1076,28 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Shared serve-side verify: band rows of every EARLIER doc (`earlier`)
-    * probed by the arriving docs' band rows (`probe`), candidates
-    * verified by exact Jaccard computed over ONLY the candidate docs'
-    * shingles (semi-join pruned from `docs`). Returns the arriving
-    * doc_ids with a verified earlier near-dup — the drop set. Used by
-    * both the batch serve path ([[dedupIncremental]]) and the streaming
-    * arrival path ([[streamDedupIndex]]). */
+  /** Shared serve-side verify: band rows of every EARLIER doc (the
+    * `earlier` relations, kept SEPARATE so the persisted bucketed index
+    * joins the probe directly — a pre-join union would force the index
+    * rows through a shuffle and waste the bucketing) probed by the
+    * arriving docs' band rows (`probe`), candidates verified by exact
+    * Jaccard computed over ONLY the candidate docs' shingles (semi-join
+    * pruned from `docs`). Returns the arriving doc_ids with a verified
+    * earlier near-dup — the drop set. Used by both the batch serve path
+    * ([[dedupIncremental]]) and the streaming arrival path
+    * ([[streamDedupIndex]]). */
   private def bandProbeDropIds(
-      docs: DataFrame, earlier: DataFrame, probe: DataFrame): DataFrame = {
-    val cand = earlier.as("a")
-      .join(probe.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.h") === col("b.h") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+      docs: DataFrame, earlier: Seq[DataFrame], probe: DataFrame): DataFrame = {
+    // (A ∪ B) ⋈ probe ≡ (A ⋈ probe) ∪ (B ⋈ probe); the split form lets
+    // each earlier relation keep its own physical join strategy
+    val cand = earlier.map { e =>
+      e.as("a")
+        .join(probe.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.h") === col("b.h") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    }.reduce(_.unionByName(_)).distinct()
     val candIds = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
     val sh = shingles(docs.join(candIds, Seq("doc_id"), "left_semi"))
@@ -1125,10 +1132,14 @@ object Dedup {
     * build-once test fixture machinery; production arrivals are already
     * file-granular shards.)
     *
-    * Scale: per trigger the work is batch-sized — batch bands shuffle
-    * against the bucketed index + an arrival-band state that grows only
-    * with ACCEPTED-so-far arrivals, and verify cost is O(candidates).
-    * Nothing re-reads or re-sketches the base corpus. */
+    * Scale: per trigger the work is batch-sized — batch bands probe the
+    * bucketed index (its own join, exchange-free on the index side) and
+    * the arrival-band state, which grows with ALL arrivals so far (kept
+    * and dropped alike — a dropped doc is still an EARLIER doc under the
+    * batch twin's first-seen-wins rule, so its bands must stay
+    * probe-able; index only accepted docs instead iff the dedup policy
+    * is transitive-keep). Verify cost is O(candidates). Nothing
+    * re-reads or re-sketches the base corpus. */
   def streamDedupIndex(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     import graft.streaming.StreamingQueries.{replayCheckpoint, withStreamPartitions}
@@ -1140,20 +1151,11 @@ object Dedup {
       bandRows(withMinhashBands(shingleRows(docs.filter(!isNew))))
     }
 
-    // build-once replay fixture keyed on the source table's identity
-    val srcF = new java.io.File(s"$dir/documents.parquet")
-    val tag = java.lang.Long.toHexString(
-      dir.hashCode.toLong << 32 ^ srcF.length() ^ srcF.lastModified())
-    val base = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"), s"graft_stream_dedupidx_$tag")
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(base, "_READY"))) {
-      // cross-process safety (bench and verify can race): build into a
-      // process-unique staging dir and atomically rename into place,
-      // never deleting a dir another process may be reading (same
-      // pattern as the media fixture cache)
-      val stage = new org.apache.hadoop.fs.Path(
-        base.getParent, s"${base.getName}_stage_${java.util.UUID.randomUUID}")
+    // identity-keyed build-once fixture with staged atomic publication —
+    // see graft.sources.FixtureCache for the concurrency contract
+    val base = graft.sources.FixtureCache.buildOnce(
+      spark, "graft_stream_dedupidx", dir, "documents") { stage =>
+      val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
       import org.apache.spark.sql.expressions.Window
       val shard = docs.filter(isNew)
         .withColumn("__b", ntile(3).over(Window.orderBy("doc_id")))
@@ -1168,8 +1170,6 @@ object Dedup {
         fs.rename(f, new org.apache.hadoop.fs.Path(stage, s"q$k.parquet"))
         fs.delete(tmp, true)
       }
-      fs.create(new org.apache.hadoop.fs.Path(stage, "_READY")).close()
-      if (!fs.rename(stage, base)) fs.delete(stage, true)
     }
 
     // per-run scratch: accumulated arrival bands + per-batch verdicts
@@ -1201,7 +1201,7 @@ object Dedup {
             .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
           val probe = state.filter(col("doc_id").between(lo, hi))
           val dropIds =
-            bandProbeDropIds(docs, index.unionByName(state), probe)
+            bandProbeDropIds(docs, Seq(index, state), probe)
           batch
             .join(dropIds.withColumn("__d", lit(1)), Seq("doc_id"), "left")
             .select(col("doc_id"), col("lang"), col("source"),
@@ -1214,7 +1214,8 @@ object Dedup {
       try q.processAllAvailable() finally q.stop()
     }
     // replay sanity: one state append per trigger
-    require(fs.exists(statePath), s"no arrival state written under $work")
+    require(statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(statePath), s"no arrival state written under $work")
     spark.read.parquet(outDir)
       .select("doc_id", "lang", "source", "verdict")
       .orderBy("doc_id")

@@ -180,11 +180,18 @@ object Training {
         expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
     val docs = Star.table(spark, dir, "documents")
       .join(items.select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
-    val tok = docs
+    // materialized ONCE (persisted-RDD leaf, same doctrine as quantVecs):
+    // three branches reference this relation (the df aggregate, the
+    // broadcast query tokens, the inverted-index probe) and Catalyst
+    // would otherwise re-tokenize the corpus once per branch
+    val tokPlan = docs
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id").as("id"),
         explode(split(trim(col("text")), "\\s+")).as("term"))
       .distinct()
+    val tokRdd = tokPlan.rdd.persist()
+    tokRdd.count()
+    val tok = spark.createDataFrame(tokRdd, tokPlan.schema)
     val nItems = items.count()
     val df_ = tok.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("idf_m", Star.idiv(lit(nItems) * 1000L, col("df")))
@@ -456,22 +463,30 @@ object Training {
     * 8-byte keys instead of strings (collision odds ~n²/2⁶⁴ — the same
     * documented trade as the Jaccard pair join); the oracle joins on the
     * raw string. */
-  def contamination(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Star.table(spark, dir, "documents")
+  /** Split-bucketed documents + their hashed-3-gram explode — the one
+    * shingle formulation behind BOTH contamination forms (a drifting
+    * copy would silently desynchronize the serve path from the in-query
+    * form they share an oracle with). */
+  private def contamDocs(spark: SparkSession, dir: String): DataFrame =
+    Star.table(spark, dir, "documents")
       .withColumn("bucket",
         (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 100)
+
+  private def contamShingled(spark: SparkSession, d: DataFrame): DataFrame = {
     val arr =
       "array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)), " +
         "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1), try_element_at(w, i + 2))))"
-    def shingled(d: DataFrame): DataFrame =
-      Star.fan(spark, d)
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-        .select(col("doc_id"), explode(expr(arr)).as("s"))
-        .select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val trainSet = shingled(docs.filter(col("bucket") < 80))
-      .select("h").distinct().withColumn("hit", lit(1L))
-    shingled(docs.filter(col("bucket") >= 90))
-      .join(trainSet, Seq("h"), "left_outer")
+    Star.fan(spark, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), explode(expr(arr)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+  }
+
+  /** Per-test-doc contamination score against `train`'s distinct shingle
+    * set — the shared tail of both contamination forms. */
+  private def contamScore(test: DataFrame, train: DataFrame): DataFrame =
+    test
+      .join(train.withColumn("hit", lit(1L)), Seq("h"), "left_outer")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         coalesce(sum("hit"), lit(0L)).as("n_contaminated"))
@@ -479,6 +494,13 @@ object Training {
         Star.ratio6(col("n_contaminated"), col("n_shingles"))
           .as("contamination"))
       .orderBy("doc_id")
+
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = contamDocs(spark, dir)
+    contamScore(
+      contamShingled(spark, docs.filter(col("bucket") >= 90)),
+      contamShingled(spark, docs.filter(col("bucket") < 80))
+        .select("h").distinct())
   }
 
   /** [[contamination]] split into BUILD and SERVE — decontamination as a
@@ -491,30 +513,14 @@ object Training {
     * Same train/test split and scoring as the in-query form → shared
     * oracle. */
   def contaminationServe(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Star.table(spark, dir, "documents")
-      .withColumn("bucket",
-        (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 100)
-    val arr =
-      "array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)), " +
-        "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1), try_element_at(w, i + 2))))"
-    def shingled(d: DataFrame): DataFrame =
-      Star.fan(spark, d)
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-        .select(col("doc_id"), explode(expr(arr)).as("s"))
-        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val docs = contamDocs(spark, dir)
     val index = graft.sources.IndexStore.cachedBucketTable(
       spark, dir, "documents", "bench_ngrams", 8, Seq("h"), Seq("h")) {
-      shingled(docs.filter(col("bucket") < 80)).select("h").distinct()
+      contamShingled(spark, docs.filter(col("bucket") < 80))
+        .select("h").distinct()
     }
-    shingled(docs.filter(col("bucket") >= 90))
-      .join(index.withColumn("hit", lit(1L)), Seq("h"), "left_outer")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        coalesce(sum("hit"), lit(0L)).as("n_contaminated"))
-      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
-        Star.ratio6(col("n_contaminated"), col("n_shingles"))
-          .as("contamination"))
-      .orderBy("doc_id")
+    contamScore(
+      contamShingled(spark, docs.filter(col("bucket") >= 90)), index)
   }
 
   private val contaminationSql =

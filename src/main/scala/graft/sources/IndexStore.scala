@@ -76,12 +76,27 @@ object IndexStore {
     spark.table(table)
   }
 
-  /** Reap graft_idx_* dirs whose newest file is >30 min old — leftovers
-    * of finished JVMs (the catalog entries died with their sessions). */
+  /** Reap graft_idx_* dirs whose OWNING JVM IS DEAD (pid parsed from
+    * the dir name) and that are older than 30 min. An mtime-only rule
+    * would reap LIVE indexes: index files are written once and only
+    * read afterwards, so their mtime never advances past the build —
+    * a JVM alive longer than the cutoff (a slow full bench) would have
+    * its own index swept out from under its still-cached catalog entry.
+    * Liveness is the gate; age only keeps a freshly-dead JVM's dir
+    * around briefly in case of pid reuse races. */
   private def sweepOrphans(): Unit = {
     import java.nio.file.{Files, Path, Paths}
     val base = Paths.get(System.getProperty("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
+    val self = ProcessHandle.current().pid()
+    def ownerDead(name: String): Boolean = {
+      val pid = name.substring(name.lastIndexOf('_') + 1)
+      try {
+        val p = pid.toLong
+        val h = ProcessHandle.of(p)
+        p != self && (!h.isPresent || !h.get.isAlive)
+      } catch { case _: NumberFormatException => false }
+    }
     def newestMtime(p: Path): Long = {
       val walk = Files.walk(p)
       try walk.mapToLong { f =>
@@ -93,7 +108,8 @@ object IndexStore {
     try {
       val listing = Files.list(base)
       try listing.iterator().forEachRemaining { p =>
-        if (p.getFileName.toString.startsWith("graft_idx_") &&
+        val name = p.getFileName.toString
+        if (name.startsWith("graft_idx_") && ownerDead(name) &&
           (try newestMtime(p) < cutoff
            catch { case _: java.io.IOException => false })) {
           try {

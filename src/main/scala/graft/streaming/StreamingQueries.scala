@@ -347,23 +347,11 @@ object StreamingQueries {
     val ev = Star.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
-    // tag carries the events table's identity (length+mtime), not just
-    // the dir path: testdata regenerates between rounds (round 6's
-    // NANOS->MICROS migration) and a path-keyed fixture would replay the
-    // previous corpus
-    val srcF = new java.io.File(s"$dir/events.parquet")
-    val tag = java.lang.Long.toHexString(
-      dir.hashCode.toLong << 32 ^ srcF.length() ^ srcF.lastModified())
-    val base = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"), s"graft_stream_chrono2_$tag")
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(base, "_READY"))) {
-      // cross-process safety (bench and verify can race): build into a
-      // process-unique staging dir and atomically rename into place,
-      // never deleting a dir another process may be reading (same
-      // pattern as the media fixture cache)
-      val stage = new org.apache.hadoop.fs.Path(
-        base.getParent, s"${base.getName}_stage_${java.util.UUID.randomUUID}")
+    // identity-keyed build-once fixture with staged atomic publication —
+    // see graft.sources.FixtureCache for the concurrency contract
+    val base = graft.sources.FixtureCache.buildOnce(
+      spark, "graft_stream_chrono2", dir, "events") { stage =>
+      val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val Array(lo, hi) = ev.agg(min(unix_micros(col("ts"))),
         max(unix_micros(col("ts")))).collect().head
         .toSeq.map(_.asInstanceOf[Long]).toArray
@@ -381,8 +369,6 @@ object StreamingQueries {
         fs.rename(f, new org.apache.hadoop.fs.Path(stage, s"q$k.parquet"))
         fs.delete(tmp, true)
       }
-      fs.create(new org.apache.hadoop.fs.Path(stage, "_READY")).close()
-      if (!fs.rename(stage, base)) fs.delete(stage, true)
     }
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", TimestampType),

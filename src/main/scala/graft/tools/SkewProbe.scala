@@ -54,11 +54,15 @@ object SkewProbe {
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SKEW_LOGLEVEL", "ERROR"))
 
     val events = spark.read.parquet(s"$dir/events.parquet")
-    // per-key dim built once from the fact's key space (distinct user_ids)
+    // per-key dim built once from the fact's key space (distinct
+    // user_ids); process-unique path so concurrent probes (the x1/x10
+    // A/B) can't clobber each other's input mid-read
+    val dimPath = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_skew_dim_${ProcessHandle.current().pid()}.parquet"
     val dim = events.select(col("user_id")).distinct()
       .select(col("user_id"), format_string("user_%d", col("user_id")).as("name"))
-    dim.write.mode("overwrite").parquet("/tmp/graft_skew_dim.parquet")
-    val dimT = spark.read.parquet("/tmp/graft_skew_dim.parquet")
+    dim.write.mode("overwrite").parquet(dimPath)
+    val dimT = spark.read.parquet(dimPath)
 
     val joined = events.join(dimT.hint("shuffle_merge"), Seq("user_id"))
       .groupBy("user_id")
