@@ -1076,6 +1076,22 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Test seam: the serve path's candidate-generation plan BEFORE its
+    * materialization (the final plan shows only the ExistingRDD leaf, so
+    * the index-scan / no-re-sketch properties are asserted here). */
+  private[graft] def dedupIncrementalCandPlan(
+      spark: SparkSession, dir: String): DataFrame = {
+    val docs = Star.table(spark, dir, "documents")
+    val isNew = col("doc_id") % 10 === 0
+    val index = graft.sources.IndexStore.cachedBucketTable(
+      spark, dir, "documents", "mhband", 8,
+      Seq("band_id", "h"), Seq("band_id", "h")) {
+      bandRows(withMinhashBands(shingleRows(docs.filter(!isNew))))
+    }
+    val newBands = bandRows(withMinhashBands(shingleRows(docs.filter(isNew))))
+    bandCandidatePlan(Seq(index, newBands), newBands)
+  }
+
   /** Shared serve-side verify: band rows of every EARLIER doc (the
     * `earlier` relations, kept SEPARATE so the persisted bucketed index
     * joins the probe directly — a pre-join union would force the index
@@ -1086,11 +1102,11 @@ object Dedup {
     * earlier near-dup — the drop set. Used by both the batch serve path
     * ([[dedupIncremental]]) and the streaming arrival path
     * ([[streamDedupIndex]]). */
-  private def bandProbeDropIds(
-      docs: DataFrame, earlier: Seq[DataFrame], probe: DataFrame): DataFrame = {
-    // (A ∪ B) ⋈ probe ≡ (A ⋈ probe) ∪ (B ⋈ probe); the split form lets
-    // each earlier relation keep its own physical join strategy
-    val cand = earlier.map { e =>
+  /** (A ∪ B) ⋈ probe ≡ (A ⋈ probe) ∪ (B ⋈ probe); the split form lets
+    * each earlier relation keep its own physical join strategy. */
+  private def bandCandidatePlan(
+      earlier: Seq[DataFrame], probe: DataFrame): DataFrame =
+    earlier.map { e =>
       e.as("a")
         .join(probe.as("b"),
           col("a.band_id") === col("b.band_id") &&
@@ -1098,6 +1114,18 @@ object Dedup {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     }.reduce(_.unionByName(_)).distinct()
+
+  private def bandProbeDropIds(
+      docs: DataFrame, earlier: Seq[DataFrame], probe: DataFrame): DataFrame = {
+    val candPlan = bandCandidatePlan(earlier, probe)
+    // materialized ONCE (persisted-RDD leaf, same doctrine as quantVecs):
+    // three downstream branches reference the candidate set (both
+    // candIds projections + the verified-pair join) and Catalyst would
+    // otherwise re-run the whole band-probe join per branch. The set is
+    // O(duplicates) — bounded, safe to pin.
+    val candRdd = candPlan.rdd.persist()
+    candRdd.count()
+    val cand = probe.sparkSession.createDataFrame(candRdd, candPlan.schema)
     val candIds = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
     val sh = shingles(docs.join(candIds, Seq("doc_id"), "left_semi"))

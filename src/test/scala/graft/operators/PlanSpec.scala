@@ -107,8 +107,12 @@ class PlanSpec extends SparkSuite {
   }
 
   test("dedupIncremental: serves from the persisted band index, only the shard is re-sketched") {
-    val df = Dedup.dedupIncremental(spark, dir)
-    val lp = df.queryExecution.optimizedPlan.toString
+    // the candidate set materializes as a persisted-RDD leaf (three
+    // downstream branches would re-run the band probe otherwise), so the
+    // serve properties live on the CANDIDATE plan, inspected via its
+    // test seam; the final plan must show the materialized leaf.
+    val lp = Dedup.dedupIncrementalCandPlan(spark, dir)
+      .queryExecution.optimizedPlan.toString
     // the base corpus's bands come from the persisted bucketed table —
     // a plain file scan, not the sketch lineage
     assert(lp.contains("graft_idx_mhband"),
@@ -122,12 +126,17 @@ class PlanSpec extends SparkSuite {
       s"expected <=2 shard sketch aggregates, got ${sketchAggs.length}\n" + lp)
     assert(lp.contains("% 10)"),
       "shard filter must gate the sketched text\n" + lp)
+    val fp = plan(Dedup.dedupIncremental(spark, dir))
+    assert(fp.contains("ExistingRDD"),
+      "candidates must enter the verdict plan as a materialized leaf\n" + fp)
   }
 
   test("semanticDedupIncremental: serves from the persisted embedding " +
     "band index, only the shard is banded") {
-    val df = Similarity.semanticDedupIncremental(spark, dir)
-    val lp = df.queryExecution.optimizedPlan.toString
+    // candidate set materializes as a persisted-RDD leaf — serve
+    // properties asserted on the candidate plan via its test seam
+    val lp = Similarity.semanticDedupCandPlan(spark, dir)
+      .queryExecution.optimizedPlan.toString
     // the base corpus's bands come from the persisted bucketed table —
     // a plain file scan, not the hyperplane lineage
     assert(lp.contains("graft_idx_emblsh"),
