@@ -1128,8 +1128,14 @@ object Dedup {
     val cand = probe.sparkSession.createDataFrame(candRdd, candPlan.schema)
     val candIds = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
-    val sh = shingles(docs.join(candIds, Seq("doc_id"), "left_semi"))
+    // also materialized: the pair join references the candidate-shingle
+    // relation TWICE (id_a and id_b sides), which would re-run the
+    // semi-join + shingle explode per side. O(candidate docs' shingles).
+    val shPlan = shingles(docs.join(candIds, Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), col("c"), xxhash64(col("s")).as("s"))
+    val shRdd = shPlan.rdd.persist()
+    shRdd.count()
+    val sh = probe.sparkSession.createDataFrame(shRdd, shPlan.schema)
     cand
       .join(sh.select(col("doc_id").as("id_a"), col("s"),
         col("c").as("ca")), Seq("id_a"))
