@@ -1118,24 +1118,22 @@ object Dedup {
   private def bandProbeDropIds(
       docs: DataFrame, earlier: Seq[DataFrame], probe: DataFrame): DataFrame = {
     val candPlan = bandCandidatePlan(earlier, probe)
-    // materialized ONCE (persisted-RDD leaf, same doctrine as quantVecs):
-    // three downstream branches reference the candidate set (both
-    // candIds projections + the verified-pair join) and Catalyst would
-    // otherwise re-run the whole band-probe join per branch. The set is
-    // O(duplicates) — bounded, safe to pin.
-    val candRdd = candPlan.rdd.persist()
-    candRdd.count()
-    val cand = probe.sparkSession.createDataFrame(candRdd, candPlan.schema)
+    // materialized ONCE: three downstream branches reference the
+    // candidate set (both candIds projections + the verified-pair join)
+    // and Catalyst would otherwise re-run the whole band-probe join per
+    // branch. localCheckpoint (NOT .rdd.persist) — the RDD round-trip
+    // re-encodes every row through the Row converter both ways, which
+    // measured 3x slower than re-evaluation on large candidate sets;
+    // the checkpoint stores compact InternalRows. O(duplicates).
+    val cand = candPlan.localCheckpoint(true)
     val candIds = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
     // also materialized: the pair join references the candidate-shingle
     // relation TWICE (id_a and id_b sides), which would re-run the
     // semi-join + shingle explode per side. O(candidate docs' shingles).
-    val shPlan = shingles(docs.join(candIds, Seq("doc_id"), "left_semi"))
+    val sh = shingles(docs.join(candIds, Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), col("c"), xxhash64(col("s")).as("s"))
-    val shRdd = shPlan.rdd.persist()
-    shRdd.count()
-    val sh = probe.sparkSession.createDataFrame(shRdd, shPlan.schema)
+      .localCheckpoint(true)
     cand
       .join(sh.select(col("doc_id").as("id_a"), col("s"),
         col("c").as("ca")), Seq("id_a"))
