@@ -5,9 +5,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Build-once, read-many fixture dirs under java.io.tmpdir — the ONE
   * implementation of the tag + stage + atomic-rename pattern shared by
-  * the media fixture cache, the chronological stream-replay fixture, and
-  * the stream-dedup shard fixture (previously three hand-rolled copies,
-  * each a separate place to fix concurrency bugs).
+  * the media fixture cache, the chronological stream-replay fixture, the
+  * stream-dedup shard fixture, and the persisted serve indexes
+  * ([[IndexStore]]) (previously hand-rolled copies, each a separate
+  * place to fix concurrency bugs).
   *
   * Safety properties:
   *  - the cache key carries the SOURCE table's identity (length + mtime),
@@ -16,14 +17,18 @@ import org.apache.spark.sql.SparkSession
   *  - builders populate a process-unique staging dir and atomically
   *    rename it into place, creating `_READY` last — a complete dir
   *    another process is scanning is never deleted or rewritten;
+  *  - a builder that THROWS deletes its staging dir (no orphaned stage
+  *    litter from crashed builds);
   *  - a base dir WITHOUT `_READY` is an incomplete leftover of a crashed
   *    builder; no reader trusts it (all readers gate on `_READY`), so it
-  *    is deleted and rebuilt instead of being served forever (and
-  *    instead of making the rename silently nest the staging dir inside
-  *    it, which is what a rename onto an existing dir does on the local
-  *    filesystem);
-  *  - losing the rename race to a concurrent builder discards the
-  *    staging copy and serves the winner's.
+  *    is renamed aside to a unique trash name and deleted — never deleted
+  *    in place, so a concurrent winner that publishes base between our
+  *    checks can at worst lose to the rename-aside (which we re-check
+  *    for), not have its files deleted out from under a reader mid-scan;
+  *  - losing the rename race to a concurrent builder — detected either
+  *    by the pre-rename `_READY` re-checks or by the rename itself
+  *    failing (rename onto an existing dir) — discards the staging copy
+  *    and serves the winner's.
   */
 object FixtureCache {
 
@@ -45,15 +50,28 @@ object FixtureCache {
     if (!fs.exists(ready)) {
       val stage = new Path(base.getParent,
         s"${base.getName}_stage_${java.util.UUID.randomUUID}")
-      build(stage)
+      try build(stage)
+      catch { case e: Throwable => fs.delete(stage, true); throw e }
       fs.create(new Path(stage, "_READY")).close()
       // re-check after the (slow) build: a concurrent process may have
-      // completed meanwhile — keep the winner, discard our copy. Only a
-      // still-incomplete base (no _READY) is deleted before the rename.
+      // completed meanwhile — keep the winner, discard our copy.
       if (fs.exists(ready)) fs.delete(stage, true)
       else {
-        if (fs.exists(base)) fs.delete(base, true)
-        if (!fs.rename(stage, base)) fs.delete(stage, true)
+        if (fs.exists(base)) {
+          // base exists without _READY = incomplete leftover — unless a
+          // concurrent builder published between the checks. Re-check,
+          // then move the leftover ASIDE (rename is atomic; a delete-in-
+          // place could pull files out from under a winner's reader).
+          if (fs.exists(ready)) { fs.delete(stage, true); return base }
+          val trash = new Path(base.getParent,
+            s"${base.getName}_trash_${java.util.UUID.randomUUID}")
+          if (fs.rename(base, trash)) fs.delete(trash, true)
+        }
+        // final gate: publish only if still unpublished; a failed rename
+        // (target dir appeared — local-FS rename would NEST the stage
+        // inside it) is a lost race, not an error.
+        if (fs.exists(ready) || !fs.rename(stage, base))
+          fs.delete(stage, true)
       }
     }
     base

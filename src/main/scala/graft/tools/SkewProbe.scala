@@ -109,6 +109,15 @@ object SkewProbe {
       System.err.println(joined.queryExecution.executedPlan.toString)
     }
     spark.stop()
+    // the per-pid dim fixture is probe-run scratch — reap it so repeated
+    // probes don't accumulate parquet dirs in tmpdir
+    val dimDir = java.nio.file.Paths.get(dimPath)
+    if (java.nio.file.Files.exists(dimDir)) {
+      val walk = java.nio.file.Files.walk(dimDir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close()
+    }
     println(s"""{"probe":"skew","label":"$label","sec":${f"$sec%.3f"},""" +
       s""""skewed_partitions":$skewedParts,"skew_splits":$skewedSplits,""" +
       s""""plan_skew":$planSkew,"hot_rows":$hot}""")
