@@ -1171,8 +1171,23 @@ object Dedup {
     * batch twin's first-seen-wins rule, so its bands must stay
     * probe-able; index only accepted docs instead iff the dedup policy
     * is transitive-keep). Verify cost is O(candidates). Nothing
-    * re-reads or re-sketches the base corpus. */
-  def streamDedupIndex(spark: SparkSession, dir: String): DataFrame = {
+    * re-reads or re-sketches the base corpus.
+    *
+    * State lifecycle: per-trigger writes are IDEMPOTENT (each
+    * micro-batch's bands and verdicts land in their own batchId-named
+    * subdir with overwrite semantics, so an at-least-once foreachBatch
+    * retry REPLACES its partial output instead of double-appending) and
+    * the arrival-band state is COMPACTED in-trigger once its segment
+    * count exceeds the bound ([[compactSegments]]): a long-running
+    * deployment would otherwise grow one small-file segment per trigger
+    * forever. */
+  def streamDedupIndex(spark: SparkSession, dir: String): DataFrame =
+    streamDedupIndexRun(spark, dir)._1
+
+  /** Test seam: also returns the arrival-band state dir so the state
+    * spec can assert the segment bound held across the replay. */
+  private[graft] def streamDedupIndexRun(
+      spark: SparkSession, dir: String): (DataFrame, String) = {
     import org.apache.spark.sql.types._
     import graft.streaming.StreamingQueries.{replayCheckpoint, withStreamPartitions}
     val docs = Star.table(spark, dir, "documents")
@@ -1222,13 +1237,18 @@ object Dedup {
     withStreamPartitions(spark) {
       val q = src.writeStream
         .option("checkpointLocation", replayCheckpoint("dedupidx"))
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          // sketch the batch ONCE, into the arrival state; the probe side
-          // reads it back pruned to this batch's (contiguous) id range,
-          // so bands are computed once and the state read is bounded
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // sketch the batch ONCE, into its OWN overwrite-mode state
+          // segment (idempotent under trigger retry); the probe side
+          // reads the state back pruned to this batch's (contiguous) id
+          // range, so bands are computed once and the state read is
+          // bounded. (A retry racing a just-finished compaction can leave
+          // the batch's bands twice, in the compacted segment and the
+          // rewritten subdir, which is harmless: candidate pairs are
+          // DISTINCT'd before verification.)
           bandRows(withMinhashBands(shingleRows(batch)))
-            .write.mode("append").parquet(stateDir)
-          val state = spark.read.parquet(stateDir)
+            .write.mode("overwrite").parquet(s"$stateDir/b$batchId")
+          val state = spark.read.parquet(s"$stateDir/{b*,c*}")
           val Array(lo, hi) = batch.agg(min("doc_id"), max("doc_id"))
             .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
           val probe = state.filter(col("doc_id").between(lo, hi))
@@ -1239,18 +1259,57 @@ object Dedup {
             .select(col("doc_id"), col("lang"), col("source"),
               when(col("__d").isNotNull, lit("drop")).otherwise(lit("keep"))
                 .as("verdict"))
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+          // arrival-state maintenance, AFTER the probe (off the verdict
+          // path): fold the per-trigger segments into one byte-targeted
+          // compacted segment once the count exceeds the bound
+          compactSegments(spark, stateDir, batchId, maxSegments = 2)
           ()
         }
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    // replay sanity: one state append per trigger
+    // replay sanity: per-trigger state segments were written
     require(statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(statePath), s"no arrival state written under $work")
-    spark.read.parquet(outDir)
+    (spark.read.parquet(s"$outDir/b*")
       .select("doc_id", "lang", "source", "verdict")
-      .orderBy("doc_id")
+      .orderBy("doc_id"), stateDir)
+  }
+
+  /** Arrival-band state compaction (the q_compaction byte-target logic
+    * applied to streaming state): when more than `maxSegments` segment
+    * dirs exist, rewrite them all into ONE `c<batchId>` segment sized at
+    * actual-bytes / target-file-bytes files, then drop the originals.
+    * Runs inside the trigger that crossed the bound, so the state's file
+    * count stays O(maxSegments) across an unbounded replay instead of
+    * growing by one small-file segment per trigger. The rewrite lands in
+    * a `ctmp` staging dir first and is renamed in as the LAST step, so a
+    * crash mid-compaction leaves the original segments intact (the
+    * staging dir is excluded from state reads by the `{b*,c*}` glob and
+    * overwritten by the next compaction attempt). */
+  private def compactSegments(spark: SparkSession, stateDir: String,
+      batchId: Long, maxSegments: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = fs.listStatus(root).filter { s =>
+      val n = s.getPath.getName
+      s.isDirectory && (n.startsWith("b") || n.startsWith("c")) &&
+        !n.startsWith("ctmp")
+    }
+    if (segs.length > maxSegments) {
+      val bytes = segs.flatMap(s => fs.listStatus(s.getPath))
+        .filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
+      val targetFileBytes = 4L << 20 // 4 MiB locally; 128 MiB+ on a lake
+      val nFiles =
+        math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val stage = new org.apache.hadoop.fs.Path(root, s"ctmp$batchId")
+      spark.read.parquet(s"$stateDir/{b*,c*}").repartition(nFiles)
+        .write.mode("overwrite").parquet(stage.toString)
+      segs.foreach(s => fs.delete(s.getPath, true))
+      fs.rename(stage, new org.apache.hadoop.fs.Path(root, s"c$batchId"))
+      ()
+    }
   }
 
   /** Oracle for [[dedupIncremental]]: the batch twin — bands over the
@@ -1554,6 +1613,83 @@ object Dedup {
        |FROM bybucket GROUP BY band_id ORDER BY band_id""".stripMargin
   }
 
+  /** Index RETRACTION — the takedown / right-to-be-forgotten half of
+    * index lifecycle (append is [[dedupIndexAppend]]): a doc set must
+    * stop influencing dedup verdicts WITHOUT rebuilding the index. The
+    * persisted band index is IMMUTABLE (bucketed files shared by every
+    * serving process), so retraction is a TOMBSTONE list: serve probes
+    * anti-join the index scan against the retracted doc_ids before
+    * banding candidates. Tombstones are takedown events — bounded by
+    * policy, not by corpus — so the anti-join broadcasts by design and
+    * the index side keeps its bucketed, exchange-free layout. Physical
+    * removal happens at the next index rewrite (the same maintenance
+    * window as [[compactSegments]]-style compaction), amortized across
+    * retractions.
+    *
+    * Modeled retraction set: base docs with doc_id % 10 IN (5, 8) —
+    * residues chosen so the takedown demonstrably FLIPS verdicts on the
+    * harness corpus at every scale (sole blockers retracted at
+    * sf0.001/0.01/0.1), not just filters rows nobody probed. Verdicts
+    * must equal the batch twin computed on the REDUCED corpus (base
+    * minus retracted; shard unchanged) — a retracted doc no longer
+    * blocks any arrival (additionally spec-pinned on a planted pair). */
+  def dedupIndexRetract(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Star.table(spark, dir, "documents")
+    val isNew = col("doc_id") % 10 === 0
+    // same IndexStore identity as dedupIncremental -> shared snapshot
+    val index = graft.sources.IndexStore.cachedBucketTable(
+      spark, dir, "documents", "mhband", 8,
+      Seq("band_id", "h"), Seq("band_id", "h")) {
+      bandRows(withMinhashBands(shingleRows(docs.filter(!isNew))))
+    }
+    val tombstones = docs.filter((col("doc_id") % 10).isin(5, 8))
+      .select("doc_id")
+    val live = index.join(broadcast(tombstones), Seq("doc_id"), "left_anti")
+    val newBands = bandRows(withMinhashBands(shingleRows(docs.filter(isNew))))
+    val dropIds = bandProbeDropIds(docs, Seq(live, newBands), newBands)
+    docs.filter(isNew)
+      .join(dropIds.withColumn("__d", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("__d").isNotNull, lit("drop")).otherwise(lit("keep"))
+          .as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the incremental-dedup twin on the reduced corpus — the
+    * retracted base docs are excluded from the EARLIER side (bands and
+    * verify alike; they can no longer block an arrival). */
+  private val dedupIndexRetractSql = {
+    val bandSelects = (0 until numBands)
+      .map(b => s"SELECT doc_id, $b AS band_id, ${bandKeySql(b)} AS h FROM sig")
+      .mkString(" UNION ALL ")
+    val jac = Star.Sql.ratio6("shared", "ca.c + cb.c - shared")
+    s"""$minhashSigCte,
+       |bands AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id
+       |  WHERE b.doc_id % 10 = 0 AND a.doc_id % 10 NOT IN (5, 8)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT c.id_a, c.id_b, COUNT(*) AS shared
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id_a
+       |  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |drops AS (
+       |  SELECT DISTINCT id_b AS doc_id FROM pairs
+       |  JOIN cnt ca ON ca.doc_id = id_a
+       |  JOIN cnt cb ON cb.doc_id = id_b
+       |  WHERE $jac >= 0.5)
+       |SELECT d.doc_id, d.lang, d.source,
+       |  CASE WHEN dr.doc_id IS NOT NULL THEN 'drop' ELSE 'keep' END
+       |    AS verdict
+       |FROM documents d LEFT JOIN drops dr ON dr.doc_id = d.doc_id
+       |WHERE d.doc_id % 10 = 0
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_sorted_neighborhood", sortedNeighborhood,
       Some(sortedNeighborhoodSql)),
@@ -1590,5 +1726,7 @@ object Dedup {
       Some(dedupIncrementalSql)),
     QueryDef("q_dedup_index_append", dedupIndexAppend,
       Some(dedupIndexAppendSql)),
+    QueryDef("q_dedup_index_retract", dedupIndexRetract,
+      Some(dedupIndexRetractSql)),
   )
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Index lifecycle beyond append: retraction (a takedown must stop
+  * blocking arrivals without an index rebuild) and arrival-state
+  * compaction (streaming dedup state must not grow one small-file
+  * segment per trigger forever). */
+class IndexLifecycleSpec extends SparkSuite {
+
+  /** Planted corpus: base doc 5 (in the retraction set: 5 % 10 = 5) and
+    * arriving doc 10 are EXACT duplicates (all MinHash bands collide by
+    * construction), fillers share nothing. */
+  private lazy val plantedDir: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_retract").toString
+    import spark.implicits._
+    val dup = (1 to 30).map(i => s"tok$i").mkString(" ")
+    def filler(i: Int) = (1 to 12).map(j => s"f${i}x$j").mkString(" ")
+    val rows = Seq(
+      (5L, dup, "en", "web", dup.length.toLong),
+      (10L, dup, "en", "web", dup.length.toLong)) ++
+      Seq(1L, 2L, 3L, 4L, 6L, 7L, 9L)
+        .map(i => (i, filler(i.toInt), "en", "web", 10L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("a retracted base doc no longer blocks its arriving duplicate") {
+    // without retraction: base doc 5 blocks arrival 10 (first-seen-wins)
+    val before = Dedup.dedupIncremental(spark, plantedDir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(before(10L) === "drop",
+      "planted duplicate must be blocked by its base twin")
+    // doc 5 is in the retraction set (doc_id % 10 = 5): the SAME
+    // persisted index, probed through the tombstone anti-join, must stop
+    // blocking the arrival
+    val after = Dedup.dedupIndexRetract(spark, plantedDir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(after(10L) === "keep",
+      "retracted doc must no longer block the arrival")
+  }
+
+  test("streaming arrival-band state stays within the segment bound; verdicts converge to the batch twin") {
+    val dir = "/root/testdata/sf0.001"
+    val (res, stateDir) = Dedup.streamDedupIndexRun(spark, dir)
+    val rows = res.collect()
+    val segs = new java.io.File(stateDir).listFiles()
+      .filter(f => f.isDirectory &&
+        (f.getName.startsWith("b") || f.getName.startsWith("c")))
+    assert(segs.length <= 2,
+      s"arrival state must stay <= 2 segments, got " +
+        segs.map(_.getName).sorted.mkString(", "))
+    assert(segs.exists(_.getName.startsWith("c")),
+      "compaction must have run during the 3-trigger replay")
+    val twin = Dedup.dedupIncremental(spark, dir).collect()
+    assert(rows.toSeq === twin.toSeq)
+  }
+}
