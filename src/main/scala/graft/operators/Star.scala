@@ -16,8 +16,24 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   */
 object Star {
 
+  // Analyzed base-relation cache, keyed by (session, path, source
+  // identity). `spark.read.parquet` re-reads footers for schema
+  // inference and rebuilds the file index on EVERY call — a fixed
+  // metadata tax paid by every query over the same immutable snapshot.
+  // A real engine (and the DuckDB oracle, whose views are registered
+  // once per connection) resolves a table's metadata once per session;
+  // this cache is that catalog. The identity tag (len+mtime) keeps a
+  // regenerated testdata snapshot from serving a stale relation, and
+  // the session key keeps relations from leaking across sessions.
+  // DataFrames are immutable — reuse across queries is free.
+  private val tableCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    tableCache.computeIfAbsent(
+      (spark, s"$dir/$name.parquet",
+        graft.sources.FixtureCache.sourceTag(dir, name)),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   val tableNames: Seq[String] = Seq("region", "nation", "customer",
     "supplier", "part", "orders", "lineitem", "events", "documents",

@@ -155,6 +155,13 @@ object IndexStore {
       spark: SparkSession, dir: String, srcTable: String, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir, srcTable, name)}")
 
+  // hygiene, not correctness: one sweep per JVM. The recursive tmpdir
+  // walk used to run on EVERY serve-query construction — inside the
+  // bench's timed window — re-scanning the same dozens of leftover dirs
+  // hundreds of times per run for a result that cannot change within a
+  // process lifetime (the cutoff is 24 h).
+  private val swept = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Reap graft_idx_* dirs whose corpus is gone: index files are written
     * once and only read afterwards, so a dir whose NEWEST mtime is older
     * than 24 h belongs to a previous corpus snapshot (testdata
@@ -165,6 +172,7 @@ object IndexStore {
     * the same rule (no pid parsing — the dirs are shared, ownership is
     * corpus identity, not process). */
   private def sweepOrphans(): Unit = {
+    if (!swept.compareAndSet(false, true)) return
     import java.nio.file.{Files, Path => JPath, Paths}
     val base = Paths.get(System.getProperty("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - 24L * 60 * 60 * 1000

@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 /** Deterministic distributed star-schema generator for scale benches.
   *
   * The driver testdata stops at sf0.1 (~600k lineitem), so scale evidence
-  * for the relational/TPC-H/window families needs a larger corpus. This
-  * generator produces the same schema and value distributions at an
-  * arbitrary multiple of sf0.1 — sf1 = `mult 10` ≈ 6M lineitem rows —
+  * for the full suite needs a larger corpus. This generator produces all
+  * ten harness tables — star schema + events + documents + embeddings,
+  * the last two with planted duplicate/near-dup structure whose cluster
+  * sizes stay bounded as the corpus grows (like a real bigger crawl) —
+  * with the same schema and value distributions at an arbitrary
+  * multiple of sf0.1 — sf1 = `mult 10` ≈ 6M lineitem rows —
   * entirely as Spark jobs: `spark.range` + hash-mix column expressions,
   * no driver-side row loop, so the identical program would generate
   * 100 TB on a cluster. Every value is a pure function of the row id and
@@ -153,10 +156,51 @@ object StarGen {
       format_string("{\"k\": %d}", h(100, 31, id)).as("props")),
       "events", 8)
 
-    // documents/embeddings are NOT generated: the pair-generation family's
-    // scale evidence is the replicated-corpus probe (tools/
-    // build_scale_probe.py), and star-family ratio runs must not silently
-    // time doc queries at 1x. A missing file fails fast instead.
+    // documents: same shape as the driver corpus at x1 — the 31-word
+    // vocabulary (hot-shingle document frequency scales with corpus size,
+    // the load the DF caps absorb), uniform 10..100 words/doc, lang 40/15
+    // split, 20 uniform sources — plus PLANTED duplicates: ~1% of docs
+    // copy a doc at most 20 ids back (text is a pure function of seedId,
+    // so a dup pair is bit-identical), keeping near-dup CLUSTERS bounded
+    // while doc count grows, like a real bigger crawl. Everything is a
+    // pure function of (id, seed): no driver rows, no replica seams.
+    val nDoc = 5000L * mult
+    val vocab = Seq("a", "agg", "batch", "big", "column", "customer",
+      "data", "dup", "fast", "filter", "group", "hash", "join", "key",
+      "line", "merge", "order", "part", "query", "row", "scan", "slow",
+      "small", "sort", "spark", "stream", "table", "the", "value",
+      "vector", "window")
+    val seedId = when(h(100, 32, id) === 0, greatest(lit(0L),
+      id - 1L - h(20, 33, id))).otherwise(id)
+    val nWords = (h(91, 34, seedId) + lit(10)).cast("int")
+    val text = concat_ws(" ", transform(sequence(lit(1), nWords),
+      i => element_at(array(vocab.map(lit): _*),
+        (h(vocab.size, 35, seedId, i) + 1).cast("int"))))
+    write(spark.range(nDoc).select(
+      id.as("doc_id"),
+      text.as("text"),
+      when(h(10, 36, id) < 4, "en").otherwise(
+        pick(Seq("de", "es", "fr", "zh"), 37, id)).as("lang"),
+      format_string("src%d", h(20, 38, id)).as("source"),
+      length(text).as("n_chars")), "documents", 8)
+
+    // embeddings: 64-dim float vectors around 10 label centroids
+    // (component = centroid(label, d) + per-vector noise, values within
+    // the driver corpus's ±0.58 envelope) plus ~1% planted near-dups —
+    // the partner's components re-jittered by ±0.001, cosine ≈ 1 — so
+    // the semantic-dedup family has scale-invariant cluster structure.
+    val nVec = 2000L * mult
+    val vecSeed = when(h(100, 39, id) === 0, greatest(lit(0L),
+      id - 1L - h(20, 40, id))).otherwise(id)
+    val lbl = h(10, 41, vecSeed).cast("int")
+    val emb = transform(sequence(lit(0), lit(63)), d =>
+      ((h(2000, 42, lbl.cast("long"), d) - 1000L).cast("double") / 5000.0 +
+        (h(2000, 43, vecSeed, d) - 1000L).cast("double") / 2750.0 +
+        (h(100, 44, id, d) - 50L).cast("double") / 50000.0).cast("float"))
+    write(spark.range(nVec).select(
+      id.as("vec_id"), emb.as("embedding"), lbl.as("label")),
+      "embeddings", 4)
+
     println(s"star schema x$mult written to $out")
   }
 

@@ -207,6 +207,9 @@ class StreamingSpec extends SparkSuite {
     Files.createFile(state.resolve("1.delta"))
     Files.setLastModifiedTime(live, old)
     Files.setLastModifiedTime(live.resolve("state"), old)
+    // the sweep runs once per JVM (hygiene, not correctness) — re-arm it
+    // so THIS call exercises the reaping logic
+    StreamingQueries.ckptSwept.set(false)
     val next = Paths.get(StreamingQueries.replayCheckpoint("spec_next"))
     assert(!Files.exists(stale), "2h-old checkpoint dir must be reaped")
     assert(Files.exists(fresh), "fresh checkpoint dir must survive the sweep")
