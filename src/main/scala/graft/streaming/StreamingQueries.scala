@@ -119,16 +119,31 @@ object StreamingQueries {
     java.nio.file.Files.createTempDirectory(base, s"graft_ckpt_$name").toString
   }
 
+  /** Streaming scan of the corpus events table, handling BOTH physical
+    * layouts a parquet table comes in: a directory table
+    * (`$dir/events.parquet/part-*` — what any Spark writer, incl.
+    * tools/StarGen, produces) streams the directory itself; a
+    * single-file table (`$dir/events.parquet` IS the file — the driver
+    * testdata layout) streams `$dir` with a leaf-name glob, because the
+    * file-stream source requires its basePath to be a directory. One
+    * layout probe per query construction (a driver-side stat, not a
+    * listing). A bare `pathGlobFilter "events.parquet"` over `$dir` —
+    * the previous form — matched only the single-file layout: in a
+    * directory table the leaf files are named part-*, so the source
+    * silently saw ZERO files and the replay produced an empty (wrong)
+    * result on generated corpora. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val table = new java.io.File(s"$dir/events.parquet")
+    val rs = spark.readStream.schema(EventsStreaming.eventSchema)
+    if (table.isDirectory) rs.parquet(table.toString)
+    else rs.option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+
   /** Hourly tumbling-window counts/sums per event type, computed by the
     * streaming engine (file source -> stateful agg -> memory sink) with
     * the decimal-exact sum the determinism doctrine requires. */
   def streamTimeBucket(spark: SparkSession, dir: String): DataFrame = {
-    // the streaming file source wants a directory; scope it to the events
-    // table with a glob filter
-    val src = spark.readStream
-      .schema(EventsStreaming.eventSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = eventsStream(spark, dir)
     val agg = src
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), Star.dsum(col("value")).as("sum_value"))
@@ -165,10 +180,7 @@ object StreamingQueries {
     * open-sessions x users, never event volume. */
   def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val src = spark.readStream
-      .schema(EventsStreaming.eventSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = eventsStream(spark, dir)
     val agg = src
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"),
@@ -227,10 +239,7 @@ object StreamingQueries {
     * horizon instead of growing with key cardinality; the bounded replay
     * here has no watermark so the full key set is the (small) state. */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val src = spark.readStream
-      .schema(EventsStreaming.eventSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = eventsStream(spark, dir)
     val deduped = src
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
@@ -712,10 +721,7 @@ object StreamingQueries {
   def streamCustomSession(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val src = spark.readStream
-      .schema(EventsStreaming.eventSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = eventsStream(spark, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_type"), col("event_id")).as[SessEvent]
     val closed = customSessionize(src)

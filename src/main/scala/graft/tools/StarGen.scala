@@ -182,7 +182,7 @@ object StarGen {
       when(h(10, 36, id) < 4, "en").otherwise(
         pick(Seq("de", "es", "fr", "zh"), 37, id)).as("lang"),
       format_string("src%d", h(20, 38, id)).as("source"),
-      length(text).as("n_chars")), "documents", 8)
+      length(text).cast("long").as("n_chars")), "documents", 8)
 
     // embeddings: 64-dim float vectors around 10 label centroids
     // (component = centroid(label, d) + per-vector noise, values within
