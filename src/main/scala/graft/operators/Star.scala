@@ -120,13 +120,30 @@ object Star {
     floor(num.cast("double") / den.cast("double")).cast("long")
 
   /** Rational num/den emitted as a double with exact 1e-6 floor
-    * quantization (num bounded by ~1e9 for exactness).
-    * POSITIVE quotients only: Spark-side floor and DuckDB's `//` agree on
-    * positives but diverge on negatives (floor vs truncate-toward-zero) —
-    * rearrange call sites so the division is positive (e.g. growth =
-    * ratio6(cur, prev) - 1, never ratio6(cur - prev, prev)). */
-  def ratio6(num: Column, den: Column): Column =
-    idiv(num.cast("long") * 1000000L, den).cast("double") / 1000000.0
+    * quantization. 128-bit exact at ANY corpus scale: the previous
+    * `long * 1000000` form overflowed once num exceeded ~9.2e12 —
+    * corpus-scale money cumulative sums cross that at ≈6× sf0.1 (the
+    * ×10 ratio bench caught q_pareto_suppliers throwing
+    * ARITHMETIC_OVERFLOW), and its double-based idiv was only exact
+    * below 2^53 anyway. DECIMAL(38,0) multiply is exact to 1e38 and
+    * `IntegralDivide` on decimals is exact integer floor; the DuckDB
+    * twin ([[Sql.ratio6]]) widens to HUGEINT for the same 128-bit
+    * domain, so both engines stay value-identical from test scale to
+    * cluster scale.
+    * POSITIVE quotients only: Spark-side truncation and DuckDB's `//`
+    * agree on positives but diverge on negatives (truncate-toward-zero
+    * vs floor) — rearrange call sites so the division is positive
+    * (e.g. growth = ratio6(cur, prev) - 1, never
+    * ratio6(cur - prev, prev)). */
+  def ratio6(num: Column, den: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val dec = DecimalType(38, 0)
+    Bridge.column(IntegralDivide(
+      Bridge.expression(num.cast(dec) * lit(1000000L).cast(dec)),
+      Bridge.expression(den.cast(dec))))
+      .cast("double") / 1000000.0
+  }
 
   /** Contiguous 0-based global rank over a total order WITHOUT a
     * single-task window. `Window.orderBy(...)` plans as Exchange
@@ -156,6 +173,6 @@ object Star {
     def cents(c: String): String = s"CAST(round($c * 100) AS BIGINT)"
     def idiv(num: String, den: String): String = s"(($num) // ($den))"
     def ratio6(num: String, den: String): String =
-      s"(CAST((CAST($num AS BIGINT) * 1000000) // CAST($den AS BIGINT) AS DOUBLE) / 1000000.0)"
+      s"(CAST((CAST($num AS HUGEINT) * 1000000) // CAST($den AS HUGEINT) AS DOUBLE) / 1000000.0)"
   }
 }

@@ -157,25 +157,39 @@ object StarGen {
       "events", 8)
 
     // documents: same shape as the driver corpus at x1 — the 31-word
-    // vocabulary (hot-shingle document frequency scales with corpus size,
-    // the load the DF caps absorb), uniform 10..100 words/doc, lang 40/15
-    // split, 20 uniform sources — plus PLANTED duplicates: ~1% of docs
-    // copy a doc at most 20 ids back (text is a pure function of seedId,
-    // so a dup pair is bit-identical), keeping near-dup CLUSTERS bounded
-    // while doc count grows, like a real bigger crawl. Everything is a
-    // pure function of (id, seed): no driver rows, no replica seams.
+    // vocabulary, uniform 10..100 words/doc, lang 40/15 split, 20
+    // uniform sources — plus PLANTED duplicates: ~1% of docs copy a doc
+    // at most 20 ids back (text is a pure function of seedId, so a dup
+    // pair is bit-identical), keeping near-dup CLUSTERS bounded while
+    // doc count grows. The vocabulary GROWS with the corpus (Heaps'
+    // law, beta = 0.5: V = 31·sqrt(mult), exactly the base 31 at ×1):
+    // a bigger crawl brings new n-grams, so per-shingle document
+    // frequency grows sub-linearly. A FIXED vocabulary at ×10 is the
+    // wrong model — it multiplies every shingle's DF by 10 and drives
+    // every shingle-inverted-index operator quadratic (measured before
+    // this fix: q_dedup_ngram_jaccard 10× exponent 1.47 — and the DF
+    // caps scale with n_docs, so they admit it; the density regime is
+    // recorded in BASELINE.md as an adversarial probe, with the
+    // MinHash-band chain as the operator family that survives it).
+    // Everything is a pure function of (id, seed): no driver rows, no
+    // replica seams.
     val nDoc = 5000L * mult
     val vocab = Seq("a", "agg", "batch", "big", "column", "customer",
       "data", "dup", "fast", "filter", "group", "hash", "join", "key",
       "line", "merge", "order", "part", "query", "row", "scan", "slow",
       "small", "sort", "spark", "stream", "table", "the", "value",
       "vector", "window")
+    val vocabN = math.max(vocab.size,
+      math.round(vocab.size * math.sqrt(mult.toDouble)).toInt)
     val seedId = when(h(100, 32, id) === 0, greatest(lit(0L),
       id - 1L - h(20, 33, id))).otherwise(id)
     val nWords = (h(91, 34, seedId) + lit(10)).cast("int")
     val text = concat_ws(" ", transform(sequence(lit(1), nWords),
-      i => element_at(array(vocab.map(lit): _*),
-        (h(vocab.size, 35, seedId, i) + 1).cast("int"))))
+      i => {
+        val w = h(vocabN, 35, seedId, i).cast("int")
+        when(w < vocab.size, element_at(array(vocab.map(lit): _*), w + 1))
+          .otherwise(concat(lit("w"), w))
+      }))
     write(spark.range(nDoc).select(
       id.as("doc_id"),
       text.as("text"),

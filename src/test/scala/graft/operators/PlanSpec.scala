@@ -188,6 +188,26 @@ class PlanSpec extends SparkSuite {
       "shortlist rank over integer code distance must be in-plan\n" + p)
   }
 
+  test("annIvfAppend: frozen quantizer — persisted base index pruned, " +
+    "no Lloyd update in the append plan") {
+    val df = Similarity.annIvfAppend(spark, dir)
+    val p = plan(df)
+    // the base postings are READ (pruned to probed cells), never rebuilt
+    val scanLine = p.split("\n").find(_.contains("graft_idx_ivf_post_base"))
+    assert(scanLine.isDefined,
+      "append serve must scan the persisted base postings\n" + p)
+    assert(scanLine.get.contains("PartitionFilters: [cid") &&
+      scanLine.get.contains(" IN "),
+      "base postings scan must prune by probed cell ids\n" + scanLine.get)
+    // the coarse quantizer is FROZEN: centroids come from the persisted
+    // table, and no centroid-update aggregate (vecsum) may appear —
+    // appending a shard must never retrain
+    assert(p.contains("graft_idx_ivf_cent_base"),
+      "append must read the persisted centroid table\n" + p)
+    assert(!p.contains("vecsum"),
+      "append plan must contain no Lloyd centroid update\n" + p)
+  }
+
   test("contaminationServe: probes the persisted benchmark index, only " +
     "the shard side is shingled") {
     val df = graft.operators.Training.contaminationServe(spark, dir)
