@@ -372,7 +372,13 @@ object Dedup {
     * 60 bits (not 64) so the packed value and every bit mask stay inside
     * exact nonnegative int64 in both engines — which is what makes the
     * sketch hash-oracled rather than rows-only. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashSigs(spark, dir).orderBy("doc_id")
+
+  /** (doc_id, simhash) without the presentation sort — the reusable form
+    * the pair queries join on (identical subtrees keyed on simhash, so
+    * ReuseExchange materializes the signature aggregate once). */
+  private def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
     val d = Star.table(spark, dir, "documents")
     val tok = d.select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("t"))
@@ -386,7 +392,7 @@ object Dedup {
     val bits = (0 until 60).map(i =>
       when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
     agg.select(col("doc_id"),
-      bits.reduce(_.bitwiseOR(_)).as("simhash")).orderBy("doc_id")
+      bits.reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
   /** Shared oracle CTE for the simhash queries: tokens (multiset — votes
@@ -562,32 +568,129 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** The 4×15-bit band explosion of a signature relation (any column set
+    * containing `simhash`): by pigeonhole, a pair within hamming distance
+    * 3 of a 60-bit signature shares at least one of the 4 bands. */
+  private def simhashBands(sigRel: DataFrame): DataFrame = {
+    val keep = sigRel.columns.map(col).toSeq
+    sigRel.select(keep :+
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("simhash"), 15 * b).bitwiseAND(lit(0x7FFFL))
+            .as("bv"))): _*)).as("e"): _*)
+      .select(keep :+ col("e.band_id") :+ col("e.bv"): _*)
+  }
+
   /** SimHash near-dup pairs by banded hamming join: the 60-bit simhash
     * splits into 4×15-bit bands; by pigeonhole, any pair within hamming
     * distance 3 shares at least one band, so the band-bucket self-join is
     * a COMPLETE candidate generator for d<=3 — never all-pairs. Distance
     * itself is the codegen'd bit_count(xor). Hash-oracled (portable
     * family); completeness additionally spec-tested via exact-dup groups
-    * (distance-0 pairs must all appear). */
+    * (distance-0 pairs must all appear).
+    *
+    * The join runs at the DISTINCT-SIGNATURE level, not the doc level,
+    * with the hamming predicate INSIDE the join; doc pairs are recovered
+    * by output-sized equi-joins afterwards. Rationale (measured on the
+    * 10× ratio corpus): frequency-weighted majority votes converge on
+    * homogeneous text, so whole 15-bit bands go corpus-constant — the
+    * doc-level band self-join then shuffles ~2·C(n,2) candidate rows
+    * through distinct (2.5e9 at 50 k docs, 226 s) while the true d<=3
+    * output is ~30 M rows. Collapsing to distinct signatures first (a)
+    * shrinks the quadratic base from docs to distinct sigs, (b) dedups
+    * hamming-0 groups into single band rows, and (c) keeps the candidate
+    * explosion inside the join operator (codegen'd bit_count filter, no
+    * candidate shuffle): same output, 3 s candidate pass at 10×. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhash(spark, dir)
-    val bands = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band_id"),
-          shiftright(col("simhash"), 15 * b).bitwiseAND(lit(0x7FFFL))
-            .as("bv"))): _*)).as("e"))
-      .select(col("doc_id"), col("simhash"), col("e.band_id"), col("e.bv"))
-    bands.as("a")
-      .join(bands.as("b"),
+    // The signature relation feeds five branches (distinct-sig bands ×2,
+    // cross expansion ×2, intra self-join ×2 sides) and the expansion
+    // joins broadcast their tiny pair side — so without pinning, Catalyst
+    // re-runs the whole token aggregate per branch. Materialize it once
+    // as a persisted-RDD leaf (same doctrine as the serve-path candidate
+    // sets / k-means vector relation): one corpus scan + one aggregate,
+    // and the leaf is 16 bytes/doc — ~1e-4 of corpus bytes at any scale.
+    val plan = simhashSigs(spark, dir)
+    val rdd = plan.rdd.persist()
+    rdd.count()
+    val sh = spark.createDataFrame(rdd, plan.schema)
+    expandSigPairs(sh, simhashSigPairs(sh))
+  }
+
+  /** [[simhashPairs]] with an ABSOLUTE band-bucket cap (64 distinct
+    * signatures): the scale-bounded production form, with the uncapped
+    * query as its recall gate — the same split the Jaccard and winnowing
+    * families use. A 15-bit band that goes corpus-constant (homogeneous
+    * text makes frequency-weighted majority votes converge — measured on
+    * the 10× ratio corpus, where two of the four bands held ONE bucket of
+    * all 50 k docs) carries no discriminative information; dropping its
+    * oversized buckets bounds every bucket's candidate contribution at
+    * 64²/2 while exact-duplicate (hamming-0) pairs are still found
+    * completely via the signature-equality self-join, which never touches
+    * bands. A cross-sig pair is lost only when EVERY band it shares is
+    * hot — exactly the information-free case. The cap is absolute, not
+    * relative, for the winnowPairsCapped reason: a relative cap lets the
+    * per-bucket quadratic grow with the corpus. */
+  def simhashPairsCapped(spark: SparkSession, dir: String): DataFrame = {
+    val plan = simhashSigs(spark, dir)
+    val rdd = plan.rdd.persist()
+    rdd.count()
+    val sh = spark.createDataFrame(rdd, plan.schema)
+    expandSigPairs(sh, simhashSigPairs(sh, bucketCap = Some(64L)))
+  }
+
+  /** Distinct-signature pairs within hamming 3, banded, hamming predicate
+    * evaluated inside the join (candidates never leave the join operator).
+    * `bucketCap`: drop (band_id, bv) buckets holding more than this many
+    * distinct signatures before the self-join (None = complete). */
+  private def simhashSigPairs(
+      sh: DataFrame, bucketCap: Option[Long] = None): DataFrame = {
+    // Explicit hash-partitioning on the band key + a merge hint: the sig
+    // relation is tiny BY BYTES (distinct 8-byte sigs), so AQE would
+    // broadcast it and coalesce the probe side to ~1 partition — which
+    // serializes the hot-bucket quadratic (measured 131 s vs 6.5 s at the
+    // 10× ratio corpus). Candidate cost here is per-bucket-count², not
+    // bytes; byte-based planner heuristics mis-size it, so pin the shape.
+    val parts = sh.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val allBands = simhashBands(sh.select("simhash").distinct())
+    val kept = bucketCap.fold(allBands) { cap =>
+      import org.apache.spark.sql.expressions.Window
+      allBands
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy("band_id", "bv")))
+        .filter(col("n") <= lit(cap))
+        .drop("n")
+    }
+    val bands = kept
+      .repartition(parts, col("band_id"), col("bv"))
+      .hint("SHUFFLE_MERGE")
+    bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.simhash") < col("b.simhash") &&
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+      .select(col("a.simhash").as("s_a"), col("b.simhash").as("s_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 3)
-      .orderBy("id_a", "id_b")
+  }
+
+  /** Signature pairs → doc pairs: cross-signature expansion plus the
+    * intra-signature (hamming-0) self-join, both equi-joins on simhash —
+    * shuffle and output are both proportional to the TRUE pair count. */
+  private def expandSigPairs(sh: DataFrame, sigPairs: DataFrame): DataFrame = {
+    val cross = sigPairs
+      .join(sh.as("x"), col("x.simhash") === col("s_a"))
+      .join(sh.as("y"), col("y.simhash") === col("s_b"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"),
+        col("hamming"))
+    val intra = sh.as("a")
+      .join(sh.as("b"),
+        col("a.simhash") === col("b.simhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        lit(0L).as("hamming"))
+    intra.unionByName(cross).orderBy("id_a", "id_b")
   }
 
   private val simhashPairsSql =
@@ -602,6 +705,38 @@ object Dedup {
        |  FROM bands a JOIN bands b
        |    ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id)
        |WHERE hamming <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Oracle for [[simhashPairsCapped]]: distinct-signature bands, bucket
+    * size capped at 64 via a window count, plus the complete
+    * signature-equality (hamming-0) self-join. */
+  private val simhashPairsCappedSql =
+    s"""$simhashSigCte,
+       |ds AS (SELECT DISTINCT simhash FROM sig),
+       |bands AS (
+       |  SELECT simhash, b.range AS band_id,
+       |    (simhash >> (15 * b.range)) & 32767 AS bv
+       |  FROM ds CROSS JOIN range(4) b),
+       |fb AS (SELECT simhash, band_id, bv FROM (
+       |  SELECT simhash, band_id, bv,
+       |    COUNT(*) OVER (PARTITION BY band_id, bv) AS n
+       |  FROM bands) t WHERE n <= 64),
+       |sp AS (
+       |  SELECT DISTINCT a.simhash AS s_a, b.simhash AS s_b,
+       |    bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       |  FROM fb a JOIN fb b
+       |    ON a.band_id = b.band_id AND a.bv = b.bv AND a.simhash < b.simhash
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |cross_pairs AS (
+       |  SELECT least(x.doc_id, y.doc_id) AS id_a,
+       |    greatest(x.doc_id, y.doc_id) AS id_b, hamming
+       |  FROM sp JOIN sig x ON x.simhash = sp.s_a
+       |  JOIN sig y ON y.simhash = sp.s_b),
+       |intra AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::BIGINT AS hamming
+       |  FROM sig a JOIN sig b
+       |    ON a.simhash = b.simhash AND a.doc_id < b.doc_id)
+       |SELECT * FROM intra UNION ALL SELECT * FROM cross_pairs
        |ORDER BY id_a, id_b""".stripMargin
 
   /** Connected components over an undirected edge list (id_a, id_b) →
@@ -1714,6 +1849,8 @@ object Dedup {
       Some(minhashLshPairsSql)),
     QueryDef("q_dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("q_dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
+    QueryDef("q_dedup_simhash_capped", simhashPairsCapped,
+      Some(simhashPairsCappedSql)),
     QueryDef("q_dedup_winnow_pairs", winnowPairs, Some(winnowPairsSql)),
     QueryDef("q_dedup_winnow_capped", winnowPairsCapped,
       Some(winnowPairsCappedSql)),

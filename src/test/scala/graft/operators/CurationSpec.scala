@@ -95,6 +95,24 @@ class CurationSpec extends SparkSuite {
     assert(pairs.values.forall(_ <= 3L), "emitted pair above the d<=3 gate")
   }
 
+  test("simhashPairsCapped: subset of the complete gate, hamming-0 complete") {
+    // sf0.1 is where the cap actually prunes (1090 of 2140 pairs kept);
+    // the capped output must be a strict subset of the uncapped one with
+    // every hamming-0 (signature-equality) pair retained — those come from
+    // the band-free self-join and are immune to the bucket cap.
+    val big = "/root/testdata/sf0.1"
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val full = Dedup.simhashPairs(spark, big).collect().map(key).toSet
+    val capped = Dedup.simhashPairsCapped(spark, big).collect().map(key).toSet
+    assert(capped.subsetOf(full), "capped emitted a pair the gate lacks")
+    assert(capped.size < full.size, "cap never pruned — corpus too small " +
+      "to exercise it, move the spec to a scale where it does")
+    val zeros = full.filter(_._3 == 0L)
+    assert(zeros.nonEmpty && zeros.subsetOf(capped),
+      "capped lost a hamming-0 pair")
+  }
+
   test("bucketedRevenue: the bucketed join itself never shuffles") {
     graft.sources.Layout.bucketedRevenue(spark, sf).collect() // create tables
     val tag = java.lang.Integer.toHexString(sf.hashCode)

@@ -41,6 +41,25 @@ class IndexLifecycleSpec extends SparkSuite {
       "retracted doc must no longer block the arrival")
   }
 
+  test("IVF retraction: tombstoned vectors never serve; results change at harness scales") {
+    // the tombstone anti-join must remove every vec_id % 10 IN (6, 7)
+    // neighbor from the served top-3, and — because removing 20% of the
+    // corpus vacates somebody's top-3 — must actually CHANGE the result
+    // relative to the untouched snapshot (guards against a retract path
+    // that filters nothing and trivially matches its oracle)
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val served = Similarity.annIvfServe(spark, dir).collect()
+      val after = Similarity.annIvfRetract(spark, dir).collect()
+      assert(after.forall { r =>
+        val res = r.getLong(1) % 10; res != 6 && res != 7
+      }, s"$dir: a tombstoned vector was served")
+      assert(!served.sameElements(after),
+        s"$dir: retraction changed nothing — tombstones never served")
+      assert(after.length === served.length,
+        "top-3 per query must stay fully populated from live vectors")
+    }
+  }
+
   test("streaming arrival-band state stays within the segment bound; verdicts converge to the batch twin") {
     val dir = "/root/testdata/sf0.001"
     val (res, stateDir) = Dedup.streamDedupIndexRun(spark, dir)
