@@ -1423,7 +1423,7 @@ object Dedup {
     * crash mid-compaction leaves the original segments intact (the
     * staging dir is excluded from state reads by the `{b*,c*}` glob and
     * overwritten by the next compaction attempt). */
-  private def compactSegments(spark: SparkSession, stateDir: String,
+  private[graft] def compactSegments(spark: SparkSession, stateDir: String,
       batchId: Long, maxSegments: Int): Unit = {
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

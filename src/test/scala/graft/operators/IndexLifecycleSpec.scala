@@ -75,4 +75,25 @@ class IndexLifecycleSpec extends SparkSuite {
     val twin = Dedup.dedupIncremental(spark, dir).collect()
     assert(rows.toSeq === twin.toSeq)
   }
+
+  test("streaming SEMANTIC dedup: segment bound holds; verdicts converge to the batch twin") {
+    val dir = "/root/testdata/sf0.001"
+    val (res, stateDir) = Similarity.streamSemanticDedupRun(spark, dir)
+    val rows = res.collect()
+    val segs = new java.io.File(stateDir).listFiles()
+      .filter(f => f.isDirectory &&
+        (f.getName.startsWith("b") || f.getName.startsWith("c")))
+    assert(segs.length <= 2,
+      s"arrival state must stay <= 2 segments, got " +
+        segs.map(_.getName).sorted.mkString(", "))
+    assert(segs.exists(_.getName.startsWith("c")),
+      "compaction must have run during the 3-trigger replay")
+    val twin = Similarity.semanticDedupIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq === twin.toSeq)
+    // the replay must exercise BOTH verdicts (planted re-crawls drop,
+    // fresh content keeps)
+    val vs = rows.map(_.getString(1)).toSet
+    assert(vs === Set("drop", "keep"))
+  }
 }
