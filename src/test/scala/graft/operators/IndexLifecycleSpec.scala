@@ -76,6 +76,30 @@ class IndexLifecycleSpec extends SparkSuite {
     assert(rows.toSeq === twin.toSeq)
   }
 
+  test("IVF drift monitor: retrain flag fires on an out-of-distribution shard") {
+    // harness corpora are in-distribution (all flags False at every sf —
+    // verified by the oracle rows); this planted corpus proves the
+    // trigger actually FIRES: shard vectors (vec_id % 10 = 9) are the
+    // base vectors scaled 40x, so every arrival's distance to its
+    // nearest frozen centroid dwarfs the cell's training-time mean
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 44L).map { i =>
+      val scale = if (i % 10 == 9) 40.0f else 1.0f
+      val v = Array.fill(8)((rnd.nextFloat() * 2 - 1) * scale)
+      (i, v, (i % 3).toInt)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val drift = Similarity.annIvfDrift(spark, tmp).collect()
+    assert(drift.exists(_.getBoolean(5)),
+      "planted 40x-scaled shard must trip the retrain flag somewhere")
+    assert(drift.map(_.getLong(1)).sum === 40L &&
+      drift.map(_.getLong(3)).sum === 4L,
+      "population counts must partition base (40) and shard (4)")
+  }
+
   test("streaming SEMANTIC dedup: segment bound holds; verdicts converge to the batch twin") {
     val dir = "/root/testdata/sf0.001"
     val (res, stateDir) = Similarity.streamSemanticDedupRun(spark, dir)
