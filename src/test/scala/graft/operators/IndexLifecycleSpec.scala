@@ -100,6 +100,21 @@ class IndexLifecycleSpec extends SparkSuite {
       "population counts must partition base (40) and shard (4)")
   }
 
+  test("scaled-geometry semantic dedup agrees with the exact-twin-gated form") {
+    // q_semantic_dedup_scaled's ORACLE is a banded mirror (pins
+    // implementation fidelity); THIS is the recall gate: at harness
+    // scales its verdicts must equal the 8x8 form's, whose own oracle is
+    // the exact all-pairs twin — chaining the two gates proves the
+    // production geometry loses no verdict-deciding pair here
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val a = Similarity.semanticDedupIncremental(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val b = Similarity.semanticDedupScaled(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(a === b, s"$dir: scaled geometry changed verdicts")
+    }
+  }
+
   test("streaming SEMANTIC dedup: segment bound holds; verdicts converge to the batch twin") {
     val dir = "/root/testdata/sf0.001"
     val (res, stateDir) = Similarity.streamSemanticDedupRun(spark, dir)
