@@ -571,7 +571,7 @@ object Dedup {
   /** The 4×15-bit band explosion of a signature relation (any column set
     * containing `simhash`): by pigeonhole, a pair within hamming distance
     * 3 of a 60-bit signature shares at least one of the 4 bands. */
-  private def simhashBands(sigRel: DataFrame): DataFrame = {
+  private[graft] def simhashBands(sigRel: DataFrame): DataFrame = {
     val keep = sigRel.columns.map(col).toSeq
     sigRel.select(keep :+
       explode(array((0 until 4).map(b =>
@@ -642,7 +642,7 @@ object Dedup {
     * evaluated inside the join (candidates never leave the join operator).
     * `bucketCap`: drop (band_id, bv) buckets holding more than this many
     * distinct signatures before the self-join (None = complete). */
-  private def simhashSigPairs(
+  private[graft] def simhashSigPairs(
       sh: DataFrame, bucketCap: Option[Long] = None): DataFrame = {
     // Explicit hash-partitioning on the band key + a merge hint: the sig
     // relation is tiny BY BYTES (distinct 8-byte sigs), so AQE would
@@ -1324,7 +1324,6 @@ object Dedup {
   private[graft] def streamDedupIndexRun(
       spark: SparkSession, dir: String): (DataFrame, String) = {
     import org.apache.spark.sql.types._
-    import graft.streaming.StreamingQueries.{replayCheckpoint, withStreamPartitions}
     val docs = Star.table(spark, dir, "documents")
     val isNew = col("doc_id") % 10 === 0
     val index = graft.sources.IndexStore.cachedBucketTable(
@@ -1332,34 +1331,9 @@ object Dedup {
       Seq("band_id", "h"), Seq("band_id", "h")) {
       bandRows(withMinhashBands(shingleRows(docs.filter(!isNew))))
     }
-
-    // identity-keyed build-once fixture with staged atomic publication —
-    // see graft.sources.FixtureCache for the concurrency contract
-    val base = graft.sources.FixtureCache.buildOnce(
-      spark, "graft_stream_dedupidx", dir, "documents") { stage =>
-      val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      import org.apache.spark.sql.expressions.Window
-      val shard = docs.filter(isNew)
-        .withColumn("__b", ntile(3).over(Window.orderBy("doc_id")))
-      (1 to 3).foreach { k =>
-        val tmp = new org.apache.hadoop.fs.Path(stage, s"_tmp$k")
-        shard.filter(col("__b") === k).drop("__b")
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val f = fs.globStatus(
-          new org.apache.hadoop.fs.Path(tmp, "part-*.parquet")).head.getPath
-        // sequential rename => strictly increasing mtimes => file source
-        // replays the shards in doc_id order
-        fs.rename(f, new org.apache.hadoop.fs.Path(stage, s"q$k.parquet"))
-        fs.delete(tmp, true)
-      }
-    }
-
-    // per-run scratch: accumulated arrival bands + per-batch verdicts
-    val work = replayCheckpoint("dedupidx_work")
-    val stateDir = s"$work/arrival_bands"
-    val outDir = s"$work/verdicts"
-    val statePath = new org.apache.hadoop.fs.Path(stateDir)
-
+    val base = graft.sources.FixtureCache.buildReplayShards(
+      spark, "graft_stream_dedupidx", dir, "documents", 3)(
+      docs.filter(isNew), "doc_id")
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
@@ -1368,48 +1342,18 @@ object Dedup {
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "q*.parquet")
       .parquet(base.toString)
-
-    withStreamPartitions(spark) {
-      val q = src.writeStream
-        .option("checkpointLocation", replayCheckpoint("dedupidx"))
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // sketch the batch ONCE, into its OWN overwrite-mode state
-          // segment (idempotent under trigger retry); the probe side
-          // reads the state back pruned to this batch's (contiguous) id
-          // range, so bands are computed once and the state read is
-          // bounded. (A retry racing a just-finished compaction can leave
-          // the batch's bands twice, in the compacted segment and the
-          // rewritten subdir, which is harmless: candidate pairs are
-          // DISTINCT'd before verification.)
-          bandRows(withMinhashBands(shingleRows(batch)))
-            .write.mode("overwrite").parquet(s"$stateDir/b$batchId")
-          val state = spark.read.parquet(s"$stateDir/{b*,c*}")
-          val Array(lo, hi) = batch.agg(min("doc_id"), max("doc_id"))
-            .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-          val probe = state.filter(col("doc_id").between(lo, hi))
-          val dropIds =
-            bandProbeDropIds(docs, Seq(index, state), probe)
-          batch
-            .join(dropIds.withColumn("__d", lit(1)), Seq("doc_id"), "left")
-            .select(col("doc_id"), col("lang"), col("source"),
-              when(col("__d").isNotNull, lit("drop")).otherwise(lit("keep"))
-                .as("verdict"))
-            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
-          // arrival-state maintenance, AFTER the probe (off the verdict
-          // path): fold the per-trigger segments into one byte-targeted
-          // compacted segment once the count exceeds the bound
-          compactSegments(spark, stateDir, batchId, maxSegments = 2)
-          ()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    // replay sanity: per-trigger state segments were written
-    require(statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(statePath), s"no arrival state written under $work")
-    (spark.read.parquet(s"$outDir/b*")
-      .select("doc_id", "lang", "source", "verdict")
-      .orderBy("doc_id"), stateDir)
+    graft.streaming.StreamingQueries.replayIndexedDedup(
+      spark, src, "dedupidx", "dedupidx_work", "doc_id",
+      batch => bandRows(withMinhashBands(shingleRows(batch))),
+      (batch, state, probe) => {
+        val dropIds = bandProbeDropIds(docs, Seq(index, state), probe)
+        batch
+          .join(dropIds.withColumn("__d", lit(1)), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"), col("source"),
+            when(col("__d").isNotNull, lit("drop")).otherwise(lit("keep"))
+              .as("verdict"))
+      },
+      Seq("doc_id", "lang", "source", "verdict"))
   }
 
   /** Arrival-band state compaction (the q_compaction byte-target logic

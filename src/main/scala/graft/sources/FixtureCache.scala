@@ -76,4 +76,31 @@ object FixtureCache {
     }
     base
   }
+
+  /** Replay-shard fixture: split `rel` into `n` CONTIGUOUS `idCol`
+    * ranges written as q1..qN.parquet with strictly increasing mtimes
+    * (sequential rename), so a file-stream source replays the shards in
+    * id order — the property the first-seen-wins streaming dedup
+    * replays depend on. The ntile window is build-once fixture
+    * machinery; production arrivals are already file-granular shards.
+    * Shared by the text ([[graft.operators.Dedup.streamDedupIndex]])
+    * and semantic streaming dedup paths. */
+  def buildReplayShards(spark: SparkSession, prefix: String, dir: String,
+      table: String, n: Int)(
+      rel: org.apache.spark.sql.DataFrame, idCol: String): Path =
+    buildOnce(spark, prefix, dir, table) { stage =>
+      val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, ntile}
+      val parts = rel
+        .withColumn("__b", ntile(n).over(Window.orderBy(idCol)))
+      (1 to n).foreach { k =>
+        val tmp = new Path(stage, s"_tmp$k")
+        parts.filter(col("__b") === k).drop("__b")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val f = fs.globStatus(new Path(tmp, "part-*.parquet")).head.getPath
+        fs.rename(f, new Path(stage, s"q$k.parquet"))
+        fs.delete(tmp, true)
+      }
+    }
 }

@@ -70,6 +70,56 @@ object StreamingQueries {
   private[graft] val ckptSwept =
     new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** Shared foreachBatch skeleton of the streaming index-dedup replays
+    * (text [[graft.operators.Dedup.streamDedupIndex]] and its semantic
+    * twin): per trigger, (1) sketch the batch ONCE into its OWN
+    * overwrite-mode state segment — IDEMPOTENT under at-least-once
+    * foreachBatch retry, a replayed micro-batch REPLACES its partial
+    * output instead of double-appending; (2) read the accumulated
+    * arrival state back pruned to the batch's contiguous id range for
+    * the probe side, so bands are computed once and the state read is
+    * bounded (a retry racing a just-finished compaction can see the
+    * batch's bands twice — in the compacted segment and the rewritten
+    * subdir — which is harmless: candidate pairs are DISTINCT'd before
+    * verification); (3) write the batch's verdicts to their own
+    * idempotent subdir; (4) compact the state segments once their count
+    * crosses the bound, AFTER the probe, off the verdict path. */
+  private[graft] def replayIndexedDedup(
+      spark: SparkSession, src: DataFrame,
+      checkpointName: String, workName: String, idCol: String,
+      bandsOf: DataFrame => DataFrame,
+      verdictsOf: (DataFrame, DataFrame, DataFrame) => DataFrame,
+      outCols: Seq[String]): (DataFrame, String) = {
+    val work = replayCheckpoint(workName)
+    val stateDir = s"$work/arrival_bands"
+    val outDir = s"$work/verdicts"
+    withStreamPartitions(spark) {
+      val q = src.writeStream
+        .option("checkpointLocation", replayCheckpoint(checkpointName))
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          bandsOf(batch)
+            .write.mode("overwrite").parquet(s"$stateDir/b$batchId")
+          val state = spark.read.parquet(s"$stateDir/{b*,c*}")
+          val Array(lo, hi) = batch.agg(min(idCol), max(idCol))
+            .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+          val probe = state.filter(col(idCol).between(lo, hi))
+          verdictsOf(batch, state, probe)
+            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+          graft.operators.Dedup.compactSegments(
+            spark, stateDir, batchId, maxSegments = 2)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    require(statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(statePath), s"no arrival state written under $work")
+    (spark.read.parquet(s"$outDir/b*")
+      .select(outCols.map(col): _*)
+      .orderBy(idCol), stateDir)
+  }
+
   private[graft] def replayCheckpoint(name: String): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val base =

@@ -16,15 +16,11 @@ object EmbBandProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val cand = graft.operators.Similarity
-      .semanticDedupCandPlan(spark, sfDir)
-    // band histogram instead of running the join: the plan's two inputs
-    // are (index ∪ shardBands) and shardBands; rebuild the band relation
-    // the same way the serve parts do, via the public pieces
+    // band-bucket histogram of the base corpus at the default serve
+    // geometry (64 planes x 8 bands) — candidate mass without running
+    // (or index-building for) the join itself
     val base = graft.operators.Star.table(spark, sfDir, "embeddings")
     println(s"[emb-probe] dir=$sfDir n_vecs=${base.count()}")
-    val idx = cand.queryExecution.analyzed // force analysis only
-    // bucket histogram from the index side of the seam: re-derive bands
     val e = base.selectExpr("vec_id",
       "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
     val bands = e.select(col("vec_id"), posexplode(

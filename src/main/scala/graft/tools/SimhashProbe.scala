@@ -3,8 +3,12 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev probe (scratch): simhash signature concentration and banded-join
-  * candidate mass on a documents corpus. Usage: runMain ... [sfDir] */
+/** Dev probe: simhash signature concentration, band-bucket candidate
+  * mass, and the sig-level d<=3 pair/output counts on a documents
+  * corpus — the measurements behind the BASELINE round-9 simhash case
+  * study. Reuses the SHIPPED band/join helpers (Dedup.simhashBands /
+  * simhashSigPairs) so the probe measures the production code, not a
+  * re-implementation. Usage: runMain ... [sfDir] */
 object SimhashProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/graft_star_x10"
@@ -25,13 +29,9 @@ object SimhashProbe {
     // exact-equal signature pairs (hamming 0): sum k*(k-1)/2
     val eqPairs = sig.select(sum(col("count") * (col("count") - 1) / 2))
       .first().getDouble(0)
-    // band buckets
-    val bands = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band_id"),
-          shiftright(col("simhash"), 15 * b).bitwiseAND(lit(0x7FFFL))
-            .as("bv"))): _*)).as("e"))
-      .select(col("e.band_id"), col("e.bv"))
+    // band buckets at the doc level (the pre-rewrite join's base)
+    val bands = graft.operators.Dedup.simhashBands(sh)
+      .select("band_id", "bv")
     val bk = bands.groupBy("band_id", "bv").count().cache()
     val buckets = bk.count()
     val candMass = bk.select(sum(col("count") * (col("count") - 1) / 2))
@@ -42,27 +42,12 @@ object SimhashProbe {
       s"top_sig_counts=$topSigs eq_pairs=$eqPairs " +
       s"buckets=$buckets cand_mass=$candMass top_buckets=$topBuckets")
 
-    // sig-level banded join with the hamming predicate inside the join:
-    // how many distinct sig pairs are within d<=3, and how long does the
-    // sig-level candidate pass take?
+    // the SHIPPED sig-level banded join: distinct d<=3 sig pairs, timed
     val t0 = System.nanoTime()
-    val sigsOnly = sig.select(col("simhash"))
-    val sb = sigsOnly.select(col("simhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band_id"),
-          shiftright(col("simhash"), 15 * b).bitwiseAND(lit(0x7FFFL))
-            .as("bv"))): _*)).as("e"))
-      .select(col("simhash"), col("e.band_id"), col("e.bv"))
-    val sigPairs = sb.as("a").join(sb.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.bv") === col("b.bv") &&
-          col("a.simhash") < col("b.simhash") &&
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
-      .select(col("a.simhash").as("s_a"), col("b.simhash").as("s_b"))
-      .distinct()
+    val sigPairs = graft.operators.Dedup.simhashSigPairs(sh).cache()
     val nSigPairs = sigPairs.count()
     val secs = (System.nanoTime() - t0) / 1e9
-    // doc-pair expansion size = eq_pairs + sum over sig pairs of cnt_a*cnt_b
+    // doc-pair expansion size = eq_pairs + sum over sig pairs of ca*cb
     val docPairs = sigPairs.join(sig.withColumnRenamed("count", "ca"),
         col("s_a") === col("simhash")).drop("simhash")
       .join(sig.withColumnRenamed("count", "cb"),
