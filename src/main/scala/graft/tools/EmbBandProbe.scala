@@ -23,17 +23,21 @@ object EmbBandProbe {
     println(s"[emb-probe] dir=$sfDir n_vecs=${base.count()}")
     val e = base.selectExpr("vec_id",
       "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
-    val bands = e.select(col("vec_id"), posexplode(
-        graft.functions.LshFunctions.lshBands(col("v"), 64, 8)))
-      .select(col("pos").as("band_id"), col("col").as("h"))
-    val bk = bands.groupBy("band_id", "h").count().cache()
-    val nBuckets = bk.count()
-    val mass = bk.select(sum(col("count") * (col("count") - 1) / 2))
-      .first().getDouble(0)
-    val top = bk.orderBy(desc("count")).limit(10).collect()
-      .map(r => s"${r.getInt(0)}:${r.getLong(2)}").mkString(",")
-    println(s"[emb-probe] base_buckets=$nBuckets base_cand_mass=$mass " +
-      s"top=$top")
+    for ((nPlanes, nBands, label) <- Seq((64, 8, "default_64x8"),
+        (256, 16, "scaled_256x16"))) {
+      val bands = e.select(col("vec_id"), posexplode(
+          graft.functions.LshFunctions.lshBands(col("v"), nPlanes, nBands)))
+        .select(col("pos").as("band_id"), col("col").as("h"))
+      val bk = bands.groupBy("band_id", "h").count().cache()
+      val nBuckets = bk.count()
+      val mass = bk.select(sum(col("count") * (col("count") - 1) / 2))
+        .first().getDouble(0)
+      val top = bk.orderBy(desc("count")).limit(10).collect()
+        .map(r => s"${r.getInt(0)}:${r.getLong(2)}").mkString(",")
+      println(s"[emb-probe] $label buckets=$nBuckets cand_mass=$mass " +
+        s"top=$top")
+      bk.unpersist()
+    }
     spark.stop()
   }
 }
