@@ -1362,19 +1362,30 @@ object Dedup {
     * actual-bytes / target-file-bytes files, then drop the originals.
     * Runs inside the trigger that crossed the bound, so the state's file
     * count stays O(maxSegments) across an unbounded replay instead of
-    * growing by one small-file segment per trigger. The rewrite lands in
-    * a `ctmp` staging dir first and is renamed in as the LAST step, so a
-    * crash mid-compaction leaves the original segments intact (the
-    * staging dir is excluded from state reads by the `{b*,c*}` glob and
-    * overwritten by the next compaction attempt). */
+    * growing by one small-file segment per trigger.
+    *
+    * Crash safety: the rewrite lands in an `_ctmp<batchId>` staging dir —
+    * invisible to state reads (underscore-prefixed dirs are hidden to
+    * Spark's file listing AND unmatched by the `{b*,c*}` glob) — which is
+    * renamed to `c<batchId>` BEFORE the originals are deleted. A crash
+    * before the rename leaves only stage litter (reaped at the top of the
+    * next call); a crash between rename and deletes leaves the band rows
+    * duplicated (compacted segment ∪ originals), which state reads
+    * tolerate — candidate pairs are DISTINCT'd before verification — and
+    * the next compaction collapses. The reverse order (delete first)
+    * would LOSE state on a crash. */
   private[graft] def compactSegments(spark: SparkSession, stateDir: String,
       batchId: Long, maxSegments: Int): Unit = {
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // reap stage dirs orphaned by a crash mid-compaction (each attempt
+    // stages under its own batchId, so nothing else ever cleans these)
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_ctmp"))
+      .foreach(s => fs.delete(s.getPath, true))
     val segs = fs.listStatus(root).filter { s =>
       val n = s.getPath.getName
-      s.isDirectory && (n.startsWith("b") || n.startsWith("c")) &&
-        !n.startsWith("ctmp")
+      s.isDirectory && (n.startsWith("b") || n.startsWith("c"))
     }
     if (segs.length > maxSegments) {
       val bytes = segs.flatMap(s => fs.listStatus(s.getPath))
@@ -1382,11 +1393,11 @@ object Dedup {
       val targetFileBytes = 4L << 20 // 4 MiB locally; 128 MiB+ on a lake
       val nFiles =
         math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-      val stage = new org.apache.hadoop.fs.Path(root, s"ctmp$batchId")
+      val stage = new org.apache.hadoop.fs.Path(root, s"_ctmp$batchId")
       spark.read.parquet(s"$stateDir/{b*,c*}").repartition(nFiles)
         .write.mode("overwrite").parquet(stage.toString)
-      segs.foreach(s => fs.delete(s.getPath, true))
       fs.rename(stage, new org.apache.hadoop.fs.Path(root, s"c$batchId"))
+      segs.foreach(s => fs.delete(s.getPath, true))
       ()
     }
   }

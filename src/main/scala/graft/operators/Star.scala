@@ -16,24 +16,34 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   */
 object Star {
 
-  // Analyzed base-relation cache, keyed by (session, path, source
-  // identity). `spark.read.parquet` re-reads footers for schema
-  // inference and rebuilds the file index on EVERY call — a fixed
-  // metadata tax paid by every query over the same immutable snapshot.
-  // A real engine (and the DuckDB oracle, whose views are registered
-  // once per connection) resolves a table's metadata once per session;
-  // this cache is that catalog. The identity tag (len+mtime) keeps a
-  // regenerated testdata snapshot from serving a stale relation, and
-  // the session key keeps relations from leaking across sessions.
+  // Analyzed base-relation cache, keyed by (session, path) with the
+  // source identity tag as the cached VALUE's guard. `spark.read.parquet`
+  // re-reads footers for schema inference and rebuilds the file index on
+  // EVERY call — a fixed metadata tax paid by every query over the same
+  // immutable snapshot. A real engine (and the DuckDB oracle, whose views
+  // are registered once per connection) resolves a table's metadata once
+  // per session; this cache is that catalog. The identity tag (len+mtime)
+  // keeps a regenerated testdata snapshot from serving a stale relation —
+  // and because the tag lives in the value, a regeneration REPLACES the
+  // entry instead of accumulating one per snapshot (a tag-in-key layout
+  // leaked every superseded relation, and its session, forever).
   // DataFrames are immutable — reuse across queries is free.
   private val tableCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]
+    (SparkSession, String), (String, DataFrame)]
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    tableCache.computeIfAbsent(
-      (spark, s"$dir/$name.parquet",
-        graft.sources.FixtureCache.sourceTag(dir, name)),
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val tag = graft.sources.FixtureCache.sourceTag(dir, name)
+    val key = (spark, path)
+    val cur = tableCache.get(key)
+    if (cur != null && cur._1 == tag) return cur._2
+    // miss or superseded snapshot (rare path): also drop entries pinning
+    // stopped sessions, so a closed session's relations can be GC'd
+    tableCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val df = spark.read.parquet(path)
+    tableCache.put(key, (tag, df))
+    df
+  }
 
   val tableNames: Seq[String] = Seq("region", "nation", "customer",
     "supplier", "part", "orders", "lineitem", "events", "documents",

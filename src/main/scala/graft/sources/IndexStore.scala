@@ -116,7 +116,24 @@ object IndexStore {
       }
       register(spark, table, base)
     }
+    heartbeat(spark, dir, srcTable, s"graft_idx_$name")
     spark.table(table)
+  }
+
+  /** Serve-time liveness heartbeat: [[sweepOrphans]] reaps on the newest
+    * mtime under an index dir, but index files are written once and never
+    * touched again — a serving process alive past the sweep cutoff would
+    * otherwise have its still-registered index reaped out from under it
+    * by a YOUNGER process's sweep. Touching `_READY` on every serve-path
+    * resolution keeps any actively served index young under that rule
+    * (and costs one setTimes per query construction). */
+  private def heartbeat(spark: SparkSession, dir: String, srcTable: String,
+      prefix: String): Unit = {
+    val base = new Path(System.getProperty("java.io.tmpdir"),
+      s"${prefix}_${FixtureCache.sourceTag(dir, srcTable)}")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try fs.setTimes(new Path(base, "_READY"), System.currentTimeMillis(), -1)
+    catch { case _: java.io.IOException => () }
   }
 
   /** Register the published index dir `base` as catalog table `table`
@@ -162,15 +179,15 @@ object IndexStore {
   // process lifetime (the cutoff is 24 h).
   private val swept = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  /** Reap graft_idx_* dirs whose corpus is gone: index files are written
-    * once and only read afterwards, so a dir whose NEWEST mtime is older
-    * than 24 h belongs to a previous corpus snapshot (testdata
-    * regenerates between rounds and re-keys the tag). The cutoff is an
-    * order of magnitude above the longest observed build-and-serve
-    * session, so a live process's index is never swept out from under
-    * its catalog entry; dirs with unparseable legacy names age out under
-    * the same rule (no pid parsing — the dirs are shared, ownership is
-    * corpus identity, not process). */
+  /** Reap graft_idx_* dirs whose corpus is gone: a dir whose NEWEST
+    * mtime is older than 24 h has neither been written NOR served
+    * recently — the serve-path [[heartbeat]] touches `_READY` on every
+    * resolution, so an index a live process still serves stays young no
+    * matter how long that process runs (data files alone would go stale:
+    * they are written once and only read afterwards). Dirs with
+    * unparseable legacy names age out under the same rule (no pid
+    * parsing — the dirs are shared, ownership is corpus identity, not
+    * process). */
   private def sweepOrphans(): Unit = {
     if (!swept.compareAndSet(false, true)) return
     import java.nio.file.{Files, Path => JPath, Paths}

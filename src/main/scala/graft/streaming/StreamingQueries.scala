@@ -97,16 +97,22 @@ object StreamingQueries {
       val q = src.writeStream
         .option("checkpointLocation", replayCheckpoint(checkpointName))
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          bandsOf(batch)
-            .write.mode("overwrite").parquet(s"$stateDir/b$batchId")
-          val state = spark.read.parquet(s"$stateDir/{b*,c*}")
-          val Array(lo, hi) = batch.agg(min(idCol), max(idCol))
-            .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-          val probe = state.filter(col(idCol).between(lo, hi))
-          verdictsOf(batch, state, probe)
-            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
-          graft.operators.Dedup.compactSegments(
-            spark, stateDir, batchId, maxSegments = 2)
+          // bounds first: an EMPTY micro-batch (foreachBatch retry,
+          // source race) must not touch state — the nulls would silently
+          // unbox to 0L and bandsOf(empty) would overwrite the
+          // b<batchId> segment with nothing
+          val mm = batch.agg(min(idCol), max(idCol)).collect().head
+          if (!mm.isNullAt(0)) {
+            val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+            bandsOf(batch)
+              .write.mode("overwrite").parquet(s"$stateDir/b$batchId")
+            val state = spark.read.parquet(s"$stateDir/{b*,c*}")
+            val probe = state.filter(col(idCol).between(lo, hi))
+            verdictsOf(batch, state, probe)
+              .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+            graft.operators.Dedup.compactSegments(
+              spark, stateDir, batchId, maxSegments = 2)
+          }
           ()
         }
         .start()
