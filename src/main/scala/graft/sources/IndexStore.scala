@@ -164,6 +164,55 @@ object IndexStore {
       spark.sql(s"MSCK REPAIR TABLE $table")
   }
 
+  /** Serving-generation ALIAS — the atomic-promotion half of
+    * retrain-and-swap: a maintenance job publishes a NEW snapshot next to
+    * the serving one (staged `_READY` publication, above), then swaps ONE
+    * pointer. Probes in flight keep reading the old snapshot's files
+    * (immutable; the swap deletes nothing), and the next probe resolves
+    * the new generation. Locally the pointer is a one-line file replaced
+    * with ATOMIC_MOVE — readers see the old or the new target, never a
+    * torn write; on a lake this is the table format's pointer commit
+    * (e.g. an Iceberg/Delta metadata swap). The pointer is keyed by the
+    * corpus tag like every index dir, so a regenerated corpus starts
+    * unaliased. */
+  def promote(dir: String, srcTable: String, alias: String,
+      gen: String): Unit = synchronized {
+    import java.nio.file.{Files, StandardCopyOption => O}
+    val p = aliasPath(dir, srcTable, alias)
+    val tmp = Files.createTempFile(
+      p.getParent, s".${p.getFileName}_", ".tmp")
+    Files.writeString(tmp, gen)
+    Files.move(tmp, p, O.ATOMIC_MOVE, O.REPLACE_EXISTING)
+    ()
+  }
+
+  /** First-generation bootstrap: point the alias at `gen` only if it
+    * does not already serve something (never clobbers a later
+    * promotion). */
+  def promoteIfAbsent(dir: String, srcTable: String, alias: String,
+      gen: String): Unit = synchronized {
+    if (resolveAlias(dir, srcTable, alias).isEmpty)
+      promote(dir, srcTable, alias, gen)
+  }
+
+  /** The generation the alias currently serves, if promoted. */
+  def resolveAlias(
+      dir: String, srcTable: String, alias: String): Option[String] = {
+    val p = aliasPath(dir, srcTable, alias)
+    if (java.nio.file.Files.exists(p))
+      Some(java.nio.file.Files.readString(p).trim)
+    else None
+  }
+
+  // "graft_idxptr_" deliberately does NOT match sweepOrphans'
+  // "graft_idx_" prefix: a pointer must never be reaped independently of
+  // its snapshots (a dangling GENERATION name is harmless — IndexStore
+  // rebuilds the snapshot on resolve — but a silently vanished pointer
+  // would reset serving to the bootstrap generation).
+  private def aliasPath(dir: String, srcTable: String, alias: String) =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_idxptr_${alias}_${FixtureCache.sourceTag(dir, srcTable)}")
+
   /** Drop this session's catalog entry WITHOUT touching the published
     * files — the test seam that turns this session into a "fresh JVM"
     * for the cross-process reuse spec (an empty catalog + intact files

@@ -102,16 +102,54 @@ class IndexLifecycleSpec extends SparkSuite {
 
   test("scaled-geometry semantic dedup agrees with the exact-twin-gated form") {
     // q_semantic_dedup_scaled's ORACLE is a banded mirror (pins
-    // implementation fidelity); THIS is the recall gate: at harness
-    // scales its verdicts must equal the 8x8 form's, whose own oracle is
-    // the exact all-pairs twin — chaining the two gates proves the
-    // production geometry loses no verdict-deciding pair here
+    // implementation fidelity at the pinned 256x16 cap geometry); THIS
+    // is the recall gate: at harness scales its verdicts must equal the
+    // corpus-size-driven default form's, whose own oracle is the exact
+    // all-pairs twin — chaining the two gates proves both geometries
+    // lose no verdict-deciding pair here
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val a = Similarity.semanticDedupIncremental(spark, dir).collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq
       val b = Similarity.semanticDedupScaled(spark, dir).collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq
       assert(a === b, s"$dir: scaled geometry changed verdicts")
+    }
+  }
+
+  test("band geometry doctrine: bits/band scales log2(n/16), clamped to [8,16]") {
+    // pins the sizing function the whole embedding-dedup family now
+    // serves through: harness scales stay at the 8-bit floor, the x10
+    // and x100 probe corpora climb, and the cap IS the pinned 256x16
+    // scaled form — so the saturation regime measured in BASELINE.md r9
+    // (64x8 at 200k vectors) can no longer be configured by default
+    assert(Similarity.bandBitsFor(1L) === 8)
+    assert(Similarity.bandBitsFor(500L) === 8) // sf0.001 / sf0.01
+    assert(Similarity.bandBitsFor(2000L) === 8) // sf0.1
+    assert(Similarity.bandBitsFor(20000L) === 11) // x10 probe corpus
+    assert(Similarity.bandBitsFor(200000L) === 14) // x100 probe corpus
+    assert(Similarity.bandBitsFor(1L << 40) === 16) // cap
+  }
+
+  test("semantic band-index retraction: a tombstoned vector stops blocking its arriving re-crawl") {
+    // lifecycle symmetry with the text-side retract spec: tombstoning
+    // can only UNBLOCK (drops shrink monotonically), and the modeled
+    // residue class (% 10 == 0 — half the re-crawl sources) must flip at
+    // least one planted re-crawl from drop to keep at every harness
+    // scale (guards against a retract path that filters nothing and
+    // trivially matches its oracle)
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      def verdicts(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val before = verdicts(Similarity.semanticDedupIncremental(spark, dir))
+      val after = verdicts(Similarity.semanticDedupRetract(spark, dir))
+      val beforeDrops = before.collect { case (id, "drop") => id }.toSet
+      val afterDrops = after.collect { case (id, "drop") => id }.toSet
+      assert(afterDrops.subsetOf(beforeDrops),
+        s"$dir: retraction must only unblock, never create new drops")
+      val flipped = beforeDrops -- afterDrops
+      assert(flipped.exists(id =>
+        id >= 1000000L && id < 2000000L && (id - 1000000L) % 10 == 0),
+        s"$dir: no planted re-crawl of a tombstoned source was unblocked")
     }
   }
 
