@@ -100,6 +100,48 @@ class IndexLifecycleSpec extends SparkSuite {
       "population counts must partition base (40) and shard (4)")
   }
 
+  test("IVF retrain-and-swap: old snapshot serves until promotion; the swap surfaces the retrained answer") {
+    // planted corpus wiring trigger -> executor: shard vectors 19/29/39
+    // are 40x-scaled randoms (they fire the drift flag, as in the drift
+    // spec); shard vector 9 is base vector 0 scaled 1.05 — same
+    // direction, cosine ~ 1.0 with query 0, L2-near its cell — so the
+    // RETRAINED index must serve it as q0's top-1 while the frozen
+    // generation (base postings only) cannot serve ANY shard vector
+    val tmp = java.nio.file.Files.createTempDirectory("graft_retrain").toString
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val baseVecs = Vector.fill(44)(Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    val rows = (0L until 44L).map { i =>
+      val v =
+        if (i == 9L) baseVecs(0).map(_ * 1.05f)
+        else if (i % 10 == 9) baseVecs(i.toInt).map(_ * 40.0f)
+        else baseVecs(i.toInt)
+      (i, v, (i % 3).toInt)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    // the trigger fires on this corpus
+    assert(Similarity.annIvfDrift(spark, tmp).collect().exists(_.getBoolean(5)),
+      "drift monitor must fire before a retrain is justified")
+    val alias = s"spec_${java.util.UUID.randomUUID.toString.take(8)}"
+    val job = new Similarity.IvfRetrain(spark, tmp, alias)
+    def served() = job.serve().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    job.init()
+    val old = served()
+    assert(old.forall(_._2 % 10 != 9),
+      "frozen generation must not serve any shard vector")
+    job.rebuild() // snapshot published, alias untouched
+    assert(served() === old,
+      "a probe during/after rebuild but before promotion must still " +
+        "answer from the old snapshot")
+    job.promote() // the atomic pointer swap
+    val fresh = served()
+    assert(fresh !== old, "promotion must surface the retrained index")
+    assert(fresh.contains((0L, 9L, 1L)),
+      "the planted near-identical shard vector must be q0's retrained top-1")
+  }
+
   test("scaled-geometry semantic dedup agrees with the exact-twin-gated form") {
     // q_semantic_dedup_scaled's ORACLE is a banded mirror (pins
     // implementation fidelity at the pinned 256x16 cap geometry); THIS
