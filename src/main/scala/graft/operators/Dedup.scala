@@ -1780,6 +1780,69 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Persisted-index APPEND COMPACTION — the maintenance half
+    * [[dedupIndexAppend]] leaves open: repeated appends add one small
+    * segment per arriving shard next to the immutable base snapshot, and
+    * after N appends the serve path would read N+1 sources forever. Here
+    * three modeled arrival slices land as append segments
+    * ([[graft.sources.IndexStore.appendSegment]] — atomic-rename
+    * publication, applied-marker idempotence under at-least-once
+    * maintenance jobs), the minor compactor
+    * ([[graft.sources.IndexStore.compactAppends]]) rewrites them into one
+    * byte-target-sized segment behind a staged rename, and the probe
+    * surface is the per-band profile of base ∪ append lane — which must
+    * be IDENTICAL before and after compaction (spec-pinned, along with
+    * the segment-count bound and re-run idempotence). The base bucketed
+    * table is never touched; folding the lane back into a re-bucketed
+    * base is a major rewrite = new snapshot generation +
+    * [[graft.sources.IndexStore.promote]]. Oracle: bands over the FULL
+    * corpus profiled per band (base ∪ all three slices = every doc). */
+  def dedupIndexCompact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Star.table(spark, dir, "documents")
+    val isNew = col("doc_id") % 10 === 0
+    // same IndexStore identity as dedupIncremental -> shared snapshot
+    val index = graft.sources.IndexStore.cachedBucketTable(
+      spark, dir, "documents", "mhband", 8,
+      Seq("band_id", "h"), Seq("band_id", "h")) {
+      bandRows(withMinhashBands(shingleRows(docs.filter(!isNew))))
+    }
+    // three modeled arrival shards: the isNew docs sliced by residue
+    // (doc_id % 10 == 0, so % 30 partitions them into 0/10/20)
+    (0 to 2).foreach { k =>
+      graft.sources.IndexStore.appendSegment(
+        spark, dir, "documents", "mhband", s"arr$k") {
+        bandRows(withMinhashBands(shingleRows(
+          docs.filter(isNew && col("doc_id") % 30 === k * 10))))
+      }
+    }
+    graft.sources.IndexStore.compactAppends(
+      spark, dir, "documents", "mhband", maxSegments = 2)
+    val lane = graft.sources.IndexStore
+      .readAppends(spark, dir, "documents", "mhband").get
+    index.unionByName(lane)
+      .groupBy("band_id", "h").agg(count(lit(1)).as("df"))
+      .groupBy("band_id")
+      .agg(sum("df").cast("long").as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        max("df").as("max_df"))
+      .orderBy("band_id")
+  }
+
+  /** Oracle: bands over every doc (base ∪ the three arrival slices),
+    * profiled per band. */
+  private val dedupIndexCompactSql = {
+    val bandSelects = (0 until numBands)
+      .map(b => s"SELECT doc_id, $b AS band_id, ${bandKeySql(b)} AS h FROM sig")
+      .mkString(" UNION ALL ")
+    s"""$minhashSigCte,
+       |bands AS ($bandSelects),
+       |bybucket AS (
+       |  SELECT band_id, h, COUNT(*) AS df FROM bands GROUP BY 1, 2)
+       |SELECT band_id, CAST(SUM(df) AS BIGINT) AS n_docs,
+       |  COUNT(*) AS n_buckets, MAX(df) AS max_df
+       |FROM bybucket GROUP BY band_id ORDER BY band_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_sorted_neighborhood", sortedNeighborhood,
       Some(sortedNeighborhoodSql)),
@@ -1820,5 +1883,7 @@ object Dedup {
       Some(dedupIndexAppendSql)),
     QueryDef("q_dedup_index_retract", dedupIndexRetract,
       Some(dedupIndexRetractSql)),
+    QueryDef("q_dedup_index_compact", dedupIndexCompact,
+      Some(dedupIndexCompactSql)),
   )
 }

@@ -164,6 +164,107 @@ object IndexStore {
       spark.sql(s"MSCK REPAIR TABLE $table")
   }
 
+  /** Published root dir of the snapshot named `name` (exists once built
+    * by [[cachedTable]]/[[cachedBucketTable]]/[[cachedPartitionedTable]]). */
+  private def snapshotRoot(dir: String, srcTable: String, name: String) =
+    new Path(System.getProperty("java.io.tmpdir"),
+      s"graft_idx_${name}_${FixtureCache.sourceTag(dir, srcTable)}")
+
+  /** Segmented APPEND lane of a persisted index snapshot. The base
+    * `data/` table is IMMUTABLE (bucketed/partitioned files shared by
+    * every serving process); arriving shards land as their own parquet
+    * segment dirs under `<root>/appends/` — published by atomic rename,
+    * so a reader never lists a half-written segment — and serve paths
+    * read base ∪ segments. Idempotent under at-least-once maintenance
+    * jobs: each applied segment id leaves a marker file that SURVIVES
+    * compaction, so a re-run of the same append is a no-op even after
+    * its rows were folded into a compacted segment (re-appending them
+    * would double-count). */
+  def appendSegment(spark: SparkSession, dir: String, srcTable: String,
+      name: String, segId: String)(build: => DataFrame): Unit = synchronized {
+    val appends = new Path(snapshotRoot(dir, srcTable, name), "appends")
+    val fs = appends.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val applied = new Path(appends, s"_applied_$segId")
+    if (fs.exists(applied)) return
+    val target = new Path(appends, s"s$segId")
+    if (!fs.exists(target)) {
+      val stage = new Path(appends,
+        s"_stage_${segId}_${java.util.UUID.randomUUID}")
+      build.write.mode("overwrite").parquet(stage.toString)
+      // lost rename race (concurrent appender of the same id) = no-op
+      if (!fs.rename(stage, target)) fs.delete(stage, true)
+    }
+    // marker LAST: a crash before this line re-runs the (idempotent)
+    // publish; after it, the append is permanently applied
+    fs.create(applied).close()
+    ()
+  }
+
+  /** The applied-but-uncompacted segment rows of the snapshot, if any. */
+  def readAppends(spark: SparkSession, dir: String, srcTable: String,
+      name: String): Option[DataFrame] = {
+    if (appendSegmentDirs(spark, dir, srcTable, name).isEmpty) None
+    else Some(spark.read.parquet(
+      new Path(snapshotRoot(dir, srcTable, name), "appends/s*").toString))
+  }
+
+  /** Live segment dirs (compacted or not) under the snapshot's append
+    * lane — the quantity [[compactAppends]] bounds. */
+  def appendSegmentDirs(spark: SparkSession, dir: String, srcTable: String,
+      name: String): Seq[Path] = {
+    val appends = new Path(snapshotRoot(dir, srcTable, name), "appends")
+    val fs = appends.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(appends)) Seq.empty
+    else fs.listStatus(appends)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("s"))
+      .map(_.getPath).toSeq
+  }
+
+  /** MINOR COMPACTION of the append lane: when more than `maxSegments`
+    * segment dirs exist, rewrite them all into ONE segment sized at
+    * actual-bytes / 4 MiB files (128 MiB+ on a lake) — the persisted-
+    * index twin of the streaming state compactor
+    * ([[graft.operators.Dedup.compactSegments]]), so an index kept live
+    * by many small appends does not accumulate a file per shard forever.
+    * Same crash doctrine, strengthened to self-healing: the rewrite
+    * stages invisibly (`_cstage*` — hidden to Spark listings AND
+    * unmatched by the `s*` glob), is renamed into place BEFORE the
+    * originals are deleted, and DISTINCTs the rows — index rows are
+    * set-semantics (identical deterministic tuples), so a crash between
+    * rename and deletes leaves duplicates that the NEXT compaction
+    * collapses instead of compounding. The base `data/` table is never
+    * touched; re-bucketing everything is a major rewrite = new snapshot
+    * generation + [[promote]]. */
+  def compactAppends(spark: SparkSession, dir: String, srcTable: String,
+      name: String, maxSegments: Int): Unit = synchronized {
+    val appends = new Path(snapshotRoot(dir, srcTable, name), "appends")
+    val fs = appends.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(appends)) return
+    // reap stage litter from crashed compactions (unique names, nothing
+    // else ever cleans them)
+    fs.listStatus(appends)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_cstage"))
+      .foreach(s => fs.delete(s.getPath, true))
+    val segs = fs.listStatus(appends)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("s"))
+    if (segs.length > maxSegments) {
+      val bytes = segs.flatMap(s => fs.listStatus(s.getPath))
+        .filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
+      val targetFileBytes = 4L << 20
+      val nFiles =
+        math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val stage = new Path(appends,
+        s"_cstage_${java.util.UUID.randomUUID}")
+      spark.read.parquet(s"$appends/s*").distinct()
+        .repartition(nFiles)
+        .write.mode("overwrite").parquet(stage.toString)
+      fs.rename(stage, new Path(appends,
+        s"sc${java.util.UUID.randomUUID.toString.take(8)}"))
+      segs.foreach(s => fs.delete(s.getPath, true))
+      ()
+    }
+  }
+
   /** Serving-generation ALIAS — the atomic-promotion half of
     * retrain-and-swap: a maintenance job publishes a NEW snapshot next to
     * the serving one (staged `_READY` publication, above), then swaps ONE

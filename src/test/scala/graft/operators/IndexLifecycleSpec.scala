@@ -142,6 +142,45 @@ class IndexLifecycleSpec extends SparkSuite {
       "the planted near-identical shard vector must be q0's retrained top-1")
   }
 
+  test("persisted-index append lane: compaction bounds segments, preserves rows, re-runs idempotent") {
+    import graft.sources.IndexStore
+    val dir = "/root/testdata/sf0.001"
+    // the registered query: 3 appends -> compacted lane, profile stable
+    // across re-runs (applied markers survive compaction, so a re-run
+    // must NOT re-append rows the compacted segment already holds)
+    val first = Dedup.dedupIndexCompact(spark, dir).collect().toSeq
+    val segs = IndexStore.appendSegmentDirs(spark, dir, "documents", "mhband")
+    assert(segs.size <= 2,
+      s"lane must stay <= 2 segments, got ${segs.map(_.getName)}")
+    assert(segs.exists(_.getName.startsWith("sc")),
+      "compaction must have rewritten the lane")
+    val second = Dedup.dedupIndexCompact(spark, dir).collect().toSeq
+    assert(second === first, "re-run changed the served profile")
+    // raw API on a private lane: N appends -> bound holds, rows preserved
+    val name = s"lane${java.util.UUID.randomUUID.toString.take(6)}"
+    (0 until 5).foreach { k =>
+      IndexStore.appendSegment(spark, dir, "documents", name, s"k$k") {
+        spark.range(k * 10L, k * 10L + 10L).toDF("id")
+      }
+    }
+    def ids() = IndexStore.readAppends(spark, dir, "documents", name)
+      .get.collect().map(_.getLong(0)).sorted.toSeq
+    val before = ids()
+    assert(IndexStore.appendSegmentDirs(
+      spark, dir, "documents", name).size === 5)
+    IndexStore.compactAppends(spark, dir, "documents", name, maxSegments = 2)
+    assert(IndexStore.appendSegmentDirs(
+      spark, dir, "documents", name).size === 1)
+    assert(ids() === before, "compaction lost or duplicated rows")
+    // at-least-once re-append after compaction: markers make it a no-op
+    (0 until 5).foreach { k =>
+      IndexStore.appendSegment(spark, dir, "documents", name, s"k$k") {
+        spark.range(k * 10L, k * 10L + 10L).toDF("id")
+      }
+    }
+    assert(ids() === before, "re-applied segment duplicated rows")
+  }
+
   test("scaled-geometry semantic dedup agrees with the exact-twin-gated form") {
     // q_semantic_dedup_scaled's ORACLE is a banded mirror (pins
     // implementation fidelity at the pinned 256x16 cap geometry); THIS
