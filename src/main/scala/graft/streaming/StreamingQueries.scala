@@ -6,16 +6,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming entries in the correctness gate: the streaming
-  * plan is executed to completion over the bounded events table (memory
-  * sink, complete mode) and its final result is oracle-checked against
-  * the SAME DuckDB SQL as the batch twin — proving the incremental plan
-  * converges to the batch answer, not just that it runs.
+  * plan is executed to completion over the bounded events table and its
+  * final result is oracle-checked against the SAME DuckDB SQL as the
+  * batch twin — proving the incremental plan converges to the batch
+  * answer, not just that it runs.
   *
-  * Scale note: on a real cluster the identical plan runs unbounded with
-  * the 1-hour watermark of [[EventsStreaming.hourlyWindowed]] and a kafka/
-  * parquet sink; state stays bounded by watermark horizon x event-type
-  * cardinality. Complete-mode memory sink here is only the bounded-replay
-  * harness. */
+  * Sink doctrine (×100-probe-driven): every ROW-GRAIN replay — output
+  * proportional to the corpus (dedup keys, sessions, join pairs,
+  * enriched events) — lands in a PARQUET sink and is read back from its
+  * commit log ([[appendReplayToParquet]]); a memory sink is a driver
+  * collect and aborted the complete-mode session replay at 1.16 GiB of
+  * serialized results on the ×100 corpus. Memory sinks remain only for
+  * output whose cardinality is bounded by CONSTRUCTION (hourly buckets ×
+  * event types), where complete mode is also what a dashboard tier
+  * would serve. State stays bounded by watermark horizon either way. */
 object StreamingQueries {
 
   /** Run a bounded streaming replay with a right-sized state/shuffle
@@ -56,6 +60,34 @@ object StreamingQueries {
       spark.conf.set(key, old)
       spark.conf.set(ndKey, oldNd)
     }
+  }
+
+  /** Run `df` as an append-mode bounded replay into a fresh PARQUET sink
+    * and return the committed result. Row-grain streaming output must
+    * never concentrate in the driver: a memory sink IS a driver collect
+    * — the ×100 scale probe measured the complete-mode session table
+    * aborting the whole query at 1.16 GiB of serialized task results
+    * (spark.driver.maxResultSize) while every aggregate-grain memory
+    * sink stayed kilobytes. The parquet sink is the production shape;
+    * its `_spark_metadata` commit log makes the read-back exactly-once
+    * (an aborted trigger's files are invisible), and results scale with
+    * the CLUSTER's storage, not the driver's heap. Memory sinks remain
+    * only where output cardinality is bounded by construction (hourly
+    * buckets × event types), never by corpus. */
+  private def appendReplayToParquet(spark: SparkSession, df: DataFrame,
+      ckptName: String, partitions: Int = 8,
+      finalNoDataBatch: Boolean = false): DataFrame = {
+    val out = replayCheckpoint(s"${ckptName}_sink")
+    withStreamPartitions(spark, partitions, finalNoDataBatch) {
+      val q = df.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", replayCheckpoint(ckptName))
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(out)
   }
 
   /** Fresh checkpoint dir for a bounded replay, on tmpfs when the host
@@ -226,36 +258,33 @@ object StreamingQueries {
   /** Streaming gap-sessionization via the native session_window operator:
     * per-user sessions merge while consecutive events are < 30 min apart —
     * the streaming twin of `Relational.sessionize`, converging to the SAME
-    * oracle. Complete-mode bounded replay closes every session; ordinal
-    * session ids are assigned by a post-sink window (the sink table is
-    * session-grain — tiny — so the unpartitioned-looking window is
-    * actually partitioned by user).
-    *
-    * Scale note: session_window state is merged incrementally per key and
-    * evicted by watermark in append-mode deployments; state size is
-    * open-sessions x users, never event volume. */
+    * oracle. APPEND mode over the sentinel chronological replay: a closed
+    * session emits exactly once, when the watermark passes its end + gap —
+    * state size is open-sessions × users and the emitted stream lands in a
+    * parquet sink, so neither state nor results ever scale with event
+    * volume. (The previous complete-mode memory-sink form re-emitted the
+    * ENTIRE session table each trigger into the driver — the ×100 probe
+    * aborted it at 1.16 GiB of serialized results. Emission needs the
+    * watermark to pass every real session, which the sentinel files
+    * drive, exactly the stream-stream LEFT OUTER's mechanism; sentinel
+    * sessions are filtered after read-back, never pre-sink where Catalyst
+    * would push the filter below the watermark node.) Ordinal session ids
+    * are assigned by a post-sink window partitioned by user. */
   def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val src = eventsStream(spark, dir)
+    val src = chronoReplayWithSentinel(spark, dir)
     val agg = src
+      .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
-    withStreamPartitions(spark) {
-      val q = agg.writeStream
-        .format("memory")
-        .option("checkpointLocation", replayCheckpoint("sessionize"))
-        .queryName("graft_stream_sessionize")
-        .outputMode("complete")
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    spark.table("graft_stream_sessionize")
       .select(col("user_id"),
         unix_micros(col("min_ts")).as("session_start_us"),
         col("n_events"),
         (unix_micros(col("max_ts")) - unix_micros(col("min_ts")))
           .as("duration_us"))
+    appendReplayToParquet(spark, agg, "sessionize", finalNoDataBatch = true)
+      .filter(col("user_id") >= 0) // drop the sentinel's own sessions
       .withColumn("session_id", row_number().over(
         Window.partitionBy("user_id").orderBy("session_start_us")).cast("long"))
       .select("user_id", "session_id", "n_events", "session_start_us",
@@ -299,16 +328,8 @@ object StreamingQueries {
     val deduped = src
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
-    withStreamPartitions(spark) {
-      val q = deduped.writeStream
-        .format("memory")
-        .option("checkpointLocation", replayCheckpoint("dedup"))
-        .queryName("graft_stream_dedup")
-        .outputMode("append")
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    spark.table("graft_stream_dedup")
+    // key-grain output (grows with the corpus) -> parquet sink
+    appendReplayToParquet(spark, deduped, "dedup")
       .orderBy("user_id", "event_type")
   }
 
@@ -513,16 +534,8 @@ object StreamingQueries {
     // (probing 1 loses more on the real batches' join parallelism than it
     // saves on store commits — the ~570ms/trigger floor is batch-machinery,
     // not store-count)
-    withStreamPartitions(spark, 4) {
-      val q = joined.writeStream
-        .format("memory")
-        .option("checkpointLocation", replayCheckpoint("stream_join"))
-        .queryName("graft_stream_stream_join")
-        .outputMode("append")
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    spark.table("graft_stream_stream_join")
+    // pair-grain output (grows with the corpus) -> parquet sink
+    appendReplayToParquet(spark, joined, "stream_join", partitions = 4)
       .orderBy("view_id", "purchase_id")
   }
 
@@ -635,16 +648,8 @@ object StreamingQueries {
       .select(col("view_id"), col("purchase_id"), col("user_id"),
         unix_micros(col("view_ts")).as("view_us"),
         unix_micros(col("purchase_ts")).as("purchase_us"))
-    withStreamPartitions(spark, 4) {
-      val q = joined.writeStream
-        .format("memory")
-        .option("checkpointLocation", replayCheckpoint("stream_left"))
-        .queryName("graft_stream_stream_left")
-        .outputMode("append")
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    spark.table("graft_stream_stream_left")
+    // view-grain output (grows with the corpus) -> parquet sink
+    appendReplayToParquet(spark, joined, "stream_left", partitions = 4)
       .filter(col("user_id") >= 0) // drop the sentinel pairs (batch side)
       .orderBy("view_id", "purchase_id")
   }
@@ -781,20 +786,12 @@ object StreamingQueries {
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_type"), col("event_id")).as[SessEvent]
     val closed = customSessionize(src)
-    withStreamPartitions(spark) {
-      val q = closed.toDF().writeStream
-        .format("memory")
-        .option("checkpointLocation", replayCheckpoint("custom_session"))
-        .queryName("graft_stream_custom_session")
-        .outputMode("append")
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    }
     // tie-break beyond start_us: a one-event purchase session can share
     // its start with the next session's first event at equal timestamps;
     // the full column list makes equal-rank rows identical, so ordinal
     // assignment is multiset-stable on both engines
-    spark.table("graft_stream_custom_session")
+    // (session-grain output grows with the corpus -> parquet sink)
+    appendReplayToParquet(spark, closed.toDF(), "custom_session")
       .withColumn("session_id", row_number().over(
         Window.partitionBy("user_id").orderBy(col("session_start_us"),
           col("duration_us"), col("n_events"), col("end_reason")))
@@ -864,16 +861,8 @@ object StreamingQueries {
       .withWatermark("ts", "90 days")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
-    withStreamPartitions(spark) {
-      val q = dd.writeStream
-        .format("memory")
-        .option("checkpointLocation", replayCheckpoint("dedup_wm"))
-        .queryName("graft_stream_dedup_wm")
-        .outputMode("append")
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    spark.table("graft_stream_dedup_wm")
+    // key-grain output (grows with the corpus) -> parquet sink
+    appendReplayToParquet(spark, dd, "dedup_wm")
       .orderBy("user_id", "event_type")
   }
 
@@ -894,16 +883,8 @@ object StreamingQueries {
     val enriched = chronoReplay(spark, dir)
       .select(col("user_id"), col("event_type"), col("value"))
       .join(broadcast(cust), col("user_id") === col("c_custkey"))
-    withStreamPartitions(spark) {
-      val q = enriched.writeStream
-        .format("memory")
-        .option("checkpointLocation", replayCheckpoint("static"))
-        .queryName("graft_stream_static")
-        .outputMode("append")
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    spark.table("graft_stream_static")
+    // event-grain enriched output (grows with the corpus) -> parquet sink
+    appendReplayToParquet(spark, enriched, "static")
       .groupBy("c_mktsegment", "event_type")
       .agg(count(lit(1)).as("n_events"),
         (sum(Star.cents(col("value"))).cast("double") / 100.0)
