@@ -256,7 +256,7 @@ object Breadth {
     * registered CUBE and ROLLUP), labeled via COALESCE so the output needs
     * no engine-specific grouping_id numbering. */
   def groupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Star.table(spark, dir, "lineitem").createOrReplaceTempView("b_lineitem")
+    Star.fan(spark, Star.table(spark, dir, "lineitem")).createOrReplaceTempView("b_lineitem")
     spark.sql(
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
          |  COALESCE(l_linestatus, 'ALL') AS lstatus,
