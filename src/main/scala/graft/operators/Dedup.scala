@@ -1396,8 +1396,12 @@ object Dedup {
       val stage = new org.apache.hadoop.fs.Path(root, s"_ctmp$batchId")
       spark.read.parquet(s"$stateDir/{b*,c*}").repartition(nFiles)
         .write.mode("overwrite").parquet(stage.toString)
-      fs.rename(stage, new org.apache.hadoop.fs.Path(root, s"c$batchId"))
-      segs.foreach(s => fs.delete(s.getPath, true))
+      // delete originals ONLY once the rename has made the compacted
+      // segment visible — a failed rename (stage stays hidden to the
+      // {b*,c*} glob) must leave the state untouched, not lose it
+      if (fs.rename(stage,
+          new org.apache.hadoop.fs.Path(root, s"c$batchId")))
+        segs.foreach(s => fs.delete(s.getPath, true))
       ()
     }
   }

@@ -258,9 +258,12 @@ object IndexStore {
       spark.read.parquet(s"$appends/s*").distinct()
         .repartition(nFiles)
         .write.mode("overwrite").parquet(stage.toString)
-      fs.rename(stage, new Path(appends,
-        s"sc${java.util.UUID.randomUUID.toString.take(8)}"))
-      segs.foreach(s => fs.delete(s.getPath, true))
+      // originals are deleted ONLY once the rename has made the
+      // compacted segment visible — a failed rename (stage stays
+      // hidden) must leave the lane untouched, not lose it
+      if (fs.rename(stage, new Path(appends,
+          s"sc${java.util.UUID.randomUUID.toString.take(8)}")))
+        segs.foreach(s => fs.delete(s.getPath, true))
       ()
     }
   }
