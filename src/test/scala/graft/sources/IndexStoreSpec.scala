@@ -47,6 +47,38 @@ class IndexStoreSpec extends SparkSuite {
       scanLine.get.contains(" IN "), scanLine.get)
   }
 
+  test("alias promotion is atomic under concurrent promoters and readers") {
+    // the retrain-and-swap's claim: a reader resolving the serving alias
+    // mid-swap sees the OLD or the NEW generation name, never a torn or
+    // empty value. Hammer one alias from racing promoter threads while
+    // readers resolve continuously; every observed value must be one of
+    // the complete generation names.
+    val alias = s"atom${java.util.UUID.randomUUID.toString.take(6)}"
+    val gens = (0 until 4).map(i => s"generation_$i" * 8) // long values
+    IndexStore.promote(dir, "documents", alias, gens.head)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readers = (1 to 4).map { _ =>
+      new Thread(() => {
+        while (!stop.get()) {
+          val v = IndexStore.resolveAlias(dir, "documents", alias)
+          if (!v.exists(gens.contains)) bad.add(v.toString)
+        }
+      })
+    }
+    readers.foreach(_.start())
+    val writers = (1 to 4).map { w =>
+      new Thread(() => (1 to 200).foreach { i =>
+        IndexStore.promote(dir, "documents", alias, gens((w + i) % 4))
+      })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join())
+    stop.set(true); readers.foreach(_.join())
+    assert(bad.isEmpty, s"torn/absent alias reads: ${bad.toArray.toSeq.take(3)}")
+    assert(gens.contains(
+      IndexStore.resolveAlias(dir, "documents", alias).get))
+  }
+
   test("published index dir is self-describing: data + _META.properties + _READY") {
     Dedup.dedupIncremental(spark, dir).write.format("noop")
       .mode("overwrite").save()
