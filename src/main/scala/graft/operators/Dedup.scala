@@ -1394,13 +1394,23 @@ object Dedup {
       val nFiles =
         math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       val stage = new org.apache.hadoop.fs.Path(root, s"_ctmp$batchId")
-      spark.read.parquet(s"$stateDir/{b*,c*}").repartition(nFiles)
+      // DISTINCT: band rows are set-semantics (identical deterministic
+      // tuples), so the duplicates a crash between rename and deletes
+      // leaves behind COLLAPSE here instead of compounding across crashes
+      spark.read.parquet(s"$stateDir/{b*,c*}").distinct()
+        .repartition(nFiles)
         .write.mode("overwrite").parquet(stage.toString)
+      // target name carries a UUID: a crash after the rename followed by
+      // an at-least-once RETRY of the same batchId must not rename onto
+      // the existing c<batchId> (local-FS rename onto an existing dir
+      // NESTS the stage inside it and the subsequent delete of the old
+      // segment would take the fresh rewrite with it — total state loss)
+      val target = new org.apache.hadoop.fs.Path(root,
+        s"c${batchId}u${java.util.UUID.randomUUID.toString.take(8)}")
       // delete originals ONLY once the rename has made the compacted
       // segment visible — a failed rename (stage stays hidden to the
       // {b*,c*} glob) must leave the state untouched, not lose it
-      if (fs.rename(stage,
-          new org.apache.hadoop.fs.Path(root, s"c$batchId")))
+      if (fs.rename(stage, target))
         segs.foreach(s => fs.delete(s.getPath, true))
       ()
     }

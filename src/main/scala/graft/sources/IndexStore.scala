@@ -240,10 +240,20 @@ object IndexStore {
     val appends = new Path(snapshotRoot(dir, srcTable, name), "appends")
     val fs = appends.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(appends)) return
-    // reap stage litter from crashed compactions (unique names, nothing
-    // else ever cleans them)
+    // reap litter: crashed-compaction stages, crashed-append stages, and
+    // compacted-away originals past their reader grace window. The
+    // 10-minute age guard keeps a CONCURRENT process's in-flight append
+    // stage (or a reader still scanning a superseded segment) safe —
+    // within one process every lane call is serialized on this lock.
+    val cutoff = System.currentTimeMillis() - 10L * 60 * 1000
     fs.listStatus(appends)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_cstage"))
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isDirectory &&
+          (n.startsWith("_cstage") ||
+            ((n.startsWith("_stage") || n.startsWith("_gone")) &&
+              s.getModificationTime < cutoff))
+      }
       .foreach(s => fs.delete(s.getPath, true))
     val segs = fs.listStatus(appends)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("s"))
@@ -258,12 +268,19 @@ object IndexStore {
       spark.read.parquet(s"$appends/s*").distinct()
         .repartition(nFiles)
         .write.mode("overwrite").parquet(stage.toString)
-      // originals are deleted ONLY once the rename has made the
+      // originals are retired ONLY once the rename has made the
       // compacted segment visible — a failed rename (stage stays
-      // hidden) must leave the lane untouched, not lose it
+      // hidden) must leave the lane untouched, not lose it. Retirement
+      // is a rename-ASIDE to a hidden `_gone` name, not a delete: a
+      // concurrent serving process that listed the lane a moment ago
+      // keeps its files on disk through the grace window above (the
+      // residual exposure — a scan that resolved literal file PATHS
+      // before the rename — is the classic compaction-vs-reader race a
+      // table format's manifest commit closes; recorded limitation).
       if (fs.rename(stage, new Path(appends,
           s"sc${java.util.UUID.randomUUID.toString.take(8)}")))
-        segs.foreach(s => fs.delete(s.getPath, true))
+        segs.foreach(s => fs.rename(s.getPath, new Path(appends,
+          s"_gone_${s.getPath.getName}_${java.util.UUID.randomUUID.toString.take(8)}")))
       ()
     }
   }
@@ -292,11 +309,23 @@ object IndexStore {
 
   /** First-generation bootstrap: point the alias at `gen` only if it
     * does not already serve something (never clobbers a later
-    * promotion). */
+    * promotion). Cross-process safe: the pointer is created with a
+    * NON-replacing atomic move — exists-then-write would let a slow
+    * bootstrapper overwrite a promotion that landed between its check
+    * and its write, regressing serving to the stale generation. */
   def promoteIfAbsent(dir: String, srcTable: String, alias: String,
       gen: String): Unit = synchronized {
-    if (resolveAlias(dir, srcTable, alias).isEmpty)
-      promote(dir, srcTable, alias, gen)
+    import java.nio.file.Files
+    val p = aliasPath(dir, srcTable, alias)
+    if (Files.exists(p)) return // fast path; the link below is the gate
+    val tmp = Files.createTempFile(p.getParent, s".${p.getFileName}_", ".tmp")
+    Files.writeString(tmp, gen)
+    // createLink is the POSIX atomic create-if-absent (rename(2) — and
+    // thus ATOMIC_MOVE — silently REPLACES an existing target): it fails
+    // with FileAlreadyExistsException when a concurrent promotion won
+    try Files.createLink(p, tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally { Files.deleteIfExists(tmp); () }
   }
 
   /** The generation the alias currently serves, if promoted. */

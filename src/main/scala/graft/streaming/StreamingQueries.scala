@@ -77,7 +77,7 @@ object StreamingQueries {
   private def appendReplayToParquet(spark: SparkSession, df: DataFrame,
       ckptName: String, partitions: Int = 8,
       finalNoDataBatch: Boolean = false): DataFrame = {
-    val out = replayCheckpoint(s"${ckptName}_sink")
+    val out = replaySinkDir(s"${ckptName}_sink")
     withStreamPartitions(spark, partitions, finalNoDataBatch) {
       val q = df.writeStream
         .format("parquet")
@@ -158,53 +158,66 @@ object StreamingQueries {
       .orderBy(idCol), stateDir)
   }
 
-  private[graft] def replayCheckpoint(name: String): String = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val base =
-      if (java.nio.file.Files.isDirectory(shm) &&
-        java.nio.file.Files.isWritable(shm)) shm
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    // opportunistic sweep, ONCE per JVM: a bounded replay runs for
-    // seconds, so any graft_ckpt_* dir untouched for 30+ min is an
-    // orphan from a finished query of a PREVIOUS process — reap it so
-    // repeated bench/verify rounds don't accumulate checkpoint litter
-    // on tmpfs. Re-walking the same orphan set on every replay
-    // construction (inside the bench's timed window) buys nothing:
-    // dirs this process creates can't reach the 30-min cutoff within
-    // its own lifetime. Staleness is keyed on the NEWEST mtime found
-    // anywhere under the dir, not the root's: a checkpoint root's mtime
-    // stops advancing once offsets/commits/state subdirs exist, while a
-    // live query (possibly another JVM) keeps touching files deep
-    // inside it on every trigger. Directory streams are closed so
+  private[graft] def replayCheckpoint(name: String): String =
+    freshReplayDir(name, preferShm = true)
+
+  /** Data-sink sibling of [[replayCheckpoint]]: row-grain SINK output
+    * goes to the DISK tmpdir, never tmpfs — /dev/shm is RAM-backed
+    * (typically capped at half of RAM), and parking corpus-proportional
+    * results there would re-create, as host memory pressure, the very
+    * driver-concentration failure the parquet sink exists to fix. Only
+    * the checkpoint's fsync-per-trigger churn belongs on tmpfs. */
+  private[graft] def replaySinkDir(name: String): String =
+    freshReplayDir(name, preferShm = false)
+
+  private def freshReplayDir(name: String, preferShm: Boolean): String = {
+    import java.nio.file.{Files, Path => JPath, Paths}
+    val shm = Paths.get("/dev/shm")
+    val disk = Paths.get(System.getProperty("java.io.tmpdir"))
+    val shmOk = Files.isDirectory(shm) && Files.isWritable(shm)
+    val base = if (preferShm && shmOk) shm else disk
+    // opportunistic sweep, ONCE per JVM, over BOTH candidate bases: a
+    // bounded replay runs for seconds, so any graft_ckpt_* dir untouched
+    // for 30+ min is an orphan from a finished query of a PREVIOUS
+    // process — reap it so repeated bench/verify rounds don't accumulate
+    // checkpoint/sink litter. Re-walking the same orphan set on every
+    // replay construction (inside the bench's timed window) buys
+    // nothing: dirs this process creates can't reach the 30-min cutoff
+    // within its own lifetime. Staleness is keyed on the NEWEST mtime
+    // found anywhere under the dir, not the root's: a checkpoint root's
+    // mtime stops advancing once offsets/commits/state subdirs exist,
+    // while a live query (possibly another JVM) keeps touching files
+    // deep inside it on every trigger. Directory streams are closed so
     // repeated launches don't leak fds.
-    if (!ckptSwept.compareAndSet(false, true))
-      return java.nio.file.Files.createTempDirectory(base,
-        s"graft_ckpt_$name").toString
-    val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
-    def newestMtime(p: java.nio.file.Path): Long = {
-      val walk = java.nio.file.Files.walk(p)
-      try walk.mapToLong { f =>
-        try java.nio.file.Files.getLastModifiedTime(f).toMillis
-        catch { case _: java.io.IOException => 0L }
-      }.max.orElse(Long.MaxValue)
-      finally walk.close()
+    if (ckptSwept.compareAndSet(false, true)) {
+      val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
+      def newestMtime(p: JPath): Long = {
+        val walk = Files.walk(p)
+        try walk.mapToLong { f =>
+          try Files.getLastModifiedTime(f).toMillis
+          catch { case _: java.io.IOException => 0L }
+        }.max.orElse(Long.MaxValue)
+        finally walk.close()
+      }
+      (if (shmOk) Seq(shm, disk) else Seq(disk)).distinct.foreach { b =>
+        try {
+          val listing = Files.list(b)
+          try listing.iterator().forEachRemaining { p =>
+            if (p.getFileName.toString.startsWith("graft_ckpt_") &&
+              (try newestMtime(p) < cutoff
+               catch { case _: java.io.IOException => false })) {
+              try {
+                val walk = Files.walk(p)
+                try walk.sorted(java.util.Comparator.reverseOrder())
+                  .forEach(f => { Files.deleteIfExists(f); () })
+                finally walk.close()
+              } catch { case _: java.io.IOException => () }
+            }
+          } finally listing.close()
+        } catch { case _: java.io.IOException => () }
+      }
     }
-    try {
-      val listing = java.nio.file.Files.list(base)
-      try listing.iterator().forEachRemaining { p =>
-        if (p.getFileName.toString.startsWith("graft_ckpt_") &&
-          (try newestMtime(p) < cutoff
-           catch { case _: java.io.IOException => false })) {
-          try {
-            val walk = java.nio.file.Files.walk(p)
-            try walk.sorted(java.util.Comparator.reverseOrder())
-              .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-            finally walk.close()
-          } catch { case _: java.io.IOException => () }
-        }
-      } finally listing.close()
-    } catch { case _: java.io.IOException => () }
-    java.nio.file.Files.createTempDirectory(base, s"graft_ckpt_$name").toString
+    Files.createTempDirectory(base, s"graft_ckpt_$name").toString
   }
 
   /** Streaming scan of the corpus events table, handling BOTH physical
