@@ -1379,7 +1379,12 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // reap stage dirs orphaned by a crash mid-compaction (each attempt
-    // stages under its own batchId, so nothing else ever cleans these)
+    // stages under its own batchId, so nothing else ever cleans these).
+    // Unconditional (no age guard, unlike IndexStore.compactAppends):
+    // safe ONLY because a streaming state dir is PROCESS-PRIVATE — it is
+    // derived from the replay's own checkpoint location, so no concurrent
+    // compactor can be mid-write here. A shared state dir would need the
+    // same modification-time cutoff the append-lane compactor applies.
     fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("_ctmp"))
       .foreach(s => fs.delete(s.getPath, true))

@@ -191,8 +191,18 @@ object IndexStore {
       val stage = new Path(appends,
         s"_stage_${segId}_${java.util.UUID.randomUUID}")
       build.write.mode("overwrite").parquet(stage.toString)
-      // lost rename race (concurrent appender of the same id) = no-op
+      // lost rename race (concurrent appender of the same id): a false
+      // return is the clean case, but local-FS rename(src, existingDir)
+      // also "succeeds" by moving src INSIDE the existing target — the
+      // cross-process TOCTOU between the exists check above and this
+      // rename. Verify the stage became the target itself; a nested
+      // stage dir is the lost race and is removed (it is invisible to
+      // reads — underscore-prefixed — but would be permanent litter).
       if (!fs.rename(stage, target)) fs.delete(stage, true)
+      else {
+        val nested = new Path(target, stage.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
+      }
     }
     // marker LAST: a crash before this line re-runs the (idempotent)
     // publish; after it, the append is permanently applied
@@ -242,17 +252,19 @@ object IndexStore {
     if (!fs.exists(appends)) return
     // reap litter: crashed-compaction stages, crashed-append stages, and
     // compacted-away originals past their reader grace window. The
-    // 10-minute age guard keeps a CONCURRENT process's in-flight append
-    // stage (or a reader still scanning a superseded segment) safe —
-    // within one process every lane call is serialized on this lock.
+    // 10-minute age guard keeps a CONCURRENT process's in-flight stage
+    // (append OR compaction — a _cstage another process is mid-writing
+    // must not be deleted out from under its commit rename) and a reader
+    // still scanning a superseded segment safe — within one process
+    // every lane call is serialized on this lock.
     val cutoff = System.currentTimeMillis() - 10L * 60 * 1000
     fs.listStatus(appends)
       .filter { s =>
         val n = s.getPath.getName
         s.isDirectory &&
-          (n.startsWith("_cstage") ||
-            ((n.startsWith("_stage") || n.startsWith("_gone")) &&
-              s.getModificationTime < cutoff))
+          (n.startsWith("_cstage") || n.startsWith("_stage") ||
+            n.startsWith("_gone")) &&
+          s.getModificationTime < cutoff
       }
       .foreach(s => fs.delete(s.getPath, true))
     val segs = fs.listStatus(appends)
@@ -279,8 +291,17 @@ object IndexStore {
       // table format's manifest commit closes; recorded limitation).
       if (fs.rename(stage, new Path(appends,
           s"sc${java.util.UUID.randomUUID.toString.take(8)}")))
-        segs.foreach(s => fs.rename(s.getPath, new Path(appends,
-          s"_gone_${s.getPath.getName}_${java.util.UUID.randomUUID.toString.take(8)}")))
+        segs.foreach { s =>
+          val gone = new Path(appends,
+            s"_gone_${s.getPath.getName}_${java.util.UUID.randomUUID.toString.take(8)}")
+          if (fs.rename(s.getPath, gone))
+            // rename preserves the dir's ORIGINAL mtime — a segment
+            // appended long ago would be born already past the reap
+            // cutoff, voiding the reader grace window. Restamp the
+            // retirement moment so the window counts from NOW.
+            try fs.setTimes(gone, System.currentTimeMillis(), -1)
+            catch { case _: java.io.IOException => () }
+        }
       ()
     }
   }

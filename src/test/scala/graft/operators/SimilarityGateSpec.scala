@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** The recall-gate CHAIN for embedding near-dup (VERDICT r10 item 2):
+  * the registered q_dedup_embedding is the exact gate FENCED to a
+  * deterministic size-capped sample (constant cost at any corpus size);
+  * the full-corpus exact form survives only here, where it certifies
+  * the banded production path loses nothing at the production
+  * threshold. Chain: sample-exact → banded-production.
+  */
+class SimilarityGateSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sampledGateCorpus caps the sample and is deterministic") {
+    import spark.implicits._
+    // synthetic 5000-vector corpus: k = ceil(5000/2000) = 3
+    val big = spark.range(5000).select(
+      col("id").as("vec_id"),
+      array(lit(1.0f), lit(2.0f)).as("embedding"))
+    val s1 = Similarity.sampledGateCorpus(spark, big)
+    val n = s1.count()
+    assert(n <= 2000, s"gate sample must be size-capped, got $n")
+    assert(n == 1667) // ceil-spaced: ids 0,3,...,4998
+    val ids = s1.select("vec_id").as[Long].collect().sorted
+    assert(ids.forall(_ % 3 == 0), "sample must be the deterministic modulus")
+    val s2 = Similarity.sampledGateCorpus(spark, big)
+      .select("vec_id").as[Long].collect().sorted
+    assert(ids.sameElements(s2), "sample must be run-to-run identical")
+  }
+
+  test("gate sample is the identity at oracle scale (n <= cap)") {
+    val full = Star.table(spark, dir, "embeddings")
+    assert(Similarity.sampledGateCorpus(spark, full).count() == full.count(),
+      "tri-scale corpora fit under the cap — the registered query's " +
+        "output must be bit-identical to the unfenced form there")
+  }
+
+  test("chain: exact pairs on the sampled derived corpus ⊆ banded production") {
+    // sample the DERIVED (planted-dup) corpus with the same gate modulus,
+    // run the spec-only exact all-pairs form at the production threshold,
+    // and require the banded production query to contain every pair —
+    // banding must lose NOTHING the exact gate finds.
+    val derived = Similarity.lshDerivedCorpus(spark, dir)
+    val sampled = Similarity.sampledGateCorpus(spark,
+      derived.withColumnRenamed("v", "embedding"))
+    val exact = Similarity
+      .exactCosinePairs(spark,
+        sampled.withColumnRenamed("embedding", "v"), 0.9)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "the planted corpus must yield gate pairs")
+    val banded = Similarity.embeddingNearDupLsh(spark, dir)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lost = exact -- banded
+    assert(lost.isEmpty, s"banded path lost exact-gate pairs: $lost")
+  }
+
+  test("full-corpus exact form equals the banded path on the derived corpus") {
+    // total recall on the UNsampled derived corpus too (feasible at
+    // sf0.001 only — this is precisely the form that must never be a
+    // registered query): banded == exact at the production threshold.
+    val derived = Similarity.lshDerivedCorpus(spark, dir)
+    val exact = Similarity.exactCosinePairs(spark, derived, 0.9)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Similarity.embeddingNearDupLsh(spark, dir)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == banded,
+      s"banded != exact: lost=${exact -- banded} extra=${banded -- exact}")
+  }
+}
