@@ -714,15 +714,21 @@ object Multimodal {
     * → 56-bit energy fingerprint → 4×14-bit bands → banded candidate
     * join → exact hamming verify. Hash-oracled from the closed-form
     * sample formula, no codec on the oracle side. */
-  def mediaAudioDedup(spark: SparkSession, dir: String): DataFrame = {
-    val fps = decodeAudioFingerprint(wavNearMedia(spark, dir)).toDF()
-    val bands = fps.select(col("media_id"), col("fp"),
+  /** 56-bit fingerprint → 4×14-bit band rows (media_id, fp, band_id, k)
+    * — the banded layout shared by the batch dedup and the persisted
+    * serve index. */
+  private def audioBands(fps: DataFrame): DataFrame =
+    fps.select(col("media_id"), col("fp"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_id"),
           expr(s"shiftright(fp, ${b * 14}) & 16383").as("k"))): _*))
         .as("e"))
       .select(col("media_id"), col("fp"),
         col("e.band_id").as("band_id"), col("e.k").as("k"))
+
+  def mediaAudioDedup(spark: SparkSession, dir: String): DataFrame = {
+    val bands =
+      audioBands(decodeAudioFingerprint(wavNearMedia(spark, dir)).toDF())
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.k") === col("b.k") &&
           col("a.media_id") < col("b.media_id"))
@@ -774,6 +780,46 @@ object Multimodal {
       |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Per-arrival audio fingerprint SERVE — the amortized form of
+    * [[mediaAudioDedup]]: the base corpus (ids with no planted twin) is
+    * decoded and fingerprinted ONCE into a persisted banded index
+    * ([[graft.sources.IndexStore]] bucketed on the probe join's
+    * (band_id, k) keys, build-once across processes); each serve run
+    * decodes ONLY the arriving shard (ids % 10 == 3 — the clips with a
+    * planted base twin) and probes the index. The batch twin re-decodes
+    * the whole corpus per run (e100 0.92, decode-bound ∝ corpus); here
+    * the per-run codec cost is ∝ shard, the 100 TB shape. Shard docs sit
+    * on the larger-id side of every candidate, mirroring
+    * [[graft.operators.Dedup.dedupIncremental]]'s convention; the oracle
+    * is the batch chain restricted to shard-arrival pairs. */
+  def mediaFpServe(spark: SparkSession, dir: String): DataFrame = {
+    val media = wavNearMedia(spark, dir)
+    val isArriving = col("media_id") % 10 === 3
+    val index = graft.sources.IndexStore.cachedBucketTable(
+      spark, dir, "documents", "audiofp", 8,
+      Seq("band_id", "k"), Seq("band_id", "k")) {
+      audioBands(decodeAudioFingerprint(media.filter(!isArriving)).toDF())
+    }
+    val shard =
+      audioBands(decodeAudioFingerprint(media.filter(isArriving)).toDF())
+    val cand = index.unionByName(shard).as("a").join(shard.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.k") === col("b.k") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.fp").as("ha"), col("b.fp").as("hb"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"),
+        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Oracle for [[mediaFpServe]]: the batch fingerprint chain restricted
+    * to pairs whose larger id is an arriving-shard clip. */
+  private val mediaFpServeSql = mediaAudioDedupSql.replace(
+    "WHERE bit_count(xor(ha, hb)) <= 3",
+    "WHERE bit_count(xor(ha, hb)) <= 3 AND id_b % 10 = 3")
 
   // ------------------------------------- perceptual-hash image dedup
 
@@ -952,6 +998,8 @@ object Multimodal {
       Some(mediaPhashDedupSql)),
     graft.QueryDef("q_media_audio_dedup", mediaAudioDedup,
       Some(mediaAudioDedupSql)),
+    graft.QueryDef("q_media_fp_serve", mediaFpServe,
+      Some(mediaFpServeSql)),
   )
 
   /** Frame-sampling plumbing for variable-length media: explode a payload

@@ -173,4 +173,24 @@ class MultimodalSpec extends SparkSuite {
     assert(pairs.length === planted.length,
       s"expected ${planted.length} pairs, got ${pairs.length}")
   }
+
+  test("fp serve equals the batch twin on shard-arrival pairs and " +
+    "reuses the persisted index across runs") {
+    val batch = Multimodal.mediaAudioDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._2 % 10 == 3).toSet
+    val serve1 = Multimodal.mediaFpServe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(serve1 === batch,
+      s"serve != batch-restricted: lost=${batch -- serve1} " +
+        s"extra=${serve1 -- batch}")
+    // amortization: the second serve must not rebuild the base index
+    // (its decode of the base corpus happens at most once per snapshot)
+    val builds0 = graft.sources.IndexStore.buildCount.get()
+    val serve2 = Multimodal.mediaFpServe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(graft.sources.IndexStore.buildCount.get() === builds0,
+      "second serve run rebuilt the fingerprint index")
+    assert(serve2 === serve1)
+  }
 }
