@@ -210,24 +210,39 @@ object IndexStore {
     ()
   }
 
-  /** The applied-but-uncompacted segment rows of the snapshot, if any. */
+  /** The applied-but-uncompacted segment rows of the snapshot, if any.
+    * Reads an EXPLICIT list of live (unretired) segment dirs, not a
+    * glob: retired segments stay at their original paths through the
+    * reader grace window but must not contribute rows twice. */
   def readAppends(spark: SparkSession, dir: String, srcTable: String,
       name: String): Option[DataFrame] = {
-    if (appendSegmentDirs(spark, dir, srcTable, name).isEmpty) None
-    else Some(spark.read.parquet(
-      new Path(snapshotRoot(dir, srcTable, name), "appends/s*").toString))
+    val dirs = appendSegmentDirs(spark, dir, srcTable, name)
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(_.toString): _*))
   }
 
-  /** Live segment dirs (compacted or not) under the snapshot's append
-    * lane — the quantity [[compactAppends]] bounds. */
+  /** Live segment dirs (compacted or not, RETIRED excluded) under the
+    * snapshot's append lane — the quantity [[compactAppends]] bounds.
+    * A segment is retired by a `_retired_<segname>` marker, not by
+    * moving it: its files keep their original paths until the reap, so
+    * a reader that resolved paths a moment before the compaction commit
+    * keeps scanning them through the grace window. */
   def appendSegmentDirs(spark: SparkSession, dir: String, srcTable: String,
       name: String): Seq[Path] = {
     val appends = new Path(snapshotRoot(dir, srcTable, name), "appends")
     val fs = appends.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(appends)) Seq.empty
-    else fs.listStatus(appends)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("s"))
-      .map(_.getPath).toSeq
+    else {
+      val listing = fs.listStatus(appends)
+      val retired = listing.iterator
+        .map(_.getPath.getName)
+        .filter(_.startsWith("_retired_"))
+        .map(_.stripPrefix("_retired_")).toSet
+      listing.iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("s") &&
+          !retired(s.getPath.getName))
+        .map(_.getPath).toSeq
+    }
   }
 
   /** MINOR COMPACTION of the append lane: when more than `maxSegments`
@@ -250,16 +265,17 @@ object IndexStore {
     val appends = new Path(snapshotRoot(dir, srcTable, name), "appends")
     val fs = appends.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(appends)) return
-    // reap litter: crashed-compaction stages, crashed-append stages, and
-    // compacted-away originals past their reader grace window. The
-    // 10-minute age guard keeps a CONCURRENT process's in-flight stage
-    // (append OR compaction — a _cstage another process is mid-writing
-    // must not be deleted out from under its commit rename) and a reader
-    // still scanning a superseded segment safe — within one process
-    // every lane call is serialized on this lock.
+    // reap litter: crashed-compaction stages, crashed-append stages
+    // (legacy `_gone` rename-aside dirs too), and retired originals past
+    // their reader grace window. The 10-minute age guard keeps a
+    // CONCURRENT process's in-flight stage (append OR compaction — a
+    // _cstage another process is mid-writing must not be deleted out
+    // from under its commit rename) and a reader still scanning a
+    // superseded segment safe — within one process every lane call is
+    // serialized on this lock.
     val cutoff = System.currentTimeMillis() - 10L * 60 * 1000
-    fs.listStatus(appends)
-      .filter { s =>
+    val pre = fs.listStatus(appends)
+    pre.filter { s =>
         val n = s.getPath.getName
         s.isDirectory &&
           (n.startsWith("_cstage") || n.startsWith("_stage") ||
@@ -267,8 +283,25 @@ object IndexStore {
           s.getModificationTime < cutoff
       }
       .foreach(s => fs.delete(s.getPath, true))
+    // a `_retired_<segname>` MARKER's mtime is the retirement moment;
+    // the segment dir itself is untouched until this reap, so readers
+    // keep their resolved paths through the whole grace window. Dir
+    // first, then marker: a crash in between leaves an orphan marker,
+    // which the dir-is-gone branch below clears on the next call.
+    pre.filter { s =>
+        val n = s.getPath.getName
+        !s.isDirectory && n.startsWith("_retired_") &&
+          s.getModificationTime < cutoff
+      }
+      .foreach { m =>
+        val seg = new Path(appends, m.getPath.getName.stripPrefix("_retired_"))
+        if (fs.delete(seg, true) || !fs.exists(seg)) fs.delete(m.getPath, false)
+      }
+    val retired = pre.iterator.map(_.getPath.getName)
+      .filter(_.startsWith("_retired_")).map(_.stripPrefix("_retired_")).toSet
     val segs = fs.listStatus(appends)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("s"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("s") &&
+        !retired(s.getPath.getName))
     if (segs.length > maxSegments) {
       val bytes = segs.flatMap(s => fs.listStatus(s.getPath))
         .filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
@@ -277,30 +310,31 @@ object IndexStore {
         math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       val stage = new Path(appends,
         s"_cstage_${java.util.UUID.randomUUID}")
-      spark.read.parquet(s"$appends/s*").distinct()
+      // EXPLICIT dir list (not a glob), and tolerate files a CONCURRENT
+      // compactor retires-and-reaps mid-read: if another process removed
+      // a listed segment, it did so only after folding those rows into
+      // its own committed compacted segment — which this compaction does
+      // not retire (it retires only `segs`) — so skipping the vanished
+      // files cannot lose rows, only duplicate-fold fewer of them here.
+      spark.read.option("ignoreMissingFiles", "true")
+        .parquet(segs.map(_.getPath.toString).toSeq: _*).distinct()
         .repartition(nFiles)
         .write.mode("overwrite").parquet(stage.toString)
       // originals are retired ONLY once the rename has made the
       // compacted segment visible — a failed rename (stage stays
       // hidden) must leave the lane untouched, not lose it. Retirement
-      // is a rename-ASIDE to a hidden `_gone` name, not a delete: a
-      // concurrent serving process that listed the lane a moment ago
-      // keeps its files on disk through the grace window above (the
-      // residual exposure — a scan that resolved literal file PATHS
-      // before the rename — is the classic compaction-vs-reader race a
-      // table format's manifest commit closes; recorded limitation).
+      // is a MARKER next to the untouched dir, not a move: a concurrent
+      // serving process that resolved the segment's file paths a moment
+      // ago keeps reading those very paths until the grace reap. A crash
+      // between rename and markers leaves duplicates (compacted ∪
+      // originals), which reads tolerate (set semantics) and the next
+      // compaction collapses instead of compounding.
       if (fs.rename(stage, new Path(appends,
           s"sc${java.util.UUID.randomUUID.toString.take(8)}")))
         segs.foreach { s =>
-          val gone = new Path(appends,
-            s"_gone_${s.getPath.getName}_${java.util.UUID.randomUUID.toString.take(8)}")
-          if (fs.rename(s.getPath, gone))
-            // rename preserves the dir's ORIGINAL mtime — a segment
-            // appended long ago would be born already past the reap
-            // cutoff, voiding the reader grace window. Restamp the
-            // retirement moment so the window counts from NOW.
-            try fs.setTimes(gone, System.currentTimeMillis(), -1)
-            catch { case _: java.io.IOException => () }
+          try fs.create(
+            new Path(appends, s"_retired_${s.getPath.getName}"), false).close()
+          catch { case _: java.io.IOException => () } // concurrent retire won
         }
       ()
     }

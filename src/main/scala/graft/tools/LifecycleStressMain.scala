@@ -1,0 +1,48 @@
+package graft.tools
+
+import graft.sources.IndexStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Second-JVM worker for the CROSS-PROCESS lifecycle stress
+  * (ConcurrentLifecycleSpec): appends a contiguous range of segments to
+  * a shared index lane, compacting every few appends, then promotes the
+  * serving alias to its generation as its LAST act before exiting 0.
+  * Every coordination primitive under test (staged atomic segment
+  * publication, idempotent applied-markers, marker-based retirement with
+  * the reader grace window, atomic alias promotion) is exactly the code
+  * a concurrent maintenance process would run — the spec drives this
+  * main in a real separate JVM against the same tmpdir lane its own
+  * threads are hammering.
+  *
+  * Usage: runMain graft.tools.LifecycleStressMain
+  *   <sfDir> <laneName> <alias> <gen> <loSeg> <hiSeg>
+  */
+object LifecycleStressMain {
+  def main(args: Array[String]): Unit = {
+    val Array(dir, lane, alias, gen, loStr, hiStr) = args.take(6)
+    val (lo, hi) = (loStr.toInt, hiStr.toInt)
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      var seg = lo
+      while (seg < hi) {
+        val s = seg // stable capture for the by-name build
+        IndexStore.appendSegment(spark, dir, "documents", lane, s"g$s") {
+          spark.range(10).select(lit(s).as("seg"), col("id"))
+        }
+        if (s % 4 == 3)
+          IndexStore.compactAppends(spark, dir, "documents", lane,
+            maxSegments = 3)
+        seg += 1
+      }
+      IndexStore.promote(dir, "documents", alias, gen)
+      println(s"STRESS_DONE $lane [$lo,$hi)")
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,141 @@
+package graft.sources
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** VERDICT r10 item 3: the lifecycle pieces (atomic segment publication,
+  * idempotent applied-markers, marker-based retirement + grace reap,
+  * atomic alias promotion) are individually spec-pinned — THIS spec
+  * drives them CONCURRENTLY against one lane from racing threads plus a
+  * real second JVM (graft.tools.LifecycleStressMain), asserting:
+  *   - no lost segments: the lane's distinct rows equal the serial
+  *     schedule's outcome (verdict equivalence);
+  *   - same-id publish races across processes leave one copy and no
+  *     nested-stage litter inside live segments;
+  *   - no stale-alias reads: once promote(gen) returns in either
+  *     process, no later resolve sees an older generation;
+  *   - re-appends after the storm are no-ops; a final compaction
+  *     preserves rows and bounds the lane.
+  */
+class ConcurrentLifecycleSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("append + compact + promote + probe race across threads and JVMs") {
+    val tag = java.util.UUID.randomUUID.toString.take(6)
+    val lane = s"stress$tag"
+    val alias = s"stressalias$tag"
+    def append(seg: Int): Unit =
+      IndexStore.appendSegment(spark, dir, "documents", lane, s"g$seg") {
+        spark.range(10).select(lit(seg).as("seg"), col("id"))
+      }
+
+    // serving starts at genA; the child promotes genB as its LAST act
+    IndexStore.promoteIfAbsent(dir, "documents", alias, "genA")
+    assert(IndexStore.resolveAlias(dir, "documents", alias) === Some("genA"))
+
+    // real second JVM: appends [100,112) + shared [200,203), compacting
+    // every 4th append, promoting genB last
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val log = java.nio.file.Files.createTempFile("stress_child", ".log")
+    val childCmd: Seq[String] =
+      Seq(javaBin) ++ addOpens ++ Seq("-Xmx3g",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.tools.LifecycleStressMain",
+        dir, lane, alias, "genB", "100", "112")
+    val pb = new ProcessBuilder(childCmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log.toFile)
+    val child = pb.start()
+
+    // meanwhile, racing threads in THIS JVM: appends [0,12) + the SAME
+    // shared ids the child publishes, interleaved compactions, and a
+    // promotion monotonicity probe
+    val staleSeen = new java.util.concurrent.atomic.AtomicReference[String]
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val tasks = new java.util.ArrayList[java.util.concurrent.Callable[Unit]]
+    (0 until 12).foreach { i =>
+      tasks.add(() => {
+        append(i)
+        if (i % 4 == 3)
+          IndexStore.compactAppends(spark, dir, "documents", lane, 3)
+      })
+    }
+    (200 until 203).foreach(i => tasks.add(() => append(i)))
+    tasks.add(() => {
+      // alias monotonicity: genA was promoted before any of this; a
+      // resolve must never see anything but genA or the child's genB
+      (0 until 40).foreach { _ =>
+        IndexStore.resolveAlias(dir, "documents", alias) match {
+          case Some("genA") | Some("genB") => ()
+          case other => staleSeen.compareAndSet(null, other.toString)
+        }
+        IndexStore.promoteIfAbsent(dir, "documents", alias, "gen0")
+        Thread.sleep(50)
+      }
+    })
+    val futures = pool.invokeAll(tasks)
+    futures.forEach(_.get()) // rethrows any task failure
+    pool.shutdown()
+
+    assert(child.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      s"child JVM timed out; log: ${java.nio.file.Files.readString(log)}")
+    assert(child.exitValue() === 0,
+      s"child JVM failed; log tail: ${
+        java.nio.file.Files.readString(log).takeRight(2000)}")
+    assert(staleSeen.get() === null,
+      s"alias resolved to a stale/foreign generation: ${staleSeen.get()}")
+    // after the child's promote(genB) returned, nothing may regress it
+    IndexStore.promoteIfAbsent(dir, "documents", alias, "gen0")
+    assert(IndexStore.resolveAlias(dir, "documents", alias) === Some("genB"),
+      "promoteIfAbsent or a racing write regressed the promoted alias")
+
+    // verdict equivalence to the serial schedule: distinct lane rows ==
+    // exactly the union every segment would contribute if applied one
+    // at a time (lost segment => missing seg value; double publish of a
+    // shared id or a compaction fold error => nothing extra survives
+    // DISTINCT, so compare both directions)
+    val expected = ((0 until 12) ++ (100 until 112) ++ (200 until 203))
+      .flatMap(s => (0L until 10L).map(i => (s, i))).toSet
+    def laneRows(): Set[(Int, Long)] =
+      IndexStore.readAppends(spark, dir, "documents", lane).get
+        .distinct().collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val rows = laneRows()
+    assert(rows === expected,
+      s"lane != serial outcome: missing=${(expected -- rows).take(5)} " +
+        s"extra=${(rows -- expected).take(5)}")
+
+    // same-id publish races must leave no nested stage litter inside
+    // any LIVE segment dir (the appendSegment TOCTOU fix)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexStore.appendSegmentDirs(spark, dir, "documents", lane).foreach {
+      seg =>
+        val nested = fs.listStatus(seg).filter(_.isDirectory)
+        assert(nested.isEmpty,
+          s"nested dirs inside live segment $seg: ${
+            nested.map(_.getPath.getName).toSeq}")
+    }
+
+    // at-least-once maintenance re-runs every append: all no-ops
+    ((0 until 12) ++ (100 until 112) ++ (200 until 203)).foreach(append)
+    assert(laneRows() === expected, "re-append after the storm added rows")
+
+    // final compaction: bounds the lane, preserves the rows
+    IndexStore.compactAppends(spark, dir, "documents", lane, maxSegments = 1)
+    assert(
+      IndexStore.appendSegmentDirs(spark, dir, "documents", lane).size === 1)
+    assert(laneRows() === expected, "final compaction changed the rows")
+  }
+}
