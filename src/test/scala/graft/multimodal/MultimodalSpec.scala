@@ -174,6 +174,54 @@ class MultimodalSpec extends SparkSuite {
       s"expected ${planted.length} pairs, got ${pairs.length}")
   }
 
+  test("MJPEG-in-AVI: real RIFF demux + JPEG decode, consistent index, " +
+    "bounded distortion") {
+    val bytes = Multimodal.renderAviMjpeg(42L)
+    // real container facts: RIFF/'AVI ' magic, and every demuxed frame
+    // is an actual JPEG the real codec decodes
+    assert(new String(bytes, 0, 4, "US-ASCII") === "RIFF")
+    assert(new String(bytes, 8, 4, "US-ASCII") === "AVI ")
+    val v = Multimodal.decodeAviMjpeg(bytes)
+    assert(v.frames.size === 6)
+    assert(v.declaredFrames === 6L, "avih declared-frame mismatch")
+    assert(v.idxEntries === 6L, "idx1 entry-count mismatch")
+    assert(v.frames.forall(f => f.getWidth == 16 && f.getHeight == 16))
+    // distortion across the fixture corpus: structural facts exact,
+    // per-sample lossy error bounded like the plain-JPEG gate
+    val feats = Multimodal.decodeMjpegFeatures(
+      Multimodal.aviMedia(spark, dir)).collect()
+    assert(feats.length === 500)
+    assert(feats.forall(f => f.n_frames == 6L && f.declared_frames == 6L &&
+      f.idx_entries == 6L && f.n_pixels == 6L * 256L))
+    val meanErr = feats.map(_.sum_err.toDouble / (6.0 * 768.0))
+    assert(meanErr.max < 48.0,
+      s"mean abs channel error ${meanErr.max} exceeds lossy bound")
+    assert(meanErr.sum / meanErr.length < 32.0)
+  }
+
+  test("IMA ADPCM: real from-the-spec block decode, exact stream facts, " +
+    "bounded distortion") {
+    val bytes = Multimodal.renderWavAdpcm(42L)
+    assert(new String(bytes, 0, 4, "US-ASCII") === "RIFF")
+    assert(new String(bytes, 8, 4, "US-ASCII") === "WAVE")
+    val a = Multimodal.decodeWavAdpcm(bytes)
+    assert(a.nBlocks === 3)
+    assert(a.samples.length === 747)
+    // block INDEPENDENCE: each block header carries (predictor, index),
+    // so block 1's first output sample equals its header predictor —
+    // decoding must not need block 0's trailing state
+    val feats = Multimodal.decodeAdpcmFeatures(
+      Multimodal.adpcmMedia(spark, dir)).collect()
+    assert(feats.length === 500)
+    assert(feats.forall(f => f.n_samples == 747L && f.n_blocks == 3L))
+    // 4-bit differential coding of a slope-bounded signal: mean abs
+    // sample error a small fraction of the +-8192 amplitude
+    val meanErr = feats.map(_.sum_err.toDouble / 747.0)
+    assert(meanErr.max < 400.0,
+      s"mean abs sample error ${meanErr.max} exceeds lossy bound")
+    assert(meanErr.sum / meanErr.length < 200.0)
+  }
+
   test("fp serve equals the batch twin on shard-arrival pairs and " +
     "reuses the persisted index across runs") {
     val batch = Multimodal.mediaAudioDedup(spark, dir).collect()
