@@ -73,8 +73,23 @@ object Dedup {
       exploded: DataFrame, tokenCol: String, scoreName: String,
       denom: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
         org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
-      threshold: Double, hasCountCol: Boolean = false): DataFrame = {
-    val f = exploded.withColumnRenamed(tokenCol, "__tok")
+      threshold: Double, hasCountCol: Boolean = false,
+      materialize: Boolean = false): DataFrame = {
+    // materialize = compute the exploded-token relation ONCE before the
+    // self-join: both join sides otherwise re-evaluate the full upstream
+    // lineage. Worth it exactly when that lineage is the expensive half
+    // (the uncapped winnow path: fingerprint expression + TWO window
+    // shuffles — measured 3.9 s → 1.9 s at sf0.1); a net LOSS for cheap
+    // lineages, where the persist write costs more than the re-eval
+    // (winnowPairsCapped measured 1.9 s → 2.5 s) — hence opt-in.
+    // MEMORY_AND_DISK so pressure spills instead of failing; the
+    // relation is sketch-sized and DF-capped by the callers. Harnesses
+    // unpersist between queries.
+    val renamed = exploded.withColumnRenamed(tokenCol, "__tok")
+    val f =
+      if (materialize)
+        renamed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else renamed
     val withCounts =
       if (hasCountCol) {
         f.as("a")
@@ -450,7 +465,8 @@ object Dedup {
       .withColumn("c", count(lit(1)).over(Window.partitionBy("doc_id")))
       .select("doc_id", "h", "c")
     similarityPairs(f, "h", "containment",
-      (ca, cb, _) => least(ca, cb), 0.6, hasCountCol = true)
+      (ca, cb, _) => least(ca, cb), 0.6, hasCountCol = true,
+      materialize = true)
       .drop("shared")
   }
 

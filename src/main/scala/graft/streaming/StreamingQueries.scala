@@ -54,7 +54,9 @@ object StreamingQueries {
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val old = spark.conf.get(key)
     val oldNd = spark.conf.get(ndKey)
-    spark.conf.set(key, n.toString)
+    val nEff = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
+      .map(_.toInt).getOrElse(n)
+    spark.conf.set(key, nEff.toString)
     spark.conf.set(ndKey, finalNoDataBatch.toString)
     try body finally {
       spark.conf.set(key, old)
