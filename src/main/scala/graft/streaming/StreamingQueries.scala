@@ -131,22 +131,37 @@ object StreamingQueries {
       val q = src.writeStream
         .option("checkpointLocation", replayCheckpoint(checkpointName))
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // bounds first: an EMPTY micro-batch (foreachBatch retry,
-          // source race) must not touch state — the nulls would silently
-          // unbox to 0L and bandsOf(empty) would overwrite the
-          // b<batchId> segment with nothing
-          val mm = batch.agg(min(idCol), max(idCol)).collect().head
-          if (!mm.isNullAt(0)) {
-            val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-            bandsOf(batch)
-              .write.mode("overwrite").parquet(s"$stateDir/b$batchId")
+          // The batch's id bounds ride the bands write as OBSERVED
+          // metrics (CollectMetrics) instead of a dedicated min/max job
+          // — a per-trigger extra pass over the batch is a real cost on
+          // an unbounded stream. The empty-batch guard (a foreachBatch
+          // retry or source race must not clobber b<batchId> with
+          // nothing) moves AFTER the write: bands land in a trigger-
+          // private `_ctmpb` stage (reaped by compactSegments' crash
+          // sweep if abandoned) and publish to b<batchId> only when the
+          // observed row count is nonzero.
+          val obs = org.apache.spark.sql.Observation()
+          val stagePath =
+            new org.apache.hadoop.fs.Path(s"$stateDir/_ctmpb$batchId")
+          bandsOf(batch.observe(obs, count(lit(1)).as("n"),
+              min(idCol).as("lo"), max(idCol).as("hi")))
+            .write.mode("overwrite").parquet(stagePath.toString)
+          val m = obs.get
+          val fs = stagePath.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (m("n").asInstanceOf[Long] > 0L) {
+            val (lo, hi) =
+              (m("lo").asInstanceOf[Long], m("hi").asInstanceOf[Long])
+            val seg = new org.apache.hadoop.fs.Path(s"$stateDir/b$batchId")
+            fs.delete(seg, true) // replace a prior attempt of this batch
+            fs.rename(stagePath, seg)
             val state = spark.read.parquet(s"$stateDir/{b*,c*}")
             val probe = state.filter(col(idCol).between(lo, hi))
             verdictsOf(batch, state, probe)
               .write.mode("overwrite").parquet(s"$outDir/b$batchId")
             graft.operators.Dedup.compactSegments(
               spark, stateDir, batchId, maxSegments = 2)
-          }
+          } else fs.delete(stagePath, true)
           ()
         }
         .start()
