@@ -197,21 +197,26 @@ class IndexLifecycleSpec extends SparkSuite {
     }
   }
 
-  test("band geometry doctrine: bits/band scales log2(n/4), clamped to [8,16]") {
+  test("band geometry doctrine: bits/band scales log2(n/4), clamped to [8,24]") {
     // pins the sizing function the whole embedding-dedup family now
     // serves through: small harness scales stay at the 8-bit floor, the
-    // x10 and x100 probe corpora climb, and the cap IS the pinned 256x16
-    // scaled form — so the saturation regime measured in BASELINE.md r9
-    // (64x8 at 200k vectors) can no longer be configured by default.
-    // Target population 4 (not 16): the r10 x100 probe measured the
-    // verify join spilling at population ~15 (e100 1.30) while the cap
-    // geometry's candidate mass stays 15.6M on the same corpus
+    // probe corpora climb — so the saturation regime measured in
+    // BASELINE.md r9 (64x8 at 200k vectors) can no longer be configured
+    // by default. Target population 4 (not 16): the r10 x100 probe
+    // measured the verify join spilling at population ~15 (e100 1.30)
+    // while the cap geometry's candidate mass stays 15.6M on the same
+    // corpus. The clamp was raised 16 -> 24 in r11 after the x1000 probe
+    // showed 2M vectors saturating a 16-bit key space (1.56B candidate
+    // pairs); bits now track the corpus for three more decades, and the
+    // structural fix on clustered corpora is residual banding
+    // (semanticResidualBandsOf — see BASELINE.md r11).
     assert(Similarity.bandBitsFor(1L) === 8)
     assert(Similarity.bandBitsFor(500L) === 8) // sf0.001 / sf0.01
     assert(Similarity.bandBitsFor(2000L) === 9) // sf0.1
     assert(Similarity.bandBitsFor(20000L) === 13) // x10 probe corpus
-    assert(Similarity.bandBitsFor(200000L) === 16) // x100 probe corpus: cap
-    assert(Similarity.bandBitsFor(1L << 40) === 16) // cap
+    assert(Similarity.bandBitsFor(200000L) === 16) // x100 probe corpus
+    assert(Similarity.bandBitsFor(2000000L) === 19) // x1000 probe corpus
+    assert(Similarity.bandBitsFor(1L << 40) === 24) // cap
   }
 
   test("semantic band-index retraction: a tombstoned vector stops blocking its arriving re-crawl") {
