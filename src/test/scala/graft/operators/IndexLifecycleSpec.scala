@@ -210,12 +210,16 @@ class IndexLifecycleSpec extends SparkSuite {
     // pairs); bits now track the corpus for three more decades, and the
     // structural fix on clustered corpora is residual banding
     // (semanticResidualBandsOf — see BASELINE.md r11).
+    // target population 1 since r11 (4 through r10, 16 before r10 —
+    // every probe decade re-measured it DOWN: structured corpora hold
+    // bucket populations far above the uniform mean, and bits are free
+    // for re-crawl-grade recall)
     assert(Similarity.bandBitsFor(1L) === 8)
-    assert(Similarity.bandBitsFor(500L) === 8) // sf0.001 / sf0.01
-    assert(Similarity.bandBitsFor(2000L) === 9) // sf0.1
-    assert(Similarity.bandBitsFor(20000L) === 13) // x10 probe corpus
-    assert(Similarity.bandBitsFor(200000L) === 16) // x100 probe corpus
-    assert(Similarity.bandBitsFor(2000000L) === 19) // x1000 probe corpus
+    assert(Similarity.bandBitsFor(500L) === 9) // sf0.001 / sf0.01
+    assert(Similarity.bandBitsFor(2000L) === 11) // sf0.1
+    assert(Similarity.bandBitsFor(20000L) === 15) // x10 probe corpus
+    assert(Similarity.bandBitsFor(200000L) === 18) // x100 probe corpus
+    assert(Similarity.bandBitsFor(2000000L) === 21) // x1000 probe corpus
     assert(Similarity.bandBitsFor(1L << 40) === 24) // cap
   }
 

@@ -59,6 +59,26 @@ class SimilarityGateSpec extends SparkSuite {
     assert(lost.isEmpty, s"banded path lost exact-gate pairs: $lost")
   }
 
+  test("capped semantic serve: cap never binds at harness scales, " +
+    "verdicts equal the uncapped chain") {
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val (index, shardBands) = Similarity.semanticServeBands(spark, d)
+      val maxPop = index.select("band_id", "h")
+        .unionByName(shardBands.select("band_id", "h"))
+        .groupBy("band_id", "h").count()
+        .agg(max("count")).first().getLong(0)
+      assert(maxPop <= 64,
+        s"$d: residual-bucket population $maxPop exceeds the cap — the " +
+          "capped query would silently diverge from its shared oracle")
+      val capped = Similarity.semanticDedupCapped(spark, d).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val plain = Similarity.semanticDedupIncremental(spark, d).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(capped === plain, s"$d: cap changed verdicts at harness scale")
+    }
+  }
+
   test("full-corpus exact form equals the banded path on the derived corpus") {
     // total recall on the UNsampled derived corpus too (feasible at
     // sf0.001 only — this is precisely the form that must never be a
