@@ -85,10 +85,17 @@ class Round5Spec extends SparkSuite {
     // membership counts cover the whole corpus exactly once
     val n = Star.table(spark, sf, "embeddings").count()
     assert(rows.map(_.getLong(1)).sum === n)
-    // the plan aggregates through the typed VecSum path (ObjectHashAggregate
-    // with the udaf), never a posexplode of the vector relation
+    // vectors stay PACKED end-to-end: never a posexplode of the vector
+    // relation. Since r11 the trainer's k-row model is driver-resident
+    // (the per-round VecSum update runs eagerly inside exactKmeans, not
+    // in the returned plan): the final plan shows the model as a
+    // LocalTableScan and the assignment as a per-row codegen argmin
+    // (vector_dist_sq against literal centroid structs) — no n×k
+    // crossJoin + groupBy(vec_id) exchange remains.
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("posexplode"), plan.take(2000))
-    assert(plan.contains("vecsum") || plan.contains("VecSum"), plan.take(2000))
+    assert(plan.contains("LocalTableScan"), plan.take(2000))
+    assert(plan.contains("vector_dist_sq"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 }
