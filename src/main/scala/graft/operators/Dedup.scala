@@ -437,7 +437,16 @@ object Dedup {
     * graft.functions.WinnowFingerprint): inverted-index join on sketch
     * hashes, containment = shared / min(|a|, |b|). The sketch is ~1/w the
     * size of the shingle set, so the candidate join shuffles proportionally
-    * less than the exact-Jaccard path at the same recall point. */
+    * less than the exact-Jaccard path at the same recall point.
+    *
+    * CACHING CONTRACT: the exploded-sketch relation is persisted
+    * (MEMORY_AND_DISK) so the self-join's two sides share one
+    * fingerprint evaluation, and the blocks are NOT released here — the
+    * returned frame is lazy, so an eager unpersist would re-trigger the
+    * double evaluation it exists to avoid. Callers own cleanup after
+    * executing the result: `spark.catalog.clearCache()` +
+    * `sparkContext.getPersistentRDDs.values.foreach(_.unpersist(...))`
+    * (what the Bench/Verify harnesses run between queries). */
   def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.WinnowFunctions
     val d = Star.fan(spark, Star.table(spark, dir, "documents"))

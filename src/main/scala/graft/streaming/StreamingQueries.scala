@@ -54,8 +54,14 @@ object StreamingQueries {
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val old = spark.conf.get(key)
     val oldNd = spark.conf.get(ndKey)
-    val nEff = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
-      .map(_.toInt).getOrElse(n)
+    // Replay-shape knob for scale probes (documented in NOTES.md):
+    // overrides the per-replay shuffle-partition count. Validated here —
+    // a typo'd value must fail ONE clear way at the override site, not
+    // as a NumberFormatException deep inside every streaming query.
+    val nEff = sys.env.get("SPARK_GRAFT_STREAM_PARTS").map { s =>
+      scala.util.Try(s.toInt).getOrElse(sys.error(
+        s"SPARK_GRAFT_STREAM_PARTS must be an int, got '$s'"))
+    }.getOrElse(n)
     spark.conf.set(key, nEff.toString)
     spark.conf.set(ndKey, finalNoDataBatch.toString)
     try body finally {
@@ -154,7 +160,12 @@ object StreamingQueries {
               (m("lo").asInstanceOf[Long], m("hi").asInstanceOf[Long])
             val seg = new org.apache.hadoop.fs.Path(s"$stateDir/b$batchId")
             fs.delete(seg, true) // replace a prior attempt of this batch
-            fs.rename(stagePath, seg)
+            // a failed rename after that delete would silently drop the
+            // batch's bands from state (within-batch + near-future dup
+            // pairs lost, no error anywhere): fail the micro-batch so
+            // the streaming engine retries it instead
+            if (!fs.rename(stagePath, seg)) sys.error(
+              s"failed to publish arrival bands $stagePath -> $seg")
             val state = spark.read.parquet(s"$stateDir/{b*,c*}")
             val probe = state.filter(col(idCol).between(lo, hi))
             verdictsOf(batch, state, probe)

@@ -197,15 +197,12 @@ class IndexLifecycleSpec extends SparkSuite {
     }
   }
 
-  test("band geometry doctrine: bits/band scales log2(n/4), clamped to [8,24]") {
+  test("band geometry doctrine: bits/band scales log2(n), clamped to [8,24]") {
     // pins the sizing function the whole embedding-dedup family now
     // serves through: small harness scales stay at the 8-bit floor, the
     // probe corpora climb — so the saturation regime measured in
     // BASELINE.md r9 (64x8 at 200k vectors) can no longer be configured
-    // by default. Target population 4 (not 16): the r10 x100 probe
-    // measured the verify join spilling at population ~15 (e100 1.30)
-    // while the cap geometry's candidate mass stays 15.6M on the same
-    // corpus. The clamp was raised 16 -> 24 in r11 after the x1000 probe
+    // by default. The clamp was raised 16 -> 24 in r11 after the x1000 probe
     // showed 2M vectors saturating a 16-bit key space (1.56B candidate
     // pairs); bits now track the corpus for three more decades, and the
     // structural fix on clustered corpora is residual banding
@@ -244,6 +241,53 @@ class IndexLifecycleSpec extends SparkSuite {
         id >= 1000000L && id < 2000000L && (id - 1000000L) % 10 == 0),
         s"$dir: no planted re-crawl of a tombstoned source was unblocked")
     }
+  }
+
+  test("bucket-population companion: append deltas stay additive through compaction; re-appends no-op") {
+    // the persisted-population lane behind semanticDedupCapped's 64-cap:
+    // populations must stay EXACT under the full append/compact
+    // lifecycle, including the two specific hazards the design calls
+    // out — (a) two different segments contributing IDENTICAL
+    // (bucket, cnt) deltas must both count (compactAppends DISTINCTs
+    // rows: the seg_id column is what keeps additive deltas distinct),
+    // and (b) an at-least-once re-append of an already-applied delta
+    // must not double-count (applied markers survive compaction)
+    import graft.sources.IndexStore
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val name = s"popidx${java.util.UUID.randomUUID.toString.take(6)}"
+    val keys = Seq("band_id", "h")
+    // synthetic band index rows: bucket (0,1)x2, (0,2)x1, (1,1)x3
+    val baseBands = Seq((0, 1L), (0, 1L), (0, 2L), (1, 1L), (1, 1L), (1, 1L))
+      .toDF("band_id", "h")
+    def pops(): Map[(Int, Long), Long] =
+      IndexStore.bucketPopulations(spark, dir, "documents", name, keys)(
+        baseBands)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    assert(pops() === Map((0, 1L) -> 2L, (0, 2L) -> 1L, (1, 1L) -> 3L))
+    // two appends with IDENTICAL delta content (hazard (a))
+    val delta = Seq((0, 1L), (1, 9L)).toDF("band_id", "h")
+    IndexStore.appendCountsSegment(spark, dir, "documents", name, "d1", keys)(
+      delta)
+    IndexStore.appendCountsSegment(spark, dir, "documents", name, "d2", keys)(
+      delta)
+    val truth = Map(
+      (0, 1L) -> 4L, (0, 2L) -> 1L, (1, 1L) -> 3L, (1, 9L) -> 2L)
+    assert(pops() === truth, "append deltas must be additive")
+    // compact the counts lane; populations unchanged, bound holds
+    IndexStore.compactAppends(
+      spark, dir, "documents", IndexStore.countsName(name), maxSegments = 1)
+    assert(IndexStore.appendSegmentDirs(
+      spark, dir, "documents", IndexStore.countsName(name)).size === 1,
+      "compaction must fold the two delta segments into one")
+    assert(pops() === truth,
+      "identical deltas from different segments collapsed during " +
+        "compaction — seg_id tagging broken")
+    // hazard (b): re-append an applied delta after its rows were folded
+    IndexStore.appendCountsSegment(spark, dir, "documents", name, "d1", keys)(
+      delta)
+    assert(pops() === truth, "re-applied delta double-counted")
   }
 
   test("streaming SEMANTIC dedup: segment bound holds; verdicts converge to the batch twin") {
