@@ -27,12 +27,14 @@ object StreamingQueries {
     * and checkpoints ONE state store per shuffle partition — at the
     * session default (32 = cores) that is 32 RocksDB/HDFS-state commits
     * per trigger for state whose cardinality here is a few hundred keys.
-    * 8 partitions cuts per-trigger overhead ~4x while results stay
+    * The default is 2 since r12: the full 13-replay family A/B'd
+    * 8 → 4 → 2 at sf0.1 as 35.2 → 32.2 → 30.1 s with results
     * byte-identical (every streaming aggregate follows the order-
-    * independent determinism doctrine). On a real cluster you'd size this
-    * to state volume, not core count — state partitioning is a durability
-    * layout, not a parallelism knob; it can exceed cores only when state
-    * genuinely needs the spread. */
+    * independent determinism doctrine) — at replay state volume the
+    * per-trigger store commits dominate any join parallelism 8 buys.
+    * On a real cluster you'd size this to state volume, not core count —
+    * state partitioning is a durability layout, not a parallelism knob
+    * (the SPARK_GRAFT_STREAM_PARTS probe knob re-sizes it at scale). */
   /** `finalNoDataBatch = true` keeps Spark's trailing no-data
     * micro-batch: required by a replay whose LAST emissions happen only
     * when the final watermark is APPLIED (windowed append: the last
@@ -48,7 +50,7 @@ object StreamingQueries {
     * per-replay flag). An UNBOUNDED deployment leaves this ON — it is
     * what flushes a final window when the source goes quiet. */
   private[graft] def withStreamPartitions[T](
-      spark: SparkSession, n: Int = 8, finalNoDataBatch: Boolean = false)
+      spark: SparkSession, n: Int = 2, finalNoDataBatch: Boolean = false)
       (body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
@@ -83,7 +85,7 @@ object StreamingQueries {
     * only where output cardinality is bounded by construction (hourly
     * buckets × event types), never by corpus. */
   private def appendReplayToParquet(spark: SparkSession, df: DataFrame,
-      ckptName: String, partitions: Int = 8,
+      ckptName: String, partitions: Int = 2,
       finalNoDataBatch: Boolean = false): DataFrame = {
     val out = replaySinkDir(s"${ckptName}_sink")
     withStreamPartitions(spark, partitions, finalNoDataBatch) {
@@ -133,7 +135,10 @@ object StreamingQueries {
     val work = replayCheckpoint(workName)
     val stateDir = s"$work/arrival_bands"
     val outDir = s"$work/verdicts"
-    withStreamPartitions(spark) {
+    // 4, not the replay default 2: these replays do REAL per-batch work
+    // (banding + candidate joins + verify inside foreachBatch), where
+    // join parallelism still pays at harness scale
+    withStreamPartitions(spark, 4) {
       val q = src.writeStream
         .option("checkpointLocation", replayCheckpoint(checkpointName))
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -506,15 +511,21 @@ object StreamingQueries {
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
     // identity-keyed build-once fixture with staged atomic publication —
-    // see graft.sources.FixtureCache for the concurrency contract
+    // see graft.sources.FixtureCache for the concurrency contract.
+    // THREE chronological shards (r12, down from 4): state must
+    // genuinely cross micro-batches, and first/middle/last batches
+    // exercise the three watermark regimes (none yet / advancing /
+    // final) — a fourth batch re-proved nothing and each trigger of
+    // each consumer costs ~0.5 s of batch machinery across the five
+    // replays built on this fixture (results oracle-identical).
     val base = graft.sources.FixtureCache.buildOnce(
-      spark, "graft_stream_chrono2", dir, "events") { stage =>
+      spark, "graft_stream_chrono3", dir, "events") { stage =>
       val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val Array(lo, hi) = ev.agg(min(unix_micros(col("ts"))),
         max(unix_micros(col("ts")))).collect().head
         .toSeq.map(_.asInstanceOf[Long]).toArray
-      val span = (hi - lo) / 4 + 1
-      (0 until 4).foreach { k =>
+      val span = (hi - lo) / 3 + 1
+      (0 until 3).foreach { k =>
         val part = ev.filter(
           unix_micros(col("ts")) >= lo + k * span &&
             unix_micros(col("ts")) < lo + (k + 1) * span)
@@ -576,7 +587,7 @@ object StreamingQueries {
     // saves on store commits — the ~570ms/trigger floor is batch-machinery,
     // not store-count)
     // pair-grain output (grows with the corpus) -> parquet sink
-    appendReplayToParquet(spark, joined, "stream_join", partitions = 4)
+    appendReplayToParquet(spark, joined, "stream_join")
       .orderBy("view_id", "purchase_id")
   }
 
@@ -614,26 +625,27 @@ object StreamingQueries {
     val tag = java.lang.Long.toHexString(
       dir.hashCode.toLong << 32 ^ srcF.length() ^ srcF.lastModified())
     val base = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"), s"graft_stream_chrono_s_$tag")
+      System.getProperty("java.io.tmpdir"), s"graft_stream_chrono_s3_$tag")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(base, "_READY"))) {
       fs.delete(base, true)
       val Array(lo, hi) = ev.agg(min(unix_micros(col("ts"))),
         max(unix_micros(col("ts")))).collect().head
         .toSeq.map(_.asInstanceOf[Long]).toArray
-      val span = (hi - lo) / 4 + 1
+      // three data shards (see chronoReplay) + the two sentinels
+      val span = (hi - lo) / 3 + 1
       def sentinel(hours: Long) = spark.range(2).select(
         (col("id") * -1 - 1).as("event_id"),
         timestamp_micros(lit(hi + hours * 3600L * 1000000L)).as("ts"),
         lit(-1L).as("user_id"),
         when(col("id") === 0, "view").otherwise("purchase").as("event_type"),
         lit(0.0).as("value"))
-      (0 until 6).foreach { k =>
+      (0 until 5).foreach { k =>
         val part =
-          if (k < 4) ev.filter(
+          if (k < 3) ev.filter(
             unix_micros(col("ts")) >= lo + k * span &&
               unix_micros(col("ts")) < lo + (k + 1) * span)
-          else sentinel(if (k == 4) 36L else 72L)
+          else sentinel(if (k == 3) 36L else 72L)
         val tmp = new org.apache.hadoop.fs.Path(base, s"_tmp$k")
         part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val f = fs.globStatus(
@@ -690,7 +702,7 @@ object StreamingQueries {
         unix_micros(col("view_ts")).as("view_us"),
         unix_micros(col("purchase_ts")).as("purchase_us"))
     // view-grain output (grows with the corpus) -> parquet sink
-    appendReplayToParquet(spark, joined, "stream_left", partitions = 4)
+    appendReplayToParquet(spark, joined, "stream_left")
       .filter(col("user_id") >= 0) // drop the sentinel pairs (batch side)
       .orderBy("view_id", "purchase_id")
   }
