@@ -1236,6 +1236,32 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Probe seam (BASELINE fixed-shard campaign, r11 verdict item 5):
+    * [[dedupIncremental]] with the arriving shard TRUNCATED to
+    * doc_id < cap — a constant-size arrival batch at any corpus scale,
+    * so the measured exponent isolates the serve chain from the
+    * fixture's shard-grows-with-corpus design. The persisted index is
+    * the registered "mhband" snapshot, untouched. */
+  private[graft] def dedupIncrementalFixedShard(
+      spark: SparkSession, dir: String, cap: Long): DataFrame = {
+    val docs = Star.table(spark, dir, "documents")
+    val index = graft.sources.IndexStore.cachedBucketTable(
+      spark, dir, "documents", "mhband", 8,
+      Seq("band_id", "h"), Seq("band_id", "h")) {
+      bandRows(withMinhashBands(shingleRows(
+        docs.filter(!(col("doc_id") % 10 === 0)))))
+    }
+    val isNew = col("doc_id") % 10 === 0 && col("doc_id") < cap
+    val newBands = bandRows(withMinhashBands(shingleRows(docs.filter(isNew))))
+    val dropIds = bandProbeDropIds(docs, Seq(index, newBands), newBands)
+    docs.filter(isNew)
+      .join(dropIds.withColumn("__d", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("__d").isNotNull, lit("drop")).otherwise(lit("keep"))
+          .as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** Test seam: the serve path's candidate-generation plan BEFORE its
     * materialization (the final plan shows only the ExistingRDD leaf, so
     * the index-scan / no-re-sketch properties are asserted here). */

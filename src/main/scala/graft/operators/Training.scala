@@ -523,6 +523,24 @@ object Training {
       contamShingled(spark, docs.filter(col("bucket") >= 90)), index)
   }
 
+  /** Probe seam (BASELINE fixed-shard campaign, r11 verdict item 5):
+    * [[contaminationServe]] with the arriving eval shard TRUNCATED to
+    * doc_id < cap — constant-size arrival at any corpus scale, isolating
+    * the persisted-n-gram-index probe cost from the fixture's
+    * 10 %-of-corpus shard. Index untouched. */
+  private[graft] def contaminationServeFixedShard(
+      spark: SparkSession, dir: String, cap: Long): DataFrame = {
+    val docs = contamDocs(spark, dir)
+    val index = graft.sources.IndexStore.cachedBucketTable(
+      spark, dir, "documents", "bench_ngrams", 8, Seq("h"), Seq("h")) {
+      contamShingled(spark, docs.filter(col("bucket") < 80))
+        .select("h").distinct()
+    }
+    contamScore(
+      contamShingled(spark,
+        docs.filter(col("bucket") >= 90 && col("doc_id") < cap)), index)
+  }
+
   private val contaminationSql =
     s"""WITH b AS (
        |  SELECT doc_id, text,

@@ -214,14 +214,20 @@ object IndexStore {
   /** Current per-bucket populations of index `name`: base companion ∪
     * applied count segments, summed. The relation is bucket-cardinality
     * (not band-row-cardinality), and reading it is the ONLY per-serve
-    * cost of a population-capped probe. */
+    * cost of a population-capped probe. No-appends fast path: the base
+    * table already holds ONE row per bucket, so it is returned as-is —
+    * the summing aggregation (a full shuffle of the counts table,
+    * measured ~half the capped serve's cost at the ×1000 probe scale)
+    * is paid only while uncompacted deltas actually exist. */
   def bucketPopulations(spark: SparkSession, dir: String, srcTable: String,
       name: String, keyCols: Seq[String])(index: => DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, sum}
     val base = cachedBucketCounts(spark, dir, srcTable, name, keyCols)(index)
-    val all = readAppends(spark, dir, srcTable, countsName(name))
-      .map(base.unionByName(_)).getOrElse(base)
-    all.groupBy(keyCols.map(col): _*).agg(sum("cnt").as("cnt"))
+    readAppends(spark, dir, srcTable, countsName(name)) match {
+      case None => base.select((keyCols.map(col) :+ col("cnt")): _*)
+      case Some(appends) => base.unionByName(appends)
+        .groupBy(keyCols.map(col): _*).agg(sum("cnt").as("cnt"))
+    }
   }
 
   /** Published root dir of the snapshot named `name` (exists once built
