@@ -79,6 +79,58 @@ class SimilarityGateSpec extends SparkSuite {
     }
   }
 
+  test("BINDING cap: probe-side-only capping equals the cap-both-sides semantics") {
+    // r12 rewired semanticDedupCapped to anti-join ONLY the shard
+    // (probe) side, on the argument that a bucket with no shard rows
+    // cannot produce a candidate pair — so dropping index rows of hot
+    // buckets changes nothing. The harness corpora never bind the cap
+    // (test above), so THIS pins the argument where it binds, on
+    // synthetic band relations covering every bucket class: index-only
+    // hot (70 index rows, untouched by the shard), mixed hot
+    // (40 index + 30 shard > 64), shard-only hot (70 shard rows), and
+    // a cold mixed bucket (the pairs that must SURVIVE capping).
+    import spark.implicits._
+    def bands(rows: Seq[(Long, Int, Long)]) =
+      rows.toDF("vec_id", "band_id", "h")
+    val index = bands(
+      (0L until 70L).map(i => (i, 0, 100L)) ++ // index-only hot
+        (100L until 140L).map(i => (i, 0, 200L)) ++ // mixed hot (40)
+        (200L until 210L).map(i => (i, 0, 300L))) // cold mixed (10)
+    val shard = bands(
+      (1000L until 1030L).map(i => (i, 0, 200L)) ++ // mixed hot (+30)
+        (1100L until 1170L).map(i => (i, 0, 400L)) ++ // shard-only hot
+        (1200L until 1205L).map(i => (i, 0, 300L))) // cold mixed (+5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the r11 semantics: hot over index ∪ shard, BOTH sides anti-joined
+    val hotBoth = index.select("band_id", "h")
+      .unionByName(shard.select("band_id", "h"))
+      .groupBy("band_id", "h").count()
+      .filter(col("count") > 64).select("band_id", "h")
+    val old = pairs(Similarity.semanticCandPlan(
+      index.join(hotBoth, Seq("band_id", "h"), "left_anti"),
+      shard.join(hotBoth, Seq("band_id", "h"), "left_anti")))
+    // the r12 semantics: hot over shard-touched buckets only, PROBE
+    // side anti-joined, index untouched
+    val shardCnt = shard.groupBy("band_id", "h")
+      .agg(count(lit(1)).as("scnt"))
+    val idxCnt = index.groupBy("band_id", "h")
+      .agg(count(lit(1)).as("cnt"))
+    val hotProbe = shardCnt.join(idxCnt, Seq("band_id", "h"), "left")
+      .filter(coalesce(col("cnt"), lit(0L)) + col("scnt") > 64)
+      .select("band_id", "h")
+    val neu = pairs(Similarity.semanticCandPlan(
+      index, shard.join(hotProbe, Seq("band_id", "h"), "left_anti")))
+    assert(neu === old,
+      s"probe-side capping diverged where the cap binds: " +
+        s"missing=${(old -- neu).take(5)} extra=${(neu -- old).take(5)}")
+    // and the cap actually BOUND: only the cold bucket's pairs survive
+    // (10 index × 5 shard cross + shard-internal orderings of the 5)
+    assert(neu.nonEmpty && neu.forall { case (a, b) =>
+      (200 <= a && a < 210 || 1200 <= a) && b >= 1200 },
+      s"expected only cold-bucket pairs, got ${neu.take(5)}")
+  }
+
   test("full-corpus exact form equals the banded path on the derived corpus") {
     // total recall on the UNsampled derived corpus too (feasible at
     // sf0.001 only — this is precisely the form that must never be a
