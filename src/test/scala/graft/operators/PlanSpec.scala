@@ -152,6 +152,32 @@ class PlanSpec extends SparkSuite {
       "shard filters must gate the banded vectors\n" + lp)
   }
 
+  test("semanticDedupCapped: hot set reads persisted populations, never " +
+    "re-aggregates the band index") {
+    // the r11 verdict's one plan defect was a corpus-sized group-by
+    // over the full band index per serve call; the r12 fix makes the
+    // hot set a join of arrival-bucket counts against the snapshot's
+    // COUNTS COMPANION. Pin the shape: the hot plan's only table is the
+    // companion (name suffix "cnt"), the band index never appears, and
+    // the only banding lineage is the arrival shard's.
+    val lp = Similarity.semanticCappedHotPlan(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(lp.contains("cnt_"),
+      "hot plan must read the persisted counts companion\n" + lp)
+    val idxScans = lp.split("\n").filter(l =>
+      l.contains("graft_idx_emblshr3_") && !l.contains("cnt_"))
+    assert(idxScans.isEmpty,
+      s"hot plan must not touch the band index itself:\n" +
+        idxScans.mkString("\n") + "\n" + lp)
+    val bandRefs = lp.split("\n").count(_.toLowerCase.contains("lshbands"))
+    assert(bandRefs <= 1,
+      s"expected <=1 shard banding op in the hot plan, got $bandRefs\n" + lp)
+    // and the executed query carries the hot set as a materialized leaf
+    val fp = plan(Similarity.semanticDedupCapped(spark, dir))
+    assert(fp.contains("ExistingRDD"),
+      "hot set must enter the serve plan as a materialized leaf\n" + fp)
+  }
+
   test("annIvfServe: postings scan statically prunes to the probed cells") {
     val df = Similarity.annIvfServe(spark, dir)
     val p = plan(df)
