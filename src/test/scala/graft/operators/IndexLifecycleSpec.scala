@@ -290,6 +290,47 @@ class IndexLifecycleSpec extends SparkSuite {
     assert(pops() === truth, "re-applied delta double-counted")
   }
 
+  test("cross-lane crash: index segment applied, counts delta lost — retry converges") {
+    // the append-lane maintenance job appends the SAME segId to two
+    // lanes (index rows, then the counts delta). Each lane has its own
+    // applied marker, so a crash BETWEEN the two leaves them
+    // inconsistent — the design claim is that an at-least-once retry of
+    // the whole job converges: the index append no-ops on its marker,
+    // the counts append applies. Simulate the crash by doing only the
+    // index half, then run the full job twice (retry + a spurious
+    // third at-least-once delivery).
+    import graft.sources.IndexStore
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val name = s"xlane${java.util.UUID.randomUUID.toString.take(6)}"
+    val keys = Seq("band_id", "h")
+    val delta = Seq((0, 1L), (0, 1L), (1, 2L)).toDF("band_id", "h")
+    val baseBands = Seq((0, 1L), (2, 5L)).toDF("band_id", "h")
+    def pops(): Map[(Int, Long), Long] =
+      IndexStore.bucketPopulations(spark, dir, "documents", name, keys)(
+        baseBands)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    // crash half-way: index lane applied, counts lane never ran
+    IndexStore.appendSegment(spark, dir, "documents", name, "s1")(delta)
+    assert(pops() === Map((0, 1L) -> 1L, (2, 5L) -> 1L),
+      "populations must still reflect only the base before the retry")
+    // at-least-once retry of the FULL job, twice
+    (1 to 2).foreach { _ =>
+      IndexStore.appendSegment(spark, dir, "documents", name, "s1")(delta)
+      IndexStore.appendCountsSegment(
+        spark, dir, "documents", name, "s1", keys)(delta)
+    }
+    val truth = Map((0, 1L) -> 3L, (1, 2L) -> 1L, (2, 5L) -> 1L)
+    assert(pops() === truth,
+      "retry must apply the lost counts delta exactly once")
+    // and the index lane holds exactly one copy of the segment's rows
+    val laneRows = IndexStore.readAppends(spark, dir, "documents", name)
+      .get.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+    assert(laneRows === Seq((0, 1L), (0, 1L), (1, 2L)),
+      "index lane must hold the segment's rows exactly once")
+  }
+
   test("streaming SEMANTIC dedup: segment bound holds; verdicts converge to the batch twin") {
     val dir = "/root/testdata/sf0.001"
     val (res, stateDir) = Similarity.streamSemanticDedupRun(spark, dir)
