@@ -185,9 +185,10 @@ object IndexStore {
     * table itself (a scan of already-bucketed parquet), never from the
     * banding lineage. */
   def cachedBucketCounts(spark: SparkSession, dir: String, srcTable: String,
-      name: String, keyCols: Seq[String])(index: => DataFrame): DataFrame = {
+      name: String, keyCols: Seq[String], nBuckets: Int = 8)
+      (index: => DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, lit}
-    cachedBucketTable(spark, dir, srcTable, countsName(name), 8,
+    cachedBucketTable(spark, dir, srcTable, countsName(name), nBuckets,
       keyCols, keyCols) {
       index.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("cnt"))
@@ -220,9 +221,11 @@ object IndexStore {
     * measured ~half the capped serve's cost at the ×1000 probe scale)
     * is paid only while uncompacted deltas actually exist. */
   def bucketPopulations(spark: SparkSession, dir: String, srcTable: String,
-      name: String, keyCols: Seq[String])(index: => DataFrame): DataFrame = {
+      name: String, keyCols: Seq[String], nBuckets: Int = 8)
+      (index: => DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, sum}
-    val base = cachedBucketCounts(spark, dir, srcTable, name, keyCols)(index)
+    val base = cachedBucketCounts(
+      spark, dir, srcTable, name, keyCols, nBuckets)(index)
     readAppends(spark, dir, srcTable, countsName(name)) match {
       case None => base.select((keyCols.map(col) :+ col("cnt")): _*)
       case Some(appends) => base.unionByName(appends)
