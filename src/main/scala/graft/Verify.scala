@@ -29,6 +29,19 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Bench-style between-query hygiene: the serve chains pin
+      // persisted-RDD leaves (winnowPairs contract — callers unpersist)
+      // and the streaming replays register memory-sink views; this loop
+      // runs all 222 queries in ONE JVM, so without a release here the
+      // MEMORY_ONLY blocks of every preceding query stay resident for
+      // the whole dump (eviction keeps results correct, but memory
+      // pressure can slow or destabilize the run).
+      spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.startsWith("graft_stream"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

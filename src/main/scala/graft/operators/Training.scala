@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators beyond the reference's warehouse
@@ -472,15 +472,23 @@ object Training {
       .withColumn("bucket",
         (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 100)
 
-  private def contamShingled(spark: SparkSession, d: DataFrame): DataFrame = {
+  /** Per-doc DISTINCT shingle array (pre-explode stage): the serve path
+    * needs it un-exploded too — a document's shingle total is the
+    * array's size, computable map-side without a second explode lineage
+    * or a count shuffle. */
+  private def contamShingleArr(spark: SparkSession, d: DataFrame): DataFrame = {
     val arr =
       "array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)), " +
         "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1), try_element_at(w, i + 2))))"
     Star.fan(spark, d)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-      .select(col("doc_id"), explode(expr(arr)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .select(col("doc_id"), expr(arr).as("ss"))
   }
+
+  private def contamShingled(spark: SparkSession, d: DataFrame): DataFrame =
+    contamShingleArr(spark, d)
+      .select(col("doc_id"), explode(col("ss")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
 
   /** Per-test-doc contamination score against `train`'s distinct shingle
     * set — the shared tail of both contamination forms. */
@@ -512,16 +520,8 @@ object Training {
     * arrival, and at 1000 executors only the shard side shuffles.
     * Same train/test split and scoring as the in-query form → shared
     * oracle. */
-  def contaminationServe(spark: SparkSession, dir: String): DataFrame = {
-    val docs = contamDocs(spark, dir)
-    val index = graft.sources.IndexStore.cachedBucketTable(
-      spark, dir, "documents", "bench_ngrams", 8, Seq("h"), Seq("h")) {
-      contamShingled(spark, docs.filter(col("bucket") < 80))
-        .select("h").distinct()
-    }
-    contamScore(
-      contamShingled(spark, docs.filter(col("bucket") >= 90)), index)
-  }
+  def contaminationServe(spark: SparkSession, dir: String): DataFrame =
+    contaminationServeOf(spark, dir, col("bucket") >= 90)
 
   /** Probe seam (BASELINE fixed-shard campaign, r11 verdict item 5):
     * [[contaminationServe]] with the arriving eval shard TRUNCATED to
@@ -529,16 +529,78 @@ object Training {
     * the persisted-n-gram-index probe cost from the fixture's
     * 10 %-of-corpus shard. Index untouched. */
   private[graft] def contaminationServeFixedShard(
-      spark: SparkSession, dir: String, cap: Long): DataFrame = {
+      spark: SparkSession, dir: String, cap: Long): DataFrame =
+    contaminationServeOf(spark, dir,
+      col("bucket") >= 90 && col("doc_id") < cap)
+
+  /** The serve chain body: persisted bucketed n-gram index + its BLOOM
+    * SIDE-FILE (r12 verdict item 2 — the one serve chain that was
+    * honestly linear in index size per arrival). The shard's shingles
+    * are prefiltered through the snapshot's bloom BEFORE any join, so
+    * the join input is ≈ the shard's true hits + the bloom's 1 % false
+    * positives instead of every shingle of every arriving document;
+    * the join itself stays EXACT (inner, on the index's bucketed key),
+    * so bloom fpp is correctness-neutral and the DuckDB oracle is
+    * unchanged. Per-doc totals are map-side (a group-by of the shard
+    * alone) — they never needed the index. Join strategy is the
+    * planner's: survivors are usually broadcast-small, but a massive
+    * arrival batch falls back to the bucket-co-located shuffle join. */
+  private def contaminationServeOf(spark: SparkSession, dir: String,
+      shardPred: Column): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
     val docs = contamDocs(spark, dir)
+    val nb = contamBucketsFor(spark, dir)
     val index = graft.sources.IndexStore.cachedBucketTable(
-      spark, dir, "documents", "bench_ngrams", 8, Seq("h"), Seq("h")) {
+      spark, dir, "documents", "bench_ngrams", nb, Seq("h"), Seq("h")) {
       contamShingled(spark, docs.filter(col("bucket") < 80))
         .select("h").distinct()
     }
-    contamScore(
-      contamShingled(spark,
-        docs.filter(col("bucket") >= 90 && col("doc_id") < cap)), index)
+    val bloom = graft.sources.IndexStore.bloomFor(
+      spark, dir, "documents", "bench_ngrams", "h")(index)
+    val shardArr = contamShingleArr(spark, docs.filter(shardPred))
+    // per-doc totals map-side from the un-exploded array: no second
+    // shingle lineage, no count shuffle (doc_id is unique in documents)
+    val totals = shardArr.select(col("doc_id"),
+      size(col("ss")).cast("long").as("n_shingles"))
+    val test = shardArr
+      .select(col("doc_id"), explode(col("ss")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Literal(bloom), Bridge.expression(col("h"))))
+    val hits = test.filter(mightContain)
+      .join(index, Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        Star.ratio6(coalesce(col("n_contaminated"), lit(0L)),
+          col("n_shingles")).as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  /** bench_ngrams snapshot BUCKET COUNT, corpus-size-driven (the
+    * semanticBucketsFor doctrine): a bucketed-snapshot join runs at
+    * bucket-count parallelism, so a fixed 8 is the ceiling the ×1000
+    * contamination probe hit. One bucket per ~25 k documents, clamped
+    * [8, 256]: harness scales stay at 8 (layouts unchanged), the
+    * 5 M-doc probe corpus gets 200. An EXISTING snapshot keeps the
+    * width in its _META — only fresh corpora adopt the sizing. */
+  private def contamBucketsFor(spark: SparkSession, dir: String): Int =
+    math.max(8, math.min(256, (docCount(spark, dir) / 25000L).toInt))
+
+  // memoized per corpus snapshot (one count job per corpus, not one per
+  // query construction — the Similarity.corpusSize doctrine)
+  private val docCountCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Long)]
+
+  private def docCount(spark: SparkSession, dir: String): Long = {
+    val tag = graft.sources.FixtureCache.sourceTag(dir, "documents")
+    val cur = docCountCache.get(dir)
+    if (cur != null && cur._1 == tag) return cur._2
+    val n = Star.table(spark, dir, "documents").count()
+    docCountCache.put(dir, (tag, n))
+    n
   }
 
   private val contaminationSql =

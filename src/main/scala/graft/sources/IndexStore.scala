@@ -219,18 +219,222 @@ object IndexStore {
     * table already holds ONE row per bucket, so it is returned as-is —
     * the summing aggregation (a full shuffle of the counts table,
     * measured ~half the capped serve's cost at the ×1000 probe scale)
-    * is paid only while uncompacted deltas actually exist. */
+    * is paid only while uncompacted deltas actually exist.
+    *
+    * LOCKSTEP GUARD (r12 advice): the index↔counts lockstep is a caller
+    * convention — [[appendSegment]] on an index that has a populations
+    * companion succeeds without the matching [[appendCountsSegment]],
+    * and a silently under-counting companion makes the 64-cap UNDER-bind
+    * with no detection anywhere. The applied-marker sets of the two
+    * lanes are compared here: an index segment the counts lane has not
+    * applied is counted directly from its still-live segment dir (the
+    * benign mid-maintenance window — index lands first, counts follow);
+    * if its dir was already compacted away the rows can no longer be
+    * attributed to the segment and the divergence is permanent → fail
+    * loudly. A counts segment the INDEX lane never applied over-counts
+    * (cap binds on phantom rows → recall-losing) and has no safe
+    * fallback → fail. */
   def bucketPopulations(spark: SparkSession, dir: String, srcTable: String,
       name: String, keyCols: Seq[String], nBuckets: Int = 8)
       (index: => DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, sum}
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
     val base = cachedBucketCounts(
       spark, dir, srcTable, name, keyCols, nBuckets)(index)
-    readAppends(spark, dir, srcTable, countsName(name)) match {
-      case None => base.select((keyCols.map(col) :+ col("cnt")): _*)
-      case Some(appends) => base.unionByName(appends)
+    val idxIds = appliedSegIds(spark, dir, srcTable, name)
+    val cntIds = appliedSegIds(spark, dir, srcTable, countsName(name))
+    val phantom = cntIds -- idxIds
+    if (phantom.nonEmpty) throw new IllegalStateException(
+      s"populations companion of index '$name' has count segments the " +
+        s"index lane never applied (${phantom.mkString(", ")}) — the " +
+        "capped serve would bind on phantom rows")
+    val lagging = (idxIds -- cntIds).toSeq.sorted
+    val live = appendSegmentDirs(spark, dir, srcTable, name)
+      .map(p => p.getName.stripPrefix("s") -> p).toMap
+    val gone = lagging.filterNot(live.contains)
+    if (gone.nonEmpty) throw new IllegalStateException(
+      s"index '$name' segments ${gone.mkString(", ")} were applied " +
+        "without their count deltas and have since been compacted — " +
+        "their rows can no longer be attributed; the companion " +
+        "under-counts permanently (rebuild it from the index)")
+    // benign lag: count the lagging segments straight from their live
+    // index-lane dirs — same delta appendCountsSegment would have landed
+    val lagCounts = lagging.map { id =>
+      spark.read.parquet(live(id).toString)
+        .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+    }
+    val appends = readAppends(spark, dir, srcTable, countsName(name))
+    (appends.toSeq ++ lagCounts) match {
+      case Nil => base.select((keyCols.map(col) :+ col("cnt")): _*)
+      case extras => extras
+        .map(_.select((keyCols.map(col) :+ col("cnt")): _*))
+        .foldLeft(base.select((keyCols.map(col) :+ col("cnt")): _*))(
+          _ unionByName _)
         .groupBy(keyCols.map(col): _*).agg(sum("cnt").as("cnt"))
     }
+  }
+
+  /** Applied segment ids of a snapshot's append lane — the `_applied_*`
+    * markers, which SURVIVE compaction (unlike segment dirs). */
+  private def appliedSegIds(spark: SparkSession, dir: String,
+      srcTable: String, name: String): Set[String] = {
+    val appends = new Path(snapshotRoot(dir, srcTable, name), "appends")
+    val fs = appends.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(appends)) Set.empty
+    else fs.listStatus(appends).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("_applied_"))
+      .map(_.stripPrefix("_applied_")).toSet
+  }
+
+  // ---- bloom side-file companion ------------------------------------
+  //
+  // Value-skipping for EXACT-membership serve (r12 verdict item 2): an
+  // exact n-gram contamination probe joins the arriving shard against
+  // the persisted hash index, and without a skipping structure that
+  // join SCANS the index per arrival batch — linear in index size. A
+  // bloom filter over the index's key column is the one-sided-error
+  // prefilter that makes the probe shard-sized: non-member shard keys
+  // (the overwhelming majority) are dropped BEFORE the join, and the
+  // exact join over the few survivors keeps results identical. The
+  // bloom is a property OF THE SNAPSHOT, so it persists WITH it, under
+  // `<root>/blooms/`:
+  //
+  //   blooms/_SPEC.properties   items + bits (fixed per family — merging
+  //                             requires identical geometry)
+  //   blooms/b_base             bloom over the base index table
+  //   blooms/b_<segId>          bloom over one appended segment's delta
+  //
+  // Blooms are monotone (insert-only, never removed), so the union of
+  // every bloom file ever written is a correct prefilter regardless of
+  // compaction folding segment dirs together — side-files are keyed by
+  // the APPLIED segment id, which survives compaction, and are simply
+  // all OR-merged at read. The same lockstep guard as the counts
+  // companion applies: an index segment applied without its bloom would
+  // make the prefilter drop TRUE members (wrong results, not just lost
+  // recall), so the read path counts lagging segments from their
+  // still-live dirs and fails loudly if they were already compacted.
+
+  /** Serialized bloom filter over `keyCol` (a LONG column) of index
+    * `name`'s CURRENT content (base ∪ applied segments). Builds and
+    * persists the base bloom on first use across processes; segment
+    * blooms are appended in lockstep via [[appendBloomSegment]]. The
+    * returned bytes are `org.apache.spark.util.sketch.BloomFilter`
+    * serialization — feed them to `BloomFilterMightContain`. */
+  def bloomFor(spark: SparkSession, dir: String, srcTable: String,
+      name: String, keyCol: String)(index: => DataFrame): Array[Byte] =
+    synchronized {
+      val root = snapshotRoot(dir, srcTable, name)
+      val blooms = new Path(root, "blooms")
+      val fs = blooms.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new Path(blooms, "b_base"))) {
+        val df = index
+        val n = math.max(1L, df.count())
+        // optimal sizing for 1 % fpp is ~9.585 bits/item; cap at 2^28
+        // bits (32 MB serialized) — beyond ~28 M items the fpp degrades
+        // gracefully (more rows reach the exact join) instead of the
+        // driver holding an unbounded bit array. Any fpp is
+        // correctness-neutral: the exact join drops false positives.
+        val bits = math.min(1L << 28, math.max(1L << 16, (n * 9.585).toLong))
+        fs.mkdirs(blooms)
+        val props = new java.util.Properties
+        props.setProperty("items", n.toString)
+        props.setProperty("bits", bits.toString)
+        val out = fs.create(new Path(blooms, "_SPEC.properties"), true)
+        try props.store(out, "graft bloom side-file spec")
+        finally out.close()
+        writeBloomFile(spark, fs, blooms, "b_base", df, keyCol, n, bits)
+      }
+      // lockstep: any applied index segment missing its bloom is counted
+      // from its still-live dir (and persisted, so the fallback runs
+      // once); a compacted-away lagging segment is unrecoverable
+      val have = fs.listStatus(blooms).iterator.map(_.getPath.getName)
+        .filter(_.startsWith("b_")).map(_.stripPrefix("b_")).toSet
+      val lagging = (appliedSegIds(spark, dir, srcTable, name) -- have)
+        .toSeq.sorted
+      if (lagging.nonEmpty) {
+        val live = appendSegmentDirs(spark, dir, srcTable, name)
+          .map(p => p.getName.stripPrefix("s") -> p).toMap
+        val gone = lagging.filterNot(live.contains)
+        if (gone.nonEmpty) throw new IllegalStateException(
+          s"index '$name' segments ${gone.mkString(", ")} were applied " +
+            "without their bloom side-files and have since been " +
+            "compacted — the prefilter would drop true members " +
+            "(rebuild the bloom family from the index)")
+        val (items, bits) = bloomSpec(fs, blooms)
+        lagging.foreach { id =>
+          writeBloomFile(spark, fs, blooms, s"b_$id",
+            spark.read.parquet(live(id).toString), keyCol, items, bits)
+        }
+      }
+      // OR-merge every side-file (driver-side, ≤32 MB each)
+      import org.apache.spark.util.sketch.BloomFilter
+      val files = fs.listStatus(blooms)
+        .filter(_.getPath.getName.startsWith("b_")).map(_.getPath).sortBy(_.getName)
+      val merged = files.map { p =>
+        val in = fs.open(p)
+        try BloomFilter.readFrom(in) finally in.close()
+      }.reduce { (a, b) => a.mergeInPlace(b); a }
+      val bos = new java.io.ByteArrayOutputStream()
+      merged.writeTo(bos)
+      bos.toByteArray
+    }
+
+  /** Append the bloom delta of an arriving index segment, in lockstep
+    * with the segment itself (same segId; idempotent — the side-file's
+    * existence is its applied marker). Must follow [[appendSegment]] of
+    * the same id; [[bloomFor]]'s lockstep guard backfills a crash
+    * between the two from the live segment dir. */
+  def appendBloomSegment(spark: SparkSession, dir: String, srcTable: String,
+      name: String, segId: String, keyCol: String)
+      (delta: => DataFrame): Unit = synchronized {
+    val blooms = new Path(snapshotRoot(dir, srcTable, name), "blooms")
+    val fs = blooms.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(blooms, s"b_$segId"))) return
+    if (!fs.exists(new Path(blooms, "_SPEC.properties")))
+      throw new IllegalStateException(
+        s"index '$name' has no bloom family (build the base bloom via " +
+          "bloomFor before appending deltas — segment blooms must share " +
+          "its bit geometry to merge)")
+    val (items, bits) = bloomSpec(fs, blooms)
+    writeBloomFile(spark, fs, blooms, s"b_$segId", delta, keyCol, items, bits)
+  }
+
+  private def bloomSpec(fs: org.apache.hadoop.fs.FileSystem,
+      blooms: Path): (Long, Long) = {
+    val props = new java.util.Properties
+    val in = fs.open(new Path(blooms, "_SPEC.properties"))
+    try props.load(in) finally in.close()
+    (props.getProperty("items").toLong, props.getProperty("bits").toLong)
+  }
+
+  /** Distributed bloom build (native BloomFilterAggregate — the same
+    * expression Spark's runtime row-filter injects) + atomic file
+    * publication. All blooms of one family share (items, bits) so their
+    * bit geometries merge; re-publication races are harmless (identical
+    * deterministic content — bit OR is order-independent). */
+  private def writeBloomFile(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, blooms: Path, fileName: String,
+      df: DataFrame, keyCol: String, items: Long, bits: Long): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftbridge.Bridge
+    val agg = new BloomFilterAggregate(
+      Bridge.expression(col(keyCol).cast("long")),
+      Literal(items), Literal(bits)).toAggregateExpression()
+    val bytes = Option(df.select(Bridge.column(agg).as("bf"))
+      .head().getAs[Array[Byte]](0)).getOrElse {
+      // empty delta (the aggregate yields NULL): an empty bloom of the
+      // family's geometry keeps the merge total
+      val empty = org.apache.spark.util.sketch.BloomFilter.create(items, bits)
+      val bos = new java.io.ByteArrayOutputStream()
+      empty.writeTo(bos)
+      bos.toByteArray
+    }
+    val tmp = new Path(blooms, s"_tmp_${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (!fs.rename(tmp, new Path(blooms, fileName))) fs.delete(tmp, false)
+    ()
   }
 
   /** Published root dir of the snapshot named `name` (exists once built

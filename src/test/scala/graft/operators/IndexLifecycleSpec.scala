@@ -266,10 +266,16 @@ class IndexLifecycleSpec extends SparkSuite {
         .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
         .toMap
     assert(pops() === Map((0, 1L) -> 2L, (0, 2L) -> 1L, (1, 1L) -> 3L))
-    // two appends with IDENTICAL delta content (hazard (a))
+    // two appends with IDENTICAL delta content (hazard (a)) — through
+    // the REAL two-lane protocol (index rows first, counts delta
+    // second): since r13 bucketPopulations REJECTS count segments the
+    // index lane never applied (phantom rows would make the cap bind
+    // early), so a counts-lane-only append is no longer a legal fixture
     val delta = Seq((0, 1L), (1, 9L)).toDF("band_id", "h")
+    IndexStore.appendSegment(spark, dir, "documents", name, "d1")(delta)
     IndexStore.appendCountsSegment(spark, dir, "documents", name, "d1", keys)(
       delta)
+    IndexStore.appendSegment(spark, dir, "documents", name, "d2")(delta)
     IndexStore.appendCountsSegment(spark, dir, "documents", name, "d2", keys)(
       delta)
     val truth = Map(
@@ -311,17 +317,22 @@ class IndexLifecycleSpec extends SparkSuite {
         baseBands)
         .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
         .toMap
-    // crash half-way: index lane applied, counts lane never ran
+    // crash half-way: index lane applied, counts lane never ran. Since
+    // r13 the lag window no longer under-counts: bucketPopulations
+    // detects the lagging applied marker and counts the segment straight
+    // from its still-live index-lane dir — populations are already
+    // correct BEFORE the retry (previously they reflected only the base
+    // until the counts delta landed, an under-binding window).
+    val truth = Map((0, 1L) -> 3L, (1, 2L) -> 1L, (2, 5L) -> 1L)
     IndexStore.appendSegment(spark, dir, "documents", name, "s1")(delta)
-    assert(pops() === Map((0, 1L) -> 1L, (2, 5L) -> 1L),
-      "populations must still reflect only the base before the retry")
+    assert(pops() === truth,
+      "lagging index segment must be counted from its live dir")
     // at-least-once retry of the FULL job, twice
     (1 to 2).foreach { _ =>
       IndexStore.appendSegment(spark, dir, "documents", name, "s1")(delta)
       IndexStore.appendCountsSegment(
         spark, dir, "documents", name, "s1", keys)(delta)
     }
-    val truth = Map((0, 1L) -> 3L, (1, 2L) -> 1L, (2, 5L) -> 1L)
     assert(pops() === truth,
       "retry must apply the lost counts delta exactly once")
     // and the index lane holds exactly one copy of the segment's rows
@@ -329,6 +340,67 @@ class IndexLifecycleSpec extends SparkSuite {
       .get.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
     assert(laneRows === Seq((0, 1L), (0, 1L), (1, 2L)),
       "index lane must hold the segment's rows exactly once")
+  }
+
+  test("bloom side-file: no false negatives through append, crash " +
+    "backfill, and compaction; compacted-away lag fails loudly") {
+    // the value-skipping companion behind contaminationServe's
+    // prefilter (r12 verdict item 2). The ONE property that must hold
+    // is NO FALSE NEGATIVES — a bloom that misses an indexed key makes
+    // the exact-membership serve WRONG (not merely low-recall), so the
+    // whole lifecycle is gated on membership supersets.
+    import graft.sources.IndexStore
+    import org.apache.spark.util.sketch.BloomFilter
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val name = s"blmidx${java.util.UUID.randomUUID.toString.take(6)}"
+    def bloom(): BloomFilter = BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(
+        IndexStore.bloomFor(spark, dir, "documents", name, "h") {
+          IndexStore.cachedBucketTable(spark, dir, "documents", name, 2,
+            Seq("h"), Seq("h")) {
+            (0L until 100L).toDF("h")
+          }
+        }))
+    def assertMembers(bf: BloomFilter, keys: Range.Inclusive,
+        what: String): Unit =
+      keys.foreach(k => assert(bf.mightContainLong(k.toLong),
+        s"$what: indexed key $k missing from the bloom (false negative)"))
+    assertMembers(bloom(), 0 to 99, "base build")
+    // lockstep append: index segment + its bloom delta
+    IndexStore.appendSegment(spark, dir, "documents", name, "a1") {
+      (200L to 210L).toDF("h")
+    }
+    IndexStore.appendBloomSegment(spark, dir, "documents", name, "a1", "h") {
+      (200L to 210L).toDF("h")
+    }
+    assertMembers(bloom(), 200 to 210, "lockstep append")
+    // crash window: index applied, bloom delta lost — the read path
+    // backfills from the still-live segment dir (and persists it)
+    IndexStore.appendSegment(spark, dir, "documents", name, "a2") {
+      (300L to 310L).toDF("h")
+    }
+    assertMembers(bloom(), 300 to 310, "crash backfill")
+    // compaction folds the segment dirs; side-files are keyed by the
+    // applied ids (which survive) so nothing is lost
+    IndexStore.compactAppends(spark, dir, "documents", name, maxSegments = 1)
+    val bf = bloom()
+    assertMembers(bf, 0 to 99, "post-compaction")
+    assertMembers(bf, 200 to 210, "post-compaction")
+    assertMembers(bf, 300 to 310, "post-compaction")
+    // a lagging segment whose dir was compacted away BEFORE any bloom
+    // read is unrecoverable — the guard must fail, not silently serve
+    // a bloom with false negatives
+    IndexStore.appendSegment(spark, dir, "documents", name, "a3") {
+      (400L to 410L).toDF("h")
+    }
+    IndexStore.appendSegment(spark, dir, "documents", name, "a4") {
+      (500L to 510L).toDF("h")
+    }
+    IndexStore.compactAppends(spark, dir, "documents", name, maxSegments = 1)
+    val e = intercept[IllegalStateException](bloom())
+    assert(e.getMessage.contains("bloom"),
+      s"expected the bloom lockstep failure, got: ${e.getMessage}")
   }
 
   test("streaming SEMANTIC dedup: segment bound holds; verdicts converge to the batch twin") {

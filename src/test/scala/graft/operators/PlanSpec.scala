@@ -172,10 +172,49 @@ class PlanSpec extends SparkSuite {
     val bandRefs = lp.split("\n").count(_.toLowerCase.contains("lshbands"))
     assert(bandRefs <= 1,
       s"expected <=1 shard banding op in the hot plan, got $bandRefs\n" + lp)
-    // and the executed query carries the hot set as a materialized leaf
+    // the hot-set pin itself is INVISIBLE in the final executed plan —
+    // the chain pin downstream consumes the whole capped probe into its
+    // own leaf — so the old fp.contains("ExistingRDD") check was
+    // trivially satisfied by the shard-band leaf (r12 advice). The pin
+    // is asserted where it is visible: the capped PROBE relation, whose
+    // plan must show the hot set as a two-column (band_id, h)
+    // materialized leaf on the broadcast anti-join, with no live hot
+    // lineage (no population aggregate) left in it.
+    val pp = plan(Similarity.semanticCappedProbe(spark, dir))
+    assert(pp.split("\n").exists(l => l.contains("ExistingRDD[band_id") &&
+      !l.contains("vec_id")),
+      "hot set must enter the probe plan as a (band_id, h) leaf\n" + pp)
+    assert(pp.contains("LeftAnti"),
+      "capped probe must anti-join the hot set\n" + pp)
+    assert(!pp.contains("HashAggregate"),
+      "hot lineage must be consumed by the pin, not re-evaluated\n" + pp)
+    // and the executed query still carries the chain's materialized leaf
     val fp = plan(Similarity.semanticDedupCapped(spark, dir))
     assert(fp.contains("ExistingRDD"),
-      "hot set must enter the serve plan as a materialized leaf\n" + fp)
+      "probe must enter the serve plan as a materialized leaf\n" + fp)
+  }
+
+  test("contaminationServe: bloom prefilter guards the exact join; " +
+    "per-doc totals never touch the index") {
+    // r12 verdict item 2: the exact-membership serve was the one chain
+    // honestly linear in index size per arrival. The serve plan must
+    // (a) prefilter the shard's shingles through the snapshot's bloom
+    // side-file BEFORE the join (native might_contain — codegen-fused
+    // into the shard scan stage), (b) keep the EXACT join against the
+    // persisted bucketed index for survivors only, and (c) compute the
+    // per-doc shingle totals from the shard alone.
+    val p = plan(Training.contaminationServe(spark, dir))
+    assert(p.contains("might_contain"),
+      "shard shingles must be bloom-prefiltered\n" + p)
+    val idxScans = p.split("\n").filter(_.contains("graft_idx_bench_ngrams"))
+      .filterNot(_.contains("cnt_"))
+    assert(idxScans.length == 1,
+      s"expected exactly one persisted-index scan (the exact join's), " +
+        s"got ${idxScans.length}\n" + p)
+    // the bloom filter must sit on the shard side, not the index side:
+    // the index scan's stage must not carry might_contain
+    assert(!idxScans.head.contains("might_contain"),
+      "bloom must prefilter the shard, not the index\n" + p)
   }
 
   test("annIvfServe: postings scan statically prunes to the probed cells") {

@@ -79,6 +79,82 @@ class SimilarityGateSpec extends SparkSuite {
     }
   }
 
+  test("capped retract: verdicts equal the uncapped retract chain at " +
+    "harness scales") {
+    // the registered q_semantic_dedup_capped_retract shares the retract
+    // oracle verbatim on the cap-never-binds argument (population gate
+    // above); this pins the equivalence the shared oracle relies on
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val capped = Similarity.semanticDedupCappedRetract(spark, d)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val plain = Similarity.semanticDedupRetract(spark, d)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(capped === plain,
+        s"$d: capped retract diverged from the retract chain")
+    }
+  }
+
+  test("retract un-binds the cap: a bucket hot only through retracted " +
+    "rows releases its candidates") {
+    // the r12 verdict's watch item: the counts companion is append-only,
+    // so a tombstone anti-join that removes index rows WITHOUT the
+    // population lookup going net-of-tombstones leaves the 64-cap
+    // binding on buckets that are no longer hot — recall-losing exactly
+    // when the cap binds. Synthetic band relations where the cap
+    // provably BINDS before the retraction and must release after:
+    //   bucket (0,100): 60 index + 10 shard = 70 > 64  → hot, suppressed
+    //   bucket (0,300): 5 index + 3 shard             → cold, survives
+    //   tombstones: 10 of bucket-100's index vectors  → net 50+10 = 60
+    import spark.implicits._
+    def bands(rows: Seq[(Long, Int, Long)]) =
+      rows.toDF("vec_id", "band_id", "h")
+    val index = bands(
+      (0L until 60L).map(i => (i, 0, 100L)) ++
+        (200L until 205L).map(i => (i, 0, 300L)))
+    val shard = bands(
+      (1000L until 1010L).map(i => (i, 0, 100L)) ++
+        (1100L until 1103L).map(i => (i, 0, 300L)))
+    // the modeled PERSISTED populations (what the counts companion
+    // holds): built from the pre-retraction index, never decremented
+    val idxPop = index.groupBy("band_id", "h")
+      .agg(count(lit(1)).as("cnt"))
+    def pairs(idx: org.apache.spark.sql.DataFrame,
+        pop: org.apache.spark.sql.DataFrame) = {
+      val hot = Similarity.cappedHotPlanOf(shard, pop)
+      Similarity.semanticCandPlan(idx,
+        shard.join(hot, Seq("band_id", "h"), "left_anti"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val before = pairs(index, idxPop)
+    assert(before.nonEmpty && before.forall { case (a, b) =>
+      (200 <= a && a < 205 || a >= 1100) && b >= 1100 },
+      s"cap must BIND pre-retraction (only cold-bucket pairs), " +
+        s"got ${before.take(5)}")
+    // retract 10 of bucket-100's vectors: live index loses their rows,
+    // and their band rows are what netPopulations subtracts
+    val tombBands = bands((0L until 10L).map(i => (i, 0, 100L)))
+    val live = index.join(tombBands.select("vec_id"),
+      Seq("vec_id"), "left_anti")
+    // WITHOUT the net (stale companion): the bucket stays suppressed —
+    // the defect the net fixes
+    val stale = pairs(live, idxPop)
+    assert(stale.forall { case (a, b) => b >= 1100 },
+      "stale populations must keep the bucket suppressed " +
+        "(the defect this feature closes)")
+    // WITH the net: 50 + 10 = 60 <= 64 → the cap releases, and the
+    // bucket's candidates (live index × shard, shard-internal) appear
+    val after = pairs(live, Similarity.netPopulations(idxPop, tombBands))
+    val bucket100 = after.filter { case (a, b) =>
+      (10 <= a && a < 60 || a >= 1000) && 1000 <= b && b < 1010 }
+    assert(bucket100.nonEmpty,
+      s"net populations must un-bind the bucket, got ${after.take(5)}")
+    assert(after.exists { case (a, _) => 200 <= a && a < 205 },
+      "cold-bucket pairs must survive throughout")
+    // and no retracted vector may reappear as a candidate
+    assert(after.forall { case (a, _) => a >= 10 },
+      s"retracted vectors leaked back in: ${after.filter(_._1 < 10)}")
+  }
+
   test("BINDING cap: probe-side-only capping equals the cap-both-sides semantics") {
     // r12 rewired semanticDedupCapped to anti-join ONLY the shard
     // (probe) side, on the argument that a bucket with no shard rows
