@@ -21,6 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** DataFrame-level persists handed out by the materialize branch below
+    * — the ONE site in main source that caches through the CacheManager
+    * (everything else pins raw RDD leaves). Registered so a multi-query
+    * harness can release them PROPERLY (df.unpersist drops both the
+    * buffers and the CacheManager entry) without a global clearCache,
+    * which would also evict deliberately pinned relations
+    * ([[Star.pinTables]]). */
+  private[graft] val materializedRegistry =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Release every registered materialized relation (between-query
+    * harness hygiene — the winnowPairs caching contract). */
+  private[graft] def releaseMaterialized(): Unit = {
+    var df = materializedRegistry.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = materializedRegistry.poll()
+    }
+  }
+
   /** Word 3-gram shingle set per doc: (doc_id, shingle) exploded rows.
     * `try_element_at` (null out of bounds, ANSI-safe) + concat_ws's
     * null-skipping means a doc shorter than 3 tokens yields its full text
@@ -87,9 +107,12 @@ object Dedup {
     // unpersist between queries.
     val renamed = exploded.withColumnRenamed(tokenCol, "__tok")
     val f =
-      if (materialize)
-        renamed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else renamed
+      if (materialize) {
+        val p = renamed
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        materializedRegistry.add(p)
+        p
+      } else renamed
     val withCounts =
       if (hasCountCol) {
         f.as("a")

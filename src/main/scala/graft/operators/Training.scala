@@ -472,22 +472,21 @@ object Training {
       .withColumn("bucket",
         (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 100)
 
-  /** Per-doc DISTINCT shingle array (pre-explode stage): the serve path
-    * needs it un-exploded too — a document's shingle total is the
-    * array's size, computable map-side without a second explode lineage
-    * or a count shuffle. */
-  private def contamShingleArr(spark: SparkSession, d: DataFrame): DataFrame = {
-    val arr =
-      "array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)), " +
-        "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1), try_element_at(w, i + 2))))"
+  /** The one shingle-array SQL expression behind every contamination
+    * form (a drifting copy would desynchronize the serve path from the
+    * in-query form they share an oracle with). */
+  private val contamArrExpr =
+    "array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)), " +
+      "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1), try_element_at(w, i + 2))))"
+
+  // the explode stays INLINE in the select: a measured 5× regression
+  // (1.14 → 5.49 s at sf0.1) follows from splitting it into
+  // Project[array] + explode(column) — the inline generator keeps the
+  // array construction fused into the generate stage
+  private def contamShingled(spark: SparkSession, d: DataFrame): DataFrame =
     Star.fan(spark, d)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-      .select(col("doc_id"), expr(arr).as("ss"))
-  }
-
-  private def contamShingled(spark: SparkSession, d: DataFrame): DataFrame =
-    contamShingleArr(spark, d)
-      .select(col("doc_id"), explode(col("ss")).as("s"))
+      .select(col("doc_id"), explode(expr(contamArrExpr)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
 
   /** Per-test-doc contamination score against `train`'s distinct shingle
@@ -558,14 +557,18 @@ object Training {
     }
     val bloom = graft.sources.IndexStore.bloomFor(
       spark, dir, "documents", "bench_ngrams", "h")(index)
-    val shardArr = contamShingleArr(spark, docs.filter(shardPred))
-    // per-doc totals map-side from the un-exploded array: no second
-    // shingle lineage, no count shuffle (doc_id is unique in documents)
-    val totals = shardArr.select(col("doc_id"),
-      size(col("ss")).cast("long").as("n_shingles"))
-    val test = shardArr
-      .select(col("doc_id"), explode(col("ss")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val shard = docs.filter(shardPred)
+    // per-doc totals MAP-SIDE as the shingle array's size — no explode,
+    // no count shuffle (doc_id is unique in documents). This is a second
+    // tokenize pass over the shard, deliberately: branching one shingled
+    // lineage into totals + hits would re-evaluate it twice anyway
+    // (Catalyst does not CSE across plan branches), and the un-exploded
+    // size() pass is the cheaper of the two evaluations.
+    val totals = Star.fan(spark, shard)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"),
+        size(expr(contamArrExpr)).cast("long").as("n_shingles"))
+    val test = contamShingled(spark, shard)
     val mightContain = Bridge.column(BloomFilterMightContain(
       Literal(bloom), Bridge.expression(col("h"))))
     val hits = test.filter(mightContain)
