@@ -378,15 +378,15 @@ object Analytics {
       .cube("o_orderpriority", "o_orderstatus")
       .agg(grouping_id().cast("long").as("gid"),
         count(lit(1)).as("n"),
-        Star.dsum(col("o_totalprice")).as("revenue"))
+        Star.dsumX(col("o_totalprice")).as("revenue"))
       .orderBy(asc_nulls_first("o_orderpriority"),
         asc_nulls_first("o_orderstatus"), col("gid"))
 
   private val cubeOrdersSql =
-    """SELECT o_orderpriority, o_orderstatus,
+    s"""SELECT o_orderpriority, o_orderstatus,
       |  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |  ${Star.Sql.dsumX("o_totalprice")} AS revenue
       |FROM orders
       |GROUP BY CUBE(o_orderpriority, o_orderstatus)
       |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, gid""".stripMargin

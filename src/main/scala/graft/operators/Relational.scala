@@ -4,12 +4,15 @@ import graft.QueryDef
 import graft.inmet.Ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import Star.{dsum, davg, davgNonNull}
+import Star.{dsum, dsumX, davgX, davgNonNullX}
 
 /** Core relational operator inventory (SURVEY.md §2) expressed over the
   * harness star schema, one registered query per operator family, each with
   * a DuckDB oracle. Conventions for oracle-stable output:
-  *   - every float aggregate uses the exact-decimal helpers (Star.dsum/davg);
+  *   - every float aggregate uses the exact-sum helpers — Star.dsumX/davgX
+  *     (codegen split-accumulator) for raw ≤2-decimal money / integer-ish
+  *     columns, Star.dsum/davg (decimal) where the input is an arbitrary
+  *     computed double (the events `value` column);
   *   - every result carries a total order (unique tiebreak column);
   *   - derived integer parts are cast to BIGINT to match DuckDB result types.
   *
@@ -39,14 +42,14 @@ object Relational {
     li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumX(col("l_quantity")).as("sum_qty"),
+        dsumX(col("l_extendedprice")).as("sum_base_price"),
         (sum(pc * (lit(100L) - dc)).cast("double") / 1e4).as("sum_disc_price"),
         (sum(pc * (lit(100L) - dc) * (lit(100L) + tc)).cast("double") / 1e6)
           .as("sum_charge"),
-        davg(col("l_quantity")).as("avg_qty"),
-        davg(col("l_extendedprice")).as("avg_price"),
-        davg(col("l_discount")).as("avg_disc"),
+        davgX(col("l_quantity")).as("avg_qty"),
+        davgX(col("l_extendedprice")).as("avg_price"),
+        davgX(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -56,13 +59,13 @@ object Relational {
     val dc = Star.Sql.cents("l_discount")
     val tc = Star.Sql.cents("l_tax")
     s"""SELECT l_returnflag, l_linestatus,
-       |  ${Star.Sql.dsum("l_quantity")} AS sum_qty,
-       |  ${Star.Sql.dsum("l_extendedprice")} AS sum_base_price,
+       |  ${Star.Sql.dsumX("l_quantity")} AS sum_qty,
+       |  ${Star.Sql.dsumX("l_extendedprice")} AS sum_base_price,
        |  CAST(SUM($pc * (100 - $dc)) AS DOUBLE) / 1e4 AS sum_disc_price,
        |  CAST(SUM($pc * (100 - $dc) * (100 + $tc)) AS DOUBLE) / 1e6 AS sum_charge,
-       |  ${Star.Sql.davg("l_quantity")} AS avg_qty,
-       |  ${Star.Sql.davg("l_extendedprice")} AS avg_price,
-       |  ${Star.Sql.davg("l_discount")} AS avg_disc,
+       |  ${Star.Sql.davgX("l_quantity")} AS avg_qty,
+       |  ${Star.Sql.davgX("l_extendedprice")} AS avg_price,
+       |  ${Star.Sql.davgX("l_discount")} AS avg_disc,
        |  COUNT(*) AS count_order
        |FROM lineitem
        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -92,7 +95,7 @@ object Relational {
       .groupBy("p_brand")
       .agg(
         count(lit(1)).as("n_items"),
-        dsum(col("l_quantity")).as("sum_qty"),
+        dsumX(col("l_quantity")).as("sum_qty"),
         (sum(Star.cents(col("l_extendedprice"))
           * (lit(100L) - Star.cents(col("l_discount")))).cast("double") / 1e4)
           .as("revenue"))
@@ -101,7 +104,7 @@ object Relational {
 
   private val joinBroadcastSql =
     s"""SELECT p_brand, COUNT(*) AS n_items,
-       |  ${Star.Sql.dsum("l_quantity")} AS sum_qty,
+       |  ${Star.Sql.dsumX("l_quantity")} AS sum_qty,
        |  CAST(SUM(${Star.Sql.cents("l_extendedprice")}
        |    * (100 - ${Star.Sql.cents("l_discount")})) AS DOUBLE) / 1e4 AS revenue
        |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -121,14 +124,14 @@ object Relational {
       .groupBy(col("r_name"),
         year(col("o_orderdate")).cast("long").as("ano"))
       .agg(
-        dsum(col("o_totalprice")).as("revenue"),
+        dsumX(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy("r_name", "ano")
   }
 
   private val joinMultiSql =
     s"""SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS ano,
-       |  ${Star.Sql.dsum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+       |  ${Star.Sql.dsumX("o_totalprice")} AS revenue, COUNT(*) AS n_orders
        |FROM orders
        |JOIN customer ON o_custkey = c_custkey
        |JOIN nation ON c_nationkey = n_nationkey
@@ -265,7 +268,7 @@ object Relational {
       col("l_linenumber").cast("string"))
     li.select(col("l_returnflag"), Ingest.commaDouble(s).as("v"))
       .groupBy("l_returnflag")
-      .agg(dsum(col("v")).as("sum_parsed"), count(lit(1)).as("n"))
+      .agg(dsumX(col("v")).as("sum_parsed"), count(lit(1)).as("n"))
       .orderBy("l_returnflag")
   }
 
@@ -276,7 +279,7 @@ object Relational {
        |                        CAST(l_linenumber AS VARCHAR)), ',', '.')
        |         AS DOUBLE) AS v
        |  FROM lineitem)
-       |SELECT l_returnflag, ${Star.Sql.dsum("v")} AS sum_parsed, COUNT(*) AS n
+       |SELECT l_returnflag, ${Star.Sql.dsumX("v")} AS sum_parsed, COUNT(*) AS n
        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** F6: mixed-format date parsing (yyyy/MM/dd vs dd/MM/yyyy in the same
@@ -314,8 +317,8 @@ object Relational {
     li.select(col("l_returnflag"), x.as("x"))
       .groupBy("l_returnflag")
       .agg(
-        davg(coalesce(col("x"), lit(0.0))).as("avg_zerofill"),
-        davgNonNull(col("x")).as("avg_nullskip"),
+        davgX(coalesce(col("x"), lit(0.0))).as("avg_zerofill"),
+        davgNonNullX(col("x")).as("avg_nullskip"),
         (count(lit(1)) - count(col("x"))).as("n_null"))
       .orderBy("l_returnflag")
   }
@@ -326,8 +329,8 @@ object Relational {
        |    CASE WHEN l_tax < 0.03 THEN NULL ELSE l_tax END AS x
        |  FROM lineitem)
        |SELECT l_returnflag,
-       |  ${Star.Sql.davg("COALESCE(x, 0.0)")} AS avg_zerofill,
-       |  ${Star.Sql.davgNonNull("x")} AS avg_nullskip,
+       |  ${Star.Sql.davgX("COALESCE(x, 0.0)")} AS avg_zerofill,
+       |  ${Star.Sql.davgNonNullX("x")} AS avg_nullskip,
        |  COUNT(*) - COUNT(x) AS n_null
        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
@@ -506,15 +509,15 @@ object Relational {
       .agg(
         grouping_id().cast("long").as("gid"),
         count(lit(1)).as("n"),
-        dsum(col("o_totalprice")).as("revenue"))
+        dsumX(col("o_totalprice")).as("revenue"))
       .orderBy(asc_nulls_first("o_orderpriority"),
         asc_nulls_first("o_orderstatus"), col("gid"))
 
   private val rollupOrdersSql =
-    """SELECT o_orderpriority, o_orderstatus,
+    s"""SELECT o_orderpriority, o_orderstatus,
       |  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |  ${Star.Sql.dsumX("o_totalprice")} AS revenue
       |FROM orders
       |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
       |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, gid""".stripMargin
