@@ -42,7 +42,12 @@ object FixedShardProbe {
           .contaminationServeFixedShard(spark, sfDir, docCap)),
       "semantic_incremental_fixed" ->
         (() => graft.operators.Similarity
-          .semanticDedupIncrementalFixedShard(spark, sfDir, vecCap)))
+          .semanticDedupIncrementalFixedShard(spark, sfDir, vecCap)),
+      // r12 verdict item 6: the capped serve through the APPEND LANE —
+      // confirms the companion's population deltas stay shard-sized
+      "semantic_capped_append_fixed" ->
+        (() => graft.operators.Similarity
+          .semanticDedupCappedAppendFixedShard(spark, sfDir, vecCap)))
 
     for ((label, mk) <- chains) {
       def run(): Double = {
