@@ -546,8 +546,6 @@ object Training {
     * arrival batch falls back to the bucket-co-located shuffle join. */
   private def contaminationServeOf(spark: SparkSession, dir: String,
       shardPred: Column): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.Bridge
     val docs = contamDocs(spark, dir)
     val nb = contamBucketsFor(spark, dir)
     val index = graft.sources.IndexStore.cachedBucketTable(
@@ -569,8 +567,13 @@ object Training {
       .select(col("doc_id"),
         size(expr(contamArrExpr)).cast("long").as("n_shingles"))
     val test = contamShingled(spark, shard)
-    val mightContain = Bridge.column(BloomFilterMightContain(
-      Literal(bloom), Bridge.expression(col("h"))))
+    // custom expression, not BloomFilterMightContain(Literal(bloom), _):
+    // a corpus-scaled bloom inside a Literal makes Catalyst hash/compare
+    // the full bit array on every canonicalization during optimization —
+    // a ~4 s per-serve plateau once the ×100 corpus hit the 32 MB cap
+    // (probe numbers in BASELINE.md). BloomRef compares by reference.
+    val mightContain =
+      graft.functions.BloomOps.mightContainLong(col("h"), bloom)
     val hits = test.filter(mightContain)
       .join(index, Seq("h"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))

@@ -365,18 +365,40 @@ object IndexStore {
             spark.read.parquet(live(id).toString), keyCol, items, bits)
         }
       }
-      // OR-merge every side-file (driver-side, ≤32 MB each)
+      // OR-merge every side-file (driver-side, ≤32 MB each), memoized on
+      // the side-file listing: serve queries construct per arrival batch,
+      // and re-reading + re-merging a corpus-scaled bit array on every
+      // construction is a per-serve cost proportional to INDEX size —
+      // exactly what the side-file exists to avoid. The guard (name,
+      // mtime, length of every b_* file) changes whenever a segment bloom
+      // lands or is backfilled, so a stale merge can never serve.
       import org.apache.spark.util.sketch.BloomFilter
-      val files = fs.listStatus(blooms)
-        .filter(_.getPath.getName.startsWith("b_")).map(_.getPath).sortBy(_.getName)
-      val merged = files.map { p =>
-        val in = fs.open(p)
-        try BloomFilter.readFrom(in) finally in.close()
-      }.reduce { (a, b) => a.mergeInPlace(b); a }
-      val bos = new java.io.ByteArrayOutputStream()
-      merged.writeTo(bos)
-      bos.toByteArray
+      val stats = fs.listStatus(blooms)
+        .filter(_.getPath.getName.startsWith("b_")).sortBy(_.getPath.getName)
+      val guard = stats.map(s =>
+        s"${s.getPath.getName}:${s.getModificationTime}:${s.getLen}")
+        .mkString(";")
+      val rootKey = root.toString
+      val hit = bloomMergeCache.get(rootKey)
+      if (hit != null && hit._1 == guard) hit._2
+      else {
+        val merged = stats.map { s =>
+          val in = fs.open(s.getPath)
+          try BloomFilter.readFrom(in) finally in.close()
+        }.reduce { (a, b) => a.mergeInPlace(b); a }
+        val bos = new java.io.ByteArrayOutputStream()
+        merged.writeTo(bos)
+        val bytes = bos.toByteArray
+        bloomMergeCache.put(rootKey, (guard, bytes))
+        bytes
+      }
     }
+
+  // merged-bloom memo: root dir -> (side-file listing guard, bytes).
+  // Callers receive the SHARED array and must treat it as immutable
+  // (they do — it feeds Literal/BloomFilterMightContain).
+  private val bloomMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Byte])]
 
   /** Append the bloom delta of an arriving index segment, in lockstep
     * with the segment itself (same segId; idempotent — the side-file's
