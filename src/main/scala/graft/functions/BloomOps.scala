@@ -36,6 +36,22 @@ case class BloomMightContain(child: Expression, bloom: BloomRef)
     extends UnaryExpression with Predicate {
   override def prettyName: String = "graft_bloom_might_contain"
 
+  /** Functionally this IS deterministic; the flag is a constraint-
+    * propagation fence. `InferFiltersFromConstraints` copies a
+    * deterministic probe-side predicate across the serve join's key
+    * equality onto the INDEX side — where a bloom over the index's own
+    * keys rejects NOTHING (no false negatives), so the inferred filter
+    * is a pure per-index-row probe of a corpus-scaled bit array (two
+    * hashes + two random reads into up to 32 MB, per row, per serve).
+    * Constraints only collect deterministic predicates
+    * (QueryPlan.validConstraints), so this keeps the prefilter exactly
+    * where the serve path places it: on the arriving shard. The cost is
+    * that the optimizer also won't reorder it with neighboring filters
+    * — it has none; it sits directly on the shingle derivation.
+    * Plan-shape-gated in PlanSpec ("bloom must prefilter the shard,
+    * not the index"). */
+  override lazy val deterministic: Boolean = false
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
