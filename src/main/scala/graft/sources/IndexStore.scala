@@ -237,7 +237,29 @@ object IndexStore {
   def bucketPopulations(spark: SparkSession, dir: String, srcTable: String,
       name: String, keyCols: Seq[String], nBuckets: Int = 8)
       (index: => DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import org.apache.spark.sql.functions.{col, sum}
+    val (base, extras) = bucketPopulationsRaw(
+      spark, dir, srcTable, name, keyCols, nBuckets)(index)
+    if (extras.isEmpty) base
+    else extras.foldLeft(base)(_ unionByName _)
+      .groupBy(keyCols.map(col): _*).agg(sum("cnt").as("cnt"))
+  }
+
+  /** [[bucketPopulations]] WITHOUT the final per-bucket sum: (base,
+    * deltas) as (keyCols*, cnt) relations whose per-bucket cnt SUM is
+    * the population. A capped SERVE should consume this form and
+    * aggregate AFTER restricting to the arrival's buckets: the summed
+    * form's aggregation is a full shuffle of the counts table per serve
+    * call — corpus-sized work (measured ~half the ×1000 capped serve)
+    * for a result the hot-set join immediately narrows to the handful
+    * of shard-touched buckets. The base table is bucketed on the keys,
+    * so the post-restriction join stays co-located; deltas are
+    * segment-sized. Lockstep guards identical to the summed form. */
+  def bucketPopulationsRaw(spark: SparkSession, dir: String,
+      srcTable: String, name: String, keyCols: Seq[String],
+      nBuckets: Int = 8)(index: => DataFrame)
+      : (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.sql.functions.{col, count, lit}
     val base = cachedBucketCounts(
       spark, dir, srcTable, name, keyCols, nBuckets)(index)
     val idxIds = appliedSegIds(spark, dir, srcTable, name)
@@ -263,14 +285,9 @@ object IndexStore {
         .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
     }
     val appends = readAppends(spark, dir, srcTable, countsName(name))
-    (appends.toSeq ++ lagCounts) match {
-      case Nil => base.select((keyCols.map(col) :+ col("cnt")): _*)
-      case extras => extras
-        .map(_.select((keyCols.map(col) :+ col("cnt")): _*))
-        .foldLeft(base.select((keyCols.map(col) :+ col("cnt")): _*))(
-          _ unionByName _)
-        .groupBy(keyCols.map(col): _*).agg(sum("cnt").as("cnt"))
-    }
+    val cols = keyCols.map(col) :+ col("cnt")
+    (base.select(cols: _*),
+      (appends.toSeq ++ lagCounts).map(_.select(cols: _*)))
   }
 
   /** Applied segment ids of a snapshot's append lane — the `_applied_*`
