@@ -265,7 +265,22 @@ class IndexLifecycleSpec extends SparkSuite {
         baseBands)
         .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
         .toMap
-    assert(pops() === Map((0, 1L) -> 2L, (0, 2L) -> 1L, (1, 1L) -> 3L))
+    // the RAW form (r13 — what the capped serve consumes, restricted
+    // and summed post-join) must agree with the summed form at every
+    // lifecycle state: sum its legs client-side and compare
+    def popsRaw(): Map[(Int, Long), Long] = {
+      val (b, extras) = IndexStore.bucketPopulationsRaw(
+        spark, dir, "documents", name, keys)(baseBands)
+      (b +: extras).flatMap(_.collect())
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    }
+    def bothPops(): Map[(Int, Long), Long] = {
+      val s = pops()
+      assert(popsRaw() === s, "raw legs' sum must equal the summed form")
+      s
+    }
+    assert(bothPops() === Map((0, 1L) -> 2L, (0, 2L) -> 1L, (1, 1L) -> 3L))
     // two appends with IDENTICAL delta content (hazard (a)) — through
     // the REAL two-lane protocol (index rows first, counts delta
     // second): since r13 bucketPopulations REJECTS count segments the
@@ -280,20 +295,20 @@ class IndexLifecycleSpec extends SparkSuite {
       delta)
     val truth = Map(
       (0, 1L) -> 4L, (0, 2L) -> 1L, (1, 1L) -> 3L, (1, 9L) -> 2L)
-    assert(pops() === truth, "append deltas must be additive")
+    assert(bothPops() === truth, "append deltas must be additive")
     // compact the counts lane; populations unchanged, bound holds
     IndexStore.compactAppends(
       spark, dir, "documents", IndexStore.countsName(name), maxSegments = 1)
     assert(IndexStore.appendSegmentDirs(
       spark, dir, "documents", IndexStore.countsName(name)).size === 1,
       "compaction must fold the two delta segments into one")
-    assert(pops() === truth,
+    assert(bothPops() === truth,
       "identical deltas from different segments collapsed during " +
         "compaction — seg_id tagging broken")
     // hazard (b): re-append an applied delta after its rows were folded
     IndexStore.appendCountsSegment(spark, dir, "documents", name, "d1", keys)(
       delta)
-    assert(pops() === truth, "re-applied delta double-counted")
+    assert(bothPops() === truth, "re-applied delta double-counted")
   }
 
   test("cross-lane crash: index segment applied, counts delta lost — retry converges") {
