@@ -39,6 +39,11 @@ object Verify {
       spark.catalog.listTables().collect()
         .filter(t => t.isTemporary && t.name.startsWith("graft_stream"))
         .foreach(t => spark.catalog.dropTempView(t.name))
+      // the winnow-materialize sites register their persisted frames in
+      // a release queue (Bench's contract); without draining it here the
+      // queue retains one analyzed plan tree per construction for the
+      // whole 223-query dump
+      graft.operators.Dedup.releaseMaterialized()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

@@ -593,21 +593,9 @@ object Training {
     * 5 M-doc probe corpus gets 200. An EXISTING snapshot keeps the
     * width in its _META — only fresh corpora adopt the sizing. */
   private def contamBucketsFor(spark: SparkSession, dir: String): Int =
-    math.max(8, math.min(256, (docCount(spark, dir) / 25000L).toInt))
-
-  // memoized per corpus snapshot (one count job per corpus, not one per
-  // query construction — the Similarity.corpusSize doctrine)
-  private val docCountCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Long)]
-
-  private def docCount(spark: SparkSession, dir: String): Long = {
-    val tag = graft.sources.FixtureCache.sourceTag(dir, "documents")
-    val cur = docCountCache.get(dir)
-    if (cur != null && cur._1 == tag) return cur._2
-    val n = Star.table(spark, dir, "documents").count()
-    docCountCache.put(dir, (tag, n))
-    n
-  }
+    graft.sources.IndexStore.bucketsFor(
+      graft.sources.IndexStore.memoizedTableCount(spark, dir, "documents"),
+      rowsPerBucket = 25000L)
 
   private val contaminationSql =
     s"""WITH b AS (

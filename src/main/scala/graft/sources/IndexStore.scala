@@ -269,25 +269,67 @@ object IndexStore {
       s"populations companion of index '$name' has count segments the " +
         s"index lane never applied (${phantom.mkString(", ")}) — the " +
         "capped serve would bind on phantom rows")
-    val lagging = (idxIds -- cntIds).toSeq.sorted
-    val live = appendSegmentDirs(spark, dir, srcTable, name)
-      .map(p => p.getName.stripPrefix("s") -> p).toMap
-    val gone = lagging.filterNot(live.contains)
-    if (gone.nonEmpty) throw new IllegalStateException(
-      s"index '$name' segments ${gone.mkString(", ")} were applied " +
-        "without their count deltas and have since been compacted — " +
-        "their rows can no longer be attributed; the companion " +
-        "under-counts permanently (rebuild it from the index)")
     // benign lag: count the lagging segments straight from their live
     // index-lane dirs — same delta appendCountsSegment would have landed
-    val lagCounts = lagging.map { id =>
-      spark.read.parquet(live(id).toString)
-        .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
-    }
+    val lagCounts = laggingSegments(spark, dir, srcTable, name, cntIds,
+      gone => s"index '$name' segments ${gone.mkString(", ")} were " +
+        "applied without their count deltas and have since been " +
+        "compacted — their rows can no longer be attributed; the " +
+        "companion under-counts permanently (rebuild it from the index)")
+      .map { case (_, p) =>
+        spark.read.parquet(p.toString)
+          .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+      }
     val appends = readAppends(spark, dir, srcTable, countsName(name))
     val cols = keyCols.map(col) :+ col("cnt")
     (base.select(cols: _*),
       (appends.toSeq ++ lagCounts).map(_.select(cols: _*)))
+  }
+
+  /** Source-tag-guarded row-count memo (one metadata-cheap count job per
+    * corpus table per JVM, not one per query construction) — the shared
+    * form of the Similarity.corpusSize / Training.docCount doctrine. */
+  def memoizedTableCount(spark: SparkSession, dir: String,
+      table: String): Long = {
+    val key = s"$dir#$table"
+    val tag = FixtureCache.sourceTag(dir, table)
+    val cur = tableCountMemo.get(key)
+    if (cur != null && cur._1 == tag) return cur._2
+    val n = graft.operators.Star.table(spark, dir, table).count()
+    tableCountMemo.put(key, (tag, n))
+    n
+  }
+
+  private val tableCountMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Long)]
+
+  /** Corpus-size-driven snapshot bucket count: one bucket per
+    * `rowsPerBucket` rows, clamped [8, 256] — bucketed-snapshot joins
+    * run at bucket-count parallelism, so a fixed 8 is a ceiling at probe
+    * scales while harness scales stay at 8 (layouts unchanged; an
+    * EXISTING snapshot keeps the width in its _META). */
+  def bucketsFor(n: Long, rowsPerBucket: Long): Int =
+    math.max(8, math.min(256, (n / rowsPerBucket).toInt))
+
+  /** Lockstep audit of index `name`'s applied segments against a
+    * companion lane's applied ids: returns the ids the companion is
+    * MISSING paired with their still-live index-lane dirs (the benign
+    * mid-maintenance window — the caller backfills/counts from them);
+    * throws with `goneMsg` if any lagging segment's dir was already
+    * compacted away (its rows can no longer be attributed — permanent
+    * divergence, caller-specific recovery). Shared by the counts and
+    * bloom companions so the two lanes' crash-window semantics cannot
+    * drift apart. */
+  private def laggingSegments(spark: SparkSession, dir: String,
+      srcTable: String, name: String, companionHas: Set[String],
+      goneMsg: Seq[String] => String): Seq[(String, Path)] = {
+    val lagging = (appliedSegIds(spark, dir, srcTable, name) --
+      companionHas).toSeq.sorted
+    val live = appendSegmentDirs(spark, dir, srcTable, name)
+      .map(p => p.getName.stripPrefix("s") -> p).toMap
+    val gone = lagging.filterNot(live.contains)
+    if (gone.nonEmpty) throw new IllegalStateException(goneMsg(gone))
+    lagging.map(id => id -> live(id))
   }
 
   /** Applied segment ids of a snapshot's append lane — the `_applied_*`
@@ -365,21 +407,18 @@ object IndexStore {
       // once); a compacted-away lagging segment is unrecoverable
       val have = fs.listStatus(blooms).iterator.map(_.getPath.getName)
         .filter(_.startsWith("b_")).map(_.stripPrefix("b_")).toSet
-      val lagging = (appliedSegIds(spark, dir, srcTable, name) -- have)
-        .toSeq.sorted
+      // b_base is not a segment id; pass only segment blooms as "has"
+      val lagging = laggingSegments(spark, dir, srcTable, name,
+        have - "base",
+        gone => s"index '$name' segments ${gone.mkString(", ")} were " +
+          "applied without their bloom side-files and have since been " +
+          "compacted — the prefilter would drop true members " +
+          "(rebuild the bloom family from the index)")
       if (lagging.nonEmpty) {
-        val live = appendSegmentDirs(spark, dir, srcTable, name)
-          .map(p => p.getName.stripPrefix("s") -> p).toMap
-        val gone = lagging.filterNot(live.contains)
-        if (gone.nonEmpty) throw new IllegalStateException(
-          s"index '$name' segments ${gone.mkString(", ")} were applied " +
-            "without their bloom side-files and have since been " +
-            "compacted — the prefilter would drop true members " +
-            "(rebuild the bloom family from the index)")
         val (items, bits) = bloomSpec(fs, blooms)
-        lagging.foreach { id =>
+        lagging.foreach { case (id, p) =>
           writeBloomFile(spark, fs, blooms, s"b_$id",
-            spark.read.parquet(live(id).toString), keyCol, items, bits)
+            spark.read.parquet(p.toString), keyCol, items, bits)
         }
       }
       // OR-merge every side-file (driver-side, ≤32 MB each), memoized on
@@ -399,10 +438,21 @@ object IndexStore {
       val hit = bloomMergeCache.get(rootKey)
       if (hit != null && hit._1 == guard) hit._2
       else {
-        val merged = stats.map { s =>
+        val merged = try stats.map { s =>
           val in = fs.open(s.getPath)
           try BloomFilter.readFrom(in) finally in.close()
         }.reduce { (a, b) => a.mergeInPlace(b); a }
+        catch {
+          // every side-file of a family is written at the _SPEC geometry
+          // (writeBloomFile pins the aggregate's clamping confs to it),
+          // so a mismatch means files from before that invariant held —
+          // fail with the recovery, not a bare sketch exception
+          case e: org.apache.spark.util.sketch.IncompatibleMergeException =>
+            throw new IllegalStateException(
+              s"bloom side-files under $blooms have mixed geometries " +
+                "(family predates the spec-pinned build); delete the " +
+                "blooms/ dir to rebuild it from the index", e)
+        }
         val bos = new java.io.ByteArrayOutputStream()
         merged.writeTo(bos)
         val bytes = bos.toByteArray
@@ -457,11 +507,37 @@ object IndexStore {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.graftbridge.Bridge
-    val agg = new BloomFilterAggregate(
-      Bridge.expression(col(keyCol).cast("long")),
-      Literal(items), Literal(bits)).toAggregateExpression()
-    val bytes = Option(df.select(Bridge.column(agg).as("bf"))
-      .head().getAs[Array[Byte]](0)).getOrElse {
+    // BloomFilterAggregate SILENTLY clamps its (items, bits) arguments to
+    // the runtime-row-filter confs (defaults 4 M items / 2^26 bits — it
+    // takes min(given, conf) lazily), which past ~4 M index keys would
+    // (a) build a bloom whose geometry DIVERGES from _SPEC.properties —
+    // and from the empty-delta fallback below, which uses the unclamped
+    // values, so a later OR-merge throws IncompatibleMergeException —
+    // and (b) cap the family at 8 MB instead of the intended 32 MB,
+    // degrading fpp ~16x earlier than the sizing comment claims. Raise
+    // the confs to the family's own geometry for the build, restore
+    // after: the spec values ARE the contract every side-file must obey.
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val oldItems = spark.conf.getOption(itemsKey)
+    val oldBits = spark.conf.getOption(bitsKey)
+    spark.conf.set(itemsKey, items.toString)
+    spark.conf.set(bitsKey, bits.toString)
+    val bytes = try {
+      val agg = new BloomFilterAggregate(
+        Bridge.expression(col(keyCol).cast("long")),
+        Literal(items), Literal(bits)).toAggregateExpression()
+      Option(df.select(Bridge.column(agg).as("bf"))
+        .head().getAs[Array[Byte]](0))
+    } finally {
+      def restore(k: String, v: Option[String]): Unit = v match {
+        case Some(s) => spark.conf.set(k, s)
+        case None => spark.conf.unset(k)
+      }
+      restore(itemsKey, oldItems)
+      restore(bitsKey, oldBits)
+    }
+    val allBytes = bytes.getOrElse {
       // empty delta (the aggregate yields NULL): an empty bloom of the
       // family's geometry keeps the merge total
       val empty = org.apache.spark.util.sketch.BloomFilter.create(items, bits)
@@ -471,7 +547,7 @@ object IndexStore {
     }
     val tmp = new Path(blooms, s"_tmp_${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
+    try out.write(allBytes) finally out.close()
     if (!fs.rename(tmp, new Path(blooms, fileName))) fs.delete(tmp, false)
     ()
   }

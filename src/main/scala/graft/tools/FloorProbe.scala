@@ -29,8 +29,10 @@ object FloorProbe {
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k, v)
+          case _ => sys.error(s"SPARK_GRAFT_CONF entry '$kv' is not k=v")
+        }
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -57,6 +59,7 @@ object FloorProbe {
     println("[floor] name                        build   plan   exec  " +
       "jobs stages tasks")
     names.foreach { n =>
+      try {
       val (b, p, x, j, s, t) = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
@@ -73,6 +76,11 @@ object FloorProbe {
           jobs.get, stages.get, tasks.get)
       }.minBy(r => r._1 + r._2 + r._3)
       println(f"[floor] $n%-28s $b%6.3f $p%6.3f $x%6.3f  $j%4d $s%5d $t%5d")
+      } catch {
+        // a typo'd name or one failing query must not kill the probe for
+        // the rest of the list (the warm-up already tolerates this)
+        case e: Throwable => println(s"[floor] $n FAILED: $e")
+      }
     }
     spark.stop()
   }

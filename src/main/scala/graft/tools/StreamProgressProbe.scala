@@ -46,6 +46,14 @@ object StreamProgressProbe {
         graft.SparkEntry.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         println(f"[probe] $n TOTAL ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // full Bench-style hygiene: memory-sink temp views pin whole
+        // result sets on the heap past clearCache, and the materialize
+        // registry retains plan trees — leaving either in place would
+        // tax exactly the per-trigger durations this tool measures
+        spark.catalog.listTables().collect()
+          .filter(t => t.isTemporary && t.name.startsWith("graft_stream"))
+          .foreach(t => spark.catalog.dropTempView(t.name))
+        graft.operators.Dedup.releaseMaterialized()
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))

@@ -55,6 +55,48 @@ class BloomOpsSpec extends SparkSuite {
     assert(viaPlan === Seq(true, false))
   }
 
+  test("blooms build at the family's spec geometry past Spark's " +
+    "runtime-filter clamps; an empty delta still merges") {
+    // BloomFilterAggregate takes min(given, conf) with conf defaults of
+    // 4M items / 2^26 bits. Past 4M index keys the clamped aggregate
+    // bloom and the UNclamped empty-delta fallback would disagree on
+    // numHashFunctions and the OR-merge would throw
+    // IncompatibleMergeException — writeBloomFile pins the confs to the
+    // spec values for the build. numHashFunctions is bytes 4-8 of the
+    // sketch serialization; for 5M items the spec k is 7, the clamped
+    // build's k was 8.
+    import graft.sources.IndexStore
+    val dir = "/root/testdata/sf0.001"
+    val name = s"blmgeo${java.util.UUID.randomUUID.toString.take(6)}"
+    def merged(): Array[Byte] =
+      IndexStore.bloomFor(spark, dir, "documents", name, "h") {
+        IndexStore.cachedBucketTable(spark, dir, "documents", name, 2,
+          Seq("h"), Seq("h")) {
+          spark.range(5000000L).toDF("h")
+        }
+      }
+    def kOf(bytes: Array[Byte]): Int =
+      java.nio.ByteBuffer.wrap(bytes, 4, 4).getInt
+    val items = 5000000L
+    val bits = (items * 9.585).toLong
+    val specK = math.max(1, math.round(bits.toDouble / items * math.log(2)))
+    assert(specK === 7L)
+    assert(kOf(merged()) === 7,
+      "base bloom must carry the spec geometry's hash count (a clamped " +
+        "build yields 8)")
+    // the crash case: an EMPTY delta's fallback bloom uses the unclamped
+    // spec values — with the build also unclamped, the merge succeeds
+    import spark.implicits._
+    IndexStore.appendSegment(spark, dir, "documents", name, "e1") {
+      Seq(9999999L).toDF("h")
+    }
+    IndexStore.appendBloomSegment(spark, dir, "documents", name, "e1", "h") {
+      Seq.empty[Long].toDF("h")
+    }
+    assert(kOf(merged()) === 7, "post-empty-delta merge must succeed " +
+      "and keep the family geometry")
+  }
+
   test("bloomFor memoizes the merged bytes per snapshot and invalidates " +
     "on a new segment bloom") {
     import graft.sources.IndexStore
