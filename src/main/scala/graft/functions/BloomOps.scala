@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.LongType
   * canonicalization/semanticEquals during optimization — measured as a
   * ~4 s per-serve plateau on q_contamination_serve once the ×100 corpus
   * pushed the side-file to the 32 MB cap. A case-class field of array
-  * type compares by reference, and [[graft.sources.IndexStore.bloomFor]]
+  * type compares by reference, and [[graft.sources.IndexStore]]
   * memoizes the merged bytes per snapshot, so within a serving JVM every
   * construction of the same snapshot's prefilter is reference-equal. */
 final case class BloomRef(bytes: Array[Byte]) {
@@ -25,13 +25,48 @@ final case class BloomRef(bytes: Array[Byte]) {
       new java.io.ByteArrayInputStream(bytes))
 }
 
+/** Serializable carrier of a SHARDED bloom family: one bloom per index
+  * bucket (the `p<i>` files under each `blooms/b_<side>` dir,
+  * [[graft.sources.IndexStore.bloomFamilyFor]]), probed by routing
+  * each key to its shard with the
+  * SAME hash Spark's bucketed layout uses (`Murmur3(key) pmod shards`).
+  * Sharding is the geometry-saturation fix (r13 verdict): a single
+  * per-snapshot bloom hard-caps at 2^28 bits, so past ~28 M keys its
+  * fpp degrades until the prefilter passes everything — per-shard
+  * geometry scales with the index's bucket count instead (256 shards ×
+  * 2^28 bits ≈ 6.7 B keys at ~1 % fpp before any cap binds). Same
+  * by-reference identity contract as [[BloomRef]]. */
+final case class BloomFamily(shards: Int, bytes: Array[Array[Byte]]) {
+  @transient lazy val filters: Array[org.apache.spark.util.sketch.BloomFilter] =
+    bytes.map(b => org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(b)))
+
+  def mightContainLong(h: Long): Boolean =
+    filters(BloomFamily.shardOf(h, shards)).mightContainLong(h)
+}
+
+object BloomFamily {
+  /** Shard routing: Spark's bucketing hash (`Murmur3_x86_32.hashLong`,
+    * seed 42) pmod the shard count — one bloom shard per index bucket,
+    * so the family's layout IS the index's. Build and probe must agree
+    * bit-for-bit (spec-pinned); codegen inlines this exact formula. */
+  def shardOf(h: Long, n: Int): Int = {
+    val x = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(h, 42) % n
+    if (x < 0) x + n else x
+  }
+}
+
 /** `might_contain(bloom, key)` over a PERSISTED bloom's bytes, as a
   * native codegen expression — the serve-path sibling of Spark's
   * `BloomFilterMightContain`, which expects its bloom as a foldable
   * child expression and therefore pays Literal's value-based
   * hashCode/equals over the full array (see [[BloomRef]]). One-sided
   * error is the contract: `false` proves the key is absent from the
-  * index, `true` goes on to the exact join. */
+  * index, `true` goes on to the exact join.
+  *
+  * PLACEMENT CONSTRAINT: use only inside Filter/Project (the serve
+  * paths do) — `deterministic = false` below makes join conditions and
+  * aggregate expressions fail analysis by design. */
 case class BloomMightContain(child: Expression, bloom: BloomRef)
     extends UnaryExpression with Predicate {
   override def prettyName: String = "graft_bloom_might_contain"
@@ -64,11 +99,62 @@ case class BloomMightContain(child: Expression, bloom: BloomRef)
       ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftBloom", bloom,
       classOf[BloomRef].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.filter().mightContainLong($c)")
+    // hoist the deserialized filter into instance state initialized once
+    // per generated-class instance — the lazy `filter()` accessor costs
+    // a volatile initialized-check per row on the hot path otherwise
+    val f = ctx.addMutableState(
+      "org.apache.spark.util.sketch.BloomFilter", "graftBloomFilter",
+      v => s"$v = $ref.filter();")
+    defineCodeGen(ctx, ev, c => s"$f.mightContainLong($c)")
   }
 
   override protected def withNewChildInternal(
       newChild: Expression): BloomMightContain = copy(child = newChild)
+}
+
+/** Sharded-family sibling of [[BloomMightContain]]: routes the key to
+  * its bucket's bloom (`Murmur3 pmod shards` — the index's own layout)
+  * and probes only that shard's bit array. Same one-sided-error
+  * contract, same `deterministic = false` constraint-propagation fence,
+  * same Filter/Project-only placement constraint. */
+case class BloomFamilyMightContain(child: Expression, family: BloomFamily)
+    extends UnaryExpression with Predicate {
+  override def prettyName: String = "graft_bloom_family_might_contain"
+
+  /** Constraint-propagation fence — see [[BloomMightContain
+    * .deterministic]]; the rationale transfers verbatim (an inferred
+    * index-side copy of the prefilter rejects nothing and probes a
+    * shard bloom per index row per serve). */
+  override lazy val deterministic: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_family_might_contain expects BIGINT, " +
+        s"got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    family.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloomFamily", family,
+      classOf[BloomFamily].getName)
+    // deserialize every shard ONCE per instance; per row the probe is
+    // murmur + pmod + one array index + two bit reads
+    val fs = ctx.addMutableState(
+      "org.apache.spark.util.sketch.BloomFilter[]", "graftBloomShards",
+      v => s"$v = $ref.filters();")
+    val n = family.shards
+    // inline shardOf: codegen must match the build's routing bit-for-bit
+    defineCodeGen(ctx, ev, c => {
+      val hash = s"org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong($c, 42)"
+      s"$fs[(($hash % $n) + $n) % $n].mightContainLong($c)"
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomFamilyMightContain = copy(child = newChild)
 }
 
 object BloomOps {
@@ -76,4 +162,10 @@ object BloomOps {
     * bloom whose serialized bytes are `bytes`. */
   def mightContainLong(key: Column, bytes: Array[Byte]): Column =
     Bridge.column(BloomMightContain(Bridge.expression(key), BloomRef(bytes)))
+
+  /** Prefilter column over a sharded bloom family (one bloom per index
+    * bucket): true iff `key` (BIGINT) might be in the family's index. */
+  def familyMightContainLong(key: Column, family: BloomFamily): Column =
+    Bridge.column(
+      BloomFamilyMightContain(Bridge.expression(key), family))
 }

@@ -553,8 +553,12 @@ object Training {
       contamShingled(spark, docs.filter(col("bucket") < 80))
         .select("h").distinct()
     }
-    val bloom = graft.sources.IndexStore.bloomFor(
-      spark, dir, "documents", "bench_ngrams", "h")(index)
+    // family sharded by the index's own bucket count: per-shard geometry
+    // scales with the corpus (r13 verdict item 1 — a single bloom's
+    // 2^28-bit cap saturated to ~59 % fpp at the ×1000 probe's 240 M
+    // keys; sharded, each of the nb shards sizes for its ~1/nb slice)
+    val bloom = graft.sources.IndexStore.bloomFamilyFor(
+      spark, dir, "documents", "bench_ngrams", "h", nb)(index)
     val shard = docs.filter(shardPred)
     // per-doc totals MAP-SIDE as the shingle array's size — no explode,
     // no count shuffle (doc_id is unique in documents). This is a second
@@ -573,7 +577,7 @@ object Training {
     // a ~4 s per-serve plateau once the ×100 corpus hit the 32 MB cap
     // (probe numbers in BASELINE.md). BloomRef compares by reference.
     val mightContain =
-      graft.functions.BloomOps.mightContainLong(col("h"), bloom)
+      graft.functions.BloomOps.familyMightContainLong(col("h"), bloom)
     val hits = test.filter(mightContain)
       .join(index, Seq("h"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))

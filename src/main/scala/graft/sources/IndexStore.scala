@@ -344,7 +344,7 @@ object IndexStore {
       .map(_.stripPrefix("_applied_")).toSet
   }
 
-  // ---- bloom side-file companion ------------------------------------
+  // ---- bloom side-file companion (sharded by index bucket) -----------
   //
   // Value-skipping for EXACT-membership serve (r12 verdict item 2): an
   // exact n-gram contamination probe joins the arriving shard against
@@ -353,202 +353,261 @@ object IndexStore {
   // bloom filter over the index's key column is the one-sided-error
   // prefilter that makes the probe shard-sized: non-member shard keys
   // (the overwhelming majority) are dropped BEFORE the join, and the
-  // exact join over the few survivors keeps results identical. The
-  // bloom is a property OF THE SNAPSHOT, so it persists WITH it, under
-  // `<root>/blooms/`:
+  // exact join over the few survivors keeps results identical.
   //
-  //   blooms/_SPEC.properties   items + bits (fixed per family — merging
-  //                             requires identical geometry)
-  //   blooms/b_base             bloom over the base index table
-  //   blooms/b_<segId>          bloom over one appended segment's delta
+  // The family is SHARDED BY THE INDEX'S OWN BUCKET LAYOUT (r13 verdict
+  // item 1): a single per-snapshot bloom hard-caps at 2^28 bits, so its
+  // fpp saturates one decade past ~28 M keys (~59 % measured at the
+  // ×1000 probe's 240 M keys — the prefilter stops filtering). One
+  // bloom per bucket (`Murmur3(key) pmod shards` — the same routing as
+  // the bucketed parquet) makes the geometry scale with bucket count:
+  // 256 shards × 2^28 bits ≈ 6.7 B keys before any cap binds, and a
+  // probe touches exactly one shard's bit array per key. Layout, a
+  // property OF THE SNAPSHOT, persisted WITH it under `<root>/blooms/`:
   //
-  // Blooms are monotone (insert-only, never removed), so the union of
-  // every bloom file ever written is a correct prefilter regardless of
-  // compaction folding segment dirs together — side-files are keyed by
-  // the APPLIED segment id, which survives compaction, and are simply
-  // all OR-merged at read. The same lockstep guard as the counts
-  // companion applies: an index segment applied without its bloom would
-  // make the prefilter drop TRUE members (wrong results, not just lost
-  // recall), so the read path counts lagging segments from their
-  // still-live dirs and fails loudly if they were already compacted.
+  //   blooms/_SPEC.properties   shards + per-shard (items, bits) — fixed
+  //                             per family; merging needs identical
+  //                             geometry per shard
+  //   blooms/b_base/            base index table's family (one side)
+  //     _DONE                   side-complete marker (staged with files)
+  //     p<i>_<uuid>             shard i's serialized BloomFilter
+  //   blooms/b_<segId>/         one appended segment's delta family
+  //
+  // Blooms are monotone (insert-only, never removed), so the per-shard
+  // OR of every side ever written is a correct prefilter regardless of
+  // compaction folding segment dirs together — sides are keyed by the
+  // APPLIED segment id, which survives compaction. The same lockstep
+  // guard as the counts companion applies: an index segment applied
+  // without its bloom would make the prefilter drop TRUE members (wrong
+  // results, not just lost recall), so the read path builds lagging
+  // segments' sides from their still-live dirs and fails loudly if they
+  // were already compacted. Shard files carry a uuid suffix, so the
+  // merge memo's listing guard is content-unique — an in-place rewrite
+  // racing mtime granularity (r13 advice) cannot serve a stale merge;
+  // sides are write-once (create-if-absent + staged dir rename).
 
-  /** Serialized bloom filter over `keyCol` (a LONG column) of index
+  /** Sharded bloom family over `keyCol` (a LONG column) of index
     * `name`'s CURRENT content (base ∪ applied segments). Builds and
-    * persists the base bloom on first use across processes; segment
-    * blooms are appended in lockstep via [[appendBloomSegment]]. The
-    * returned bytes are `org.apache.spark.util.sketch.BloomFilter`
-    * serialization — feed them to `BloomFilterMightContain`. */
-  def bloomFor(spark: SparkSession, dir: String, srcTable: String,
-      name: String, keyCol: String)(index: => DataFrame): Array[Byte] =
+    * persists the base side on first use across processes; segment
+    * sides are appended in lockstep via [[appendBloomSegment]].
+    * `shardsHint` sizes a NEW family (pass the index's bucket count);
+    * an existing family keeps the shard count in its `_SPEC`. Feed the
+    * result to [[graft.functions.BloomOps.familyMightContainLong]]. */
+  def bloomFamilyFor(spark: SparkSession, dir: String, srcTable: String,
+      name: String, keyCol: String, shardsHint: Int)
+      (index: => DataFrame): graft.functions.BloomFamily =
     synchronized {
       val root = snapshotRoot(dir, srcTable, name)
       val blooms = new Path(root, "blooms")
       val fs = blooms.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new Path(blooms, "b_base"))) {
+      val specPath = new Path(blooms, "_SPEC.properties")
+      // legacy single-bloom layout (pre-sharding): blooms are DERIVED
+      // data — drop and rebuild at the sharded geometry
+      if (fs.exists(specPath) && bloomSpec(fs, blooms)._1 == 0)
+        fs.delete(blooms, true)
+      if (!fs.exists(new Path(blooms, "b_base/_DONE"))) {
         val df = index
-        val n = math.max(1L, df.count())
-        // optimal sizing for 1 % fpp is ~9.585 bits/item; cap at 2^28
-        // bits (32 MB serialized) — beyond ~28 M items the fpp degrades
-        // gracefully (more rows reach the exact join) instead of the
-        // driver holding an unbounded bit array. Any fpp is
-        // correctness-neutral: the exact join drops false positives.
-        val bits = math.min(1L << 28, math.max(1L << 16, (n * 9.585).toLong))
-        fs.mkdirs(blooms)
-        val props = new java.util.Properties
-        props.setProperty("items", n.toString)
-        props.setProperty("bits", bits.toString)
-        val out = fs.create(new Path(blooms, "_SPEC.properties"), true)
-        try props.store(out, "graft bloom side-file spec")
-        finally out.close()
-        writeBloomFile(spark, fs, blooms, "b_base", df, keyCol, n, bits)
+        if (!fs.exists(specPath)) {
+          val n = math.max(1L, df.count())
+          val shards = math.max(1, shardsHint)
+          // optimal sizing for 1 % fpp is ~9.585 bits/item, applied PER
+          // SHARD (keys are uniform under the routing hash → balanced);
+          // per-shard cap 2^28 bits keeps any one build/merge bounded at
+          // 32 MB while the family's total capacity scales with shards.
+          // Any fpp is correctness-neutral: the exact join drops false
+          // positives.
+          val perShard = math.max(1L, (n + shards - 1) / shards)
+          val bits = math.min(1L << 28,
+            math.max(1L << 13, (perShard * 9.585).toLong))
+          fs.mkdirs(blooms)
+          val props = new java.util.Properties
+          props.setProperty("shards", shards.toString)
+          props.setProperty("itemsPerShard", perShard.toString)
+          props.setProperty("bitsPerShard", bits.toString)
+          val out = fs.create(specPath, true)
+          try props.store(out, "graft sharded bloom side-file spec")
+          finally out.close()
+        }
+        val (shards, items, bits) = bloomShardSpec(fs, blooms)
+        writeBloomSide(spark, fs, blooms, "b_base", df, keyCol,
+          shards, items, bits)
       }
-      // lockstep: any applied index segment missing its bloom is counted
-      // from its still-live dir (and persisted, so the fallback runs
-      // once); a compacted-away lagging segment is unrecoverable
-      val have = fs.listStatus(blooms).iterator.map(_.getPath.getName)
+      val (shards, items, bits) = bloomShardSpec(fs, blooms)
+      // lockstep: any applied index segment missing its bloom side is
+      // built from its still-live dir (and persisted, so the fallback
+      // runs once); a compacted-away lagging segment is unrecoverable
+      val have = fs.listStatus(blooms).iterator
+        .filter(s => s.isDirectory &&
+          fs.exists(new Path(s.getPath, "_DONE")))
+        .map(_.getPath.getName)
         .filter(_.startsWith("b_")).map(_.stripPrefix("b_")).toSet
-      // b_base is not a segment id; pass only segment blooms as "has"
+      // b_base is not a segment id; pass only segment sides as "has"
       val lagging = laggingSegments(spark, dir, srcTable, name,
         have - "base",
         gone => s"index '$name' segments ${gone.mkString(", ")} were " +
           "applied without their bloom side-files and have since been " +
           "compacted — the prefilter would drop true members " +
           "(rebuild the bloom family from the index)")
-      if (lagging.nonEmpty) {
-        val (items, bits) = bloomSpec(fs, blooms)
-        lagging.foreach { case (id, p) =>
-          writeBloomFile(spark, fs, blooms, s"b_$id",
-            spark.read.parquet(p.toString), keyCol, items, bits)
-        }
+      lagging.foreach { case (id, p) =>
+        writeBloomSide(spark, fs, blooms, s"b_$id",
+          spark.read.parquet(p.toString), keyCol, shards, items, bits)
       }
-      // OR-merge every side-file (driver-side, ≤32 MB each), memoized on
-      // the side-file listing: serve queries construct per arrival batch,
-      // and re-reading + re-merging a corpus-scaled bit array on every
-      // construction is a per-serve cost proportional to INDEX size —
-      // exactly what the side-file exists to avoid. The guard (name,
-      // mtime, length of every b_* file) changes whenever a segment bloom
-      // lands or is backfilled, so a stale merge can never serve.
+      // per-shard OR-merge across sides (driver-side, ≤32 MB per shard),
+      // memoized on the full shard-file listing: serve queries construct
+      // per arrival batch, and re-reading + re-merging a corpus-scaled
+      // family on every construction is a per-serve cost proportional to
+      // INDEX size — exactly what the side-file exists to avoid. Shard
+      // file names are content-unique (uuid suffix, write-once), so the
+      // guard changes whenever any side lands or is backfilled.
       import org.apache.spark.util.sketch.BloomFilter
-      val stats = fs.listStatus(blooms)
-        .filter(_.getPath.getName.startsWith("b_")).sortBy(_.getPath.getName)
-      val guard = stats.map(s =>
-        s"${s.getPath.getName}:${s.getModificationTime}:${s.getLen}")
+      val sides = fs.listStatus(blooms)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("b_") &&
+          fs.exists(new Path(s.getPath, "_DONE")))
+        .sortBy(_.getPath.getName)
+      val shardFiles = sides.flatMap(s => fs.listStatus(s.getPath))
+        .filter(_.getPath.getName.startsWith("p"))
+        .sortBy(_.getPath.toString)
+      val guard = shardFiles.map(s =>
+        s"${s.getPath.getParent.getName}/${s.getPath.getName}:${s.getLen}")
         .mkString(";")
       val rootKey = root.toString
-      val hit = bloomMergeCache.get(rootKey)
+      val hit = bloomFamilyCache.get(rootKey)
       if (hit != null && hit._1 == guard) hit._2
       else {
-        val merged = try stats.map { s =>
+        val perShard = new Array[BloomFilter](shards)
+        shardFiles.foreach { s =>
+          val i = s.getPath.getName.drop(1).takeWhile(_ != '_').toInt
           val in = fs.open(s.getPath)
-          try BloomFilter.readFrom(in) finally in.close()
-        }.reduce { (a, b) => a.mergeInPlace(b); a }
-        catch {
-          // every side-file of a family is written at the _SPEC geometry
-          // (writeBloomFile pins the aggregate's clamping confs to it),
-          // so a mismatch means files from before that invariant held —
-          // fail with the recovery, not a bare sketch exception
-          case e: org.apache.spark.util.sketch.IncompatibleMergeException =>
-            throw new IllegalStateException(
-              s"bloom side-files under $blooms have mixed geometries " +
-                "(family predates the spec-pinned build); delete the " +
-                "blooms/ dir to rebuild it from the index", e)
+          val bf = try BloomFilter.readFrom(in) finally in.close()
+          try {
+            if (perShard(i) == null) perShard(i) = bf
+            else perShard(i).mergeInPlace(bf)
+          } catch {
+            // every side of a family is written at the _SPEC geometry,
+            // so a mismatch means files from before that invariant held
+            // — fail with the recovery, not a bare sketch exception
+            case e: org.apache.spark.util.sketch.IncompatibleMergeException =>
+              throw new IllegalStateException(
+                s"bloom side-files under $blooms have mixed geometries " +
+                  "(family predates the spec-pinned build); delete the " +
+                  "blooms/ dir to rebuild it from the index", e)
+          }
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        merged.writeTo(bos)
-        val bytes = bos.toByteArray
-        bloomMergeCache.put(rootKey, (guard, bytes))
-        bytes
+        val bytes = perShard.map { bf =>
+          val filled =
+            if (bf != null) bf else BloomFilter.create(items, bits)
+          val bos = new java.io.ByteArrayOutputStream()
+          filled.writeTo(bos)
+          bos.toByteArray
+        }
+        val fam = graft.functions.BloomFamily(shards, bytes)
+        if (bloomFamilyCache.size > 16) bloomFamilyCache.clear()
+        bloomFamilyCache.put(rootKey, (guard, fam))
+        fam
       }
     }
 
-  // merged-bloom memo: root dir -> (side-file listing guard, bytes).
-  // Callers receive the SHARED array and must treat it as immutable
-  // (they do — it feeds Literal/BloomFilterMightContain).
-  private val bloomMergeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Byte])]
+  // merged-family memo: root dir -> (shard-file listing guard, family).
+  // Names are content-unique (write-once uuid files), so guard equality
+  // proves byte equality; bounded at 16 snapshot roots (a serving JVM
+  // touches a handful — the clear-all eviction is deliberately coarse).
+  // Callers receive the SHARED family and must treat it as immutable
+  // (they do — it feeds BloomFamilyMightContain by reference).
+  private val bloomFamilyCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, graft.functions.BloomFamily)]
 
   /** Append the bloom delta of an arriving index segment, in lockstep
-    * with the segment itself (same segId; idempotent — the side-file's
-    * existence is its applied marker). Must follow [[appendSegment]] of
-    * the same id; [[bloomFor]]'s lockstep guard backfills a crash
+    * with the segment itself (same segId; idempotent — the side dir's
+    * `_DONE` is its applied marker). Must follow [[appendSegment]] of
+    * the same id; [[bloomFamilyFor]]'s lockstep guard backfills a crash
     * between the two from the live segment dir. */
   def appendBloomSegment(spark: SparkSession, dir: String, srcTable: String,
       name: String, segId: String, keyCol: String)
       (delta: => DataFrame): Unit = synchronized {
     val blooms = new Path(snapshotRoot(dir, srcTable, name), "blooms")
     val fs = blooms.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(blooms, s"b_$segId"))) return
+    if (fs.exists(new Path(blooms, s"b_$segId/_DONE"))) return
     if (!fs.exists(new Path(blooms, "_SPEC.properties")))
       throw new IllegalStateException(
-        s"index '$name' has no bloom family (build the base bloom via " +
-          "bloomFor before appending deltas — segment blooms must share " +
-          "its bit geometry to merge)")
-    val (items, bits) = bloomSpec(fs, blooms)
-    writeBloomFile(spark, fs, blooms, s"b_$segId", delta, keyCol, items, bits)
+        s"index '$name' has no bloom family (build the base family via " +
+          "bloomFamilyFor before appending deltas — segment sides must " +
+          "share its shard geometry to merge)")
+    val (shards, items, bits) = bloomShardSpec(fs, blooms)
+    writeBloomSide(spark, fs, blooms, s"b_$segId", delta, keyCol,
+      shards, items, bits)
   }
 
-  private def bloomSpec(fs: org.apache.hadoop.fs.FileSystem,
-      blooms: Path): (Long, Long) = {
+  /** (shards, itemsPerShard, bitsPerShard) of the family's spec; a
+    * legacy (pre-sharding) spec reads as shards = 0 → caller rebuilds. */
+  private def bloomShardSpec(fs: org.apache.hadoop.fs.FileSystem,
+      blooms: Path): (Int, Long, Long) = {
     val props = new java.util.Properties
     val in = fs.open(new Path(blooms, "_SPEC.properties"))
     try props.load(in) finally in.close()
-    (props.getProperty("items").toLong, props.getProperty("bits").toLong)
+    (Option(props.getProperty("shards")).map(_.toInt).getOrElse(0),
+      Option(props.getProperty("itemsPerShard")).map(_.toLong).getOrElse(0L),
+      Option(props.getProperty("bitsPerShard")).map(_.toLong).getOrElse(0L))
   }
 
-  /** Distributed bloom build (native BloomFilterAggregate — the same
-    * expression Spark's runtime row-filter injects) + atomic file
-    * publication. All blooms of one family share (items, bits) so their
-    * bit geometries merge; re-publication races are harmless (identical
-    * deterministic content — bit OR is order-independent). */
-  private def writeBloomFile(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, blooms: Path, fileName: String,
-      df: DataFrame, keyCol: String, items: Long, bits: Long): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+  private def bloomSpec(fs: org.apache.hadoop.fs.FileSystem,
+      blooms: Path): (Int, Long, Long) = bloomShardSpec(fs, blooms)
+
+  /** Distributed sharded-bloom build + staged atomic side publication.
+    * The keys shuffle ONCE by the family's routing hash (8-byte rows)
+    * and each reducer builds exactly its shard's bloom — no
+    * BloomFilterAggregate, so nothing touches the session's runtime-
+    * row-filter clamp confs (r13 advice: the conf-pin window could leak
+    * clamps to concurrent queries) and the driver never merges
+    * corpus-scaled partials (per-task partials of a monolithic bloom
+    * are family-sized EACH; per-shard partials are shard-sized). The
+    * whole side stages under an invisible `_bstage_*` dir and publishes
+    * by ONE rename, `_DONE` included — a reader never lists a
+    * half-written side. Re-publication races are harmless (identical
+    * deterministic content; the loser deletes its stage). */
+  private def writeBloomSide(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, blooms: Path, side: String,
+      df: DataFrame, keyCol: String, shards: Int, items: Long,
+      bits: Long): Unit = {
     import org.apache.spark.sql.functions.col
-    import org.apache.spark.sql.graftbridge.Bridge
-    // BloomFilterAggregate SILENTLY clamps its (items, bits) arguments to
-    // the runtime-row-filter confs (defaults 4 M items / 2^26 bits — it
-    // takes min(given, conf) lazily), which past ~4 M index keys would
-    // (a) build a bloom whose geometry DIVERGES from _SPEC.properties —
-    // and from the empty-delta fallback below, which uses the unclamped
-    // values, so a later OR-merge throws IncompatibleMergeException —
-    // and (b) cap the family at 8 MB instead of the intended 32 MB,
-    // degrading fpp ~16x earlier than the sizing comment claims. Raise
-    // the confs to the family's own geometry for the build, restore
-    // after: the spec values ARE the contract every side-file must obey.
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val oldItems = spark.conf.getOption(itemsKey)
-    val oldBits = spark.conf.getOption(bitsKey)
-    spark.conf.set(itemsKey, items.toString)
-    spark.conf.set(bitsKey, bits.toString)
-    val bytes = try {
-      val agg = new BloomFilterAggregate(
-        Bridge.expression(col(keyCol).cast("long")),
-        Literal(items), Literal(bits)).toAggregateExpression()
-      Option(df.select(Bridge.column(agg).as("bf"))
-        .head().getAs[Array[Byte]](0))
-    } finally {
-      def restore(k: String, v: Option[String]): Unit = v match {
-        case Some(s) => spark.conf.set(k, s)
-        case None => spark.conf.unset(k)
-      }
-      restore(itemsKey, oldItems)
-      restore(bitsKey, oldBits)
+    val perShard: Array[Array[Byte]] = {
+      val pairs = df.select(col(keyCol).cast("long")).na.drop()
+        .rdd.map(r => (graft.functions.BloomFamily
+          .shardOf(r.getLong(0), shards), r.getLong(0)))
+        .partitionBy(new org.apache.spark.Partitioner {
+          override def numPartitions: Int = shards
+          override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+        })
+      val built = pairs.mapPartitionsWithIndex { (i, it) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(items, bits)
+        it.foreach(kv => bf.putLong(kv._2))
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        Iterator((i, bos.toByteArray))
+      }.collect()
+      // partitionBy yields exactly `shards` partitions, empty ones
+      // included, so every slot fills (an empty shard gets an empty
+      // bloom of the family geometry — keeps the merge total)
+      val arr = new Array[Array[Byte]](shards)
+      built.foreach { case (i, b) => arr(i) = b }
+      arr
     }
-    val allBytes = bytes.getOrElse {
-      // empty delta (the aggregate yields NULL): an empty bloom of the
-      // family's geometry keeps the merge total
-      val empty = org.apache.spark.util.sketch.BloomFilter.create(items, bits)
-      val bos = new java.io.ByteArrayOutputStream()
-      empty.writeTo(bos)
-      bos.toByteArray
+    val stage = new Path(blooms,
+      s"_bstage_${side}_${java.util.UUID.randomUUID}")
+    fs.mkdirs(stage)
+    perShard.zipWithIndex.foreach { case (b, i) =>
+      val f = fs.create(new Path(stage,
+        s"p${i}_${java.util.UUID.randomUUID.toString.take(8)}"), true)
+      try f.write(b) finally f.close()
     }
-    val tmp = new Path(blooms, s"_tmp_${java.util.UUID.randomUUID}")
-    val out = fs.create(tmp, true)
-    try out.write(allBytes) finally out.close()
-    if (!fs.rename(tmp, new Path(blooms, fileName))) fs.delete(tmp, false)
+    fs.create(new Path(stage, "_DONE")).close()
+    val target = new Path(blooms, side)
+    // lost rename race / local-FS rename-into-existing-dir TOCTOU:
+    // same discipline as appendSegment
+    if (!fs.rename(stage, target)) fs.delete(stage, true)
+    else {
+      val nested = new Path(target, stage.getName)
+      if (fs.exists(nested)) fs.delete(nested, true)
+    }
     ()
   }
 

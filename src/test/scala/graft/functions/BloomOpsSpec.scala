@@ -55,37 +55,72 @@ class BloomOpsSpec extends SparkSuite {
     assert(viaPlan === Seq(true, false))
   }
 
-  test("blooms build at the family's spec geometry past Spark's " +
-    "runtime-filter clamps; an empty delta still merges") {
-    // BloomFilterAggregate takes min(given, conf) with conf defaults of
-    // 4M items / 2^26 bits. Past 4M index keys the clamped aggregate
-    // bloom and the UNclamped empty-delta fallback would disagree on
-    // numHashFunctions and the OR-merge would throw
-    // IncompatibleMergeException — writeBloomFile pins the confs to the
-    // spec values for the build. numHashFunctions is bytes 4-8 of the
-    // sketch serialization; for 5M items the spec k is 7, the clamped
-    // build's k was 8.
+  test("sharded family: codegen, interpreted, and build routing agree; " +
+    "no false negatives; null in -> null out") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import spark.implicits._
+    // build shard blooms BY HAND with BloomFamily.shardOf — the probe
+    // (interpreted AND codegen, which inlines the murmur-pmod formula)
+    // must route every key to the same shard or members go missing
+    val shards = 5
+    val members = (0L until 2000L).map(_ * 13L)
+    val perShard = Array.fill(shards)(
+      org.apache.spark.util.sketch.BloomFilter.create(500L, 1L << 14))
+    members.foreach(k =>
+      perShard(BloomFamily.shardOf(k, shards)).putLong(k))
+    val fam = BloomFamily(shards, perShard.map { bf =>
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    })
+    // interpreted
+    members.foreach(k => assert(fam.mightContainLong(k),
+      s"member $k rejected — a routing mismatch IS a false negative"))
+    // through a real (codegen) plan
+    val probe = (members ++ (1000000L until 1002000L)).toDF("h")
+      .withColumn("hit", BloomOps.familyMightContainLong(col("h"), fam))
+    val got = probe.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    members.foreach(k => assert(got(k),
+      s"member $k rejected through the codegen plan"))
+    val fp = (1000000L until 1002000L).count(got(_))
+    assert(fp < 200, s"$fp/2000 false positives at 2^14-bit shards")
+    val withNull = Seq(Some(0L), None).toDF("h")
+      .select(BloomOps.familyMightContainLong(col("h"), fam).as("hit"))
+      .collect()
+    assert(withNull.exists(_.isNullAt(0)), "null key must yield null")
+  }
+
+  test("bloomFamilyFor sizes per-shard geometry from the spec and " +
+    "builds without touching the runtime-filter clamp confs") {
+    // the old BloomFilterAggregate build silently clamped (items, bits)
+    // to the runtime-row-filter confs and had to pin them per build —
+    // a conf window concurrent queries could observe (r13 advice). The
+    // sharded build goes through an RDD aggregate: geometry comes from
+    // _SPEC alone and the session confs stay untouched throughout.
     import graft.sources.IndexStore
     val dir = "/root/testdata/sf0.001"
     val name = s"blmgeo${java.util.UUID.randomUUID.toString.take(6)}"
-    def merged(): Array[Byte] =
-      IndexStore.bloomFor(spark, dir, "documents", name, "h") {
-        IndexStore.cachedBucketTable(spark, dir, "documents", name, 2,
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val before = spark.conf.getOption(itemsKey)
+    val fam =
+      IndexStore.bloomFamilyFor(spark, dir, "documents", name, "h", 4) {
+        IndexStore.cachedBucketTable(spark, dir, "documents", name, 4,
           Seq("h"), Seq("h")) {
-          spark.range(5000000L).toDF("h")
+          spark.range(100000L).toDF("h")
         }
       }
+    assert(spark.conf.getOption(itemsKey) === before,
+      "family build must not mutate the session's bloom clamp confs")
+    assert(fam.shards === 4)
+    // per-shard geometry: 100k items / 4 shards = 25k per shard at
+    // ~9.585 bits/item; numHashFunctions (bytes 4-8 of the sketch
+    // serialization) must be the ~1 % fpp k = 7 in EVERY shard —
+    // including any empty one — or merges throw
     def kOf(bytes: Array[Byte]): Int =
       java.nio.ByteBuffer.wrap(bytes, 4, 4).getInt
-    val items = 5000000L
-    val bits = (items * 9.585).toLong
-    val specK = math.max(1, math.round(bits.toDouble / items * math.log(2)))
-    assert(specK === 7L)
-    assert(kOf(merged()) === 7,
-      "base bloom must carry the spec geometry's hash count (a clamped " +
-        "build yields 8)")
-    // the crash case: an EMPTY delta's fallback bloom uses the unclamped
-    // spec values — with the build also unclamped, the merge succeeds
+    fam.bytes.foreach(b => assert(kOf(b) === 7,
+      "every shard must carry the spec geometry's hash count"))
+    // an EMPTY delta still merges (empty shards get spec-geometry blooms)
     import spark.implicits._
     IndexStore.appendSegment(spark, dir, "documents", name, "e1") {
       Seq(9999999L).toDF("h")
@@ -93,18 +128,22 @@ class BloomOpsSpec extends SparkSuite {
     IndexStore.appendBloomSegment(spark, dir, "documents", name, "e1", "h") {
       Seq.empty[Long].toDF("h")
     }
-    assert(kOf(merged()) === 7, "post-empty-delta merge must succeed " +
-      "and keep the family geometry")
+    val fam2 =
+      IndexStore.bloomFamilyFor(spark, dir, "documents", name, "h", 4) {
+        spark.range(100000L).toDF("h")
+      }
+    fam2.bytes.foreach(b => assert(kOf(b) === 7,
+      "post-empty-delta merge must keep the family geometry"))
   }
 
-  test("bloomFor memoizes the merged bytes per snapshot and invalidates " +
-    "on a new segment bloom") {
+  test("bloomFamilyFor memoizes the merged family per snapshot and " +
+    "invalidates on a new segment side") {
     import graft.sources.IndexStore
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
     val name = s"blmmemo${java.util.UUID.randomUUID.toString.take(6)}"
-    def merged(): Array[Byte] =
-      IndexStore.bloomFor(spark, dir, "documents", name, "h") {
+    def merged(): BloomFamily =
+      IndexStore.bloomFamilyFor(spark, dir, "documents", name, "h", 2) {
         IndexStore.cachedBucketTable(spark, dir, "documents", name, 2,
           Seq("h"), Seq("h")) {
           (0L until 50L).toDF("h")
@@ -113,9 +152,10 @@ class BloomOpsSpec extends SparkSuite {
     val a = merged()
     val b = merged()
     assert(a eq b,
-      "second bloomFor call must return the memoized array instance — " +
-        "reference equality is what keeps BloomRef comparisons O(1)")
-    // a lockstep segment bloom changes the side-file listing -> fresh merge
+      "second bloomFamilyFor call must return the memoized family " +
+        "instance — reference equality is what keeps BloomFamily " +
+        "comparisons O(1)")
+    // a lockstep segment side changes the shard-file listing -> fresh merge
     IndexStore.appendSegment(spark, dir, "documents", name, "m1") {
       (700L to 710L).toDF("h")
     }
@@ -123,10 +163,10 @@ class BloomOpsSpec extends SparkSuite {
       (700L to 710L).toDF("h")
     }
     val c = merged()
-    assert(!(c eq a), "a new segment bloom must invalidate the memo")
-    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(c))
-    (700L to 710L).foreach(k => assert(bf.mightContainLong(k),
+    assert(!(c eq a), "a new segment side must invalidate the memo")
+    (700L to 710L).foreach(k => assert(c.mightContainLong(k),
       s"post-append merge missing appended key $k"))
+    (0L until 50L).foreach(k => assert(c.mightContainLong(k),
+      s"post-append merge lost base key $k"))
   }
 }

@@ -364,20 +364,19 @@ class IndexLifecycleSpec extends SparkSuite {
     // is NO FALSE NEGATIVES — a bloom that misses an indexed key makes
     // the exact-membership serve WRONG (not merely low-recall), so the
     // whole lifecycle is gated on membership supersets.
+    import graft.functions.BloomFamily
     import graft.sources.IndexStore
-    import org.apache.spark.util.sketch.BloomFilter
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
     val name = s"blmidx${java.util.UUID.randomUUID.toString.take(6)}"
-    def bloom(): BloomFilter = BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(
-        IndexStore.bloomFor(spark, dir, "documents", name, "h") {
-          IndexStore.cachedBucketTable(spark, dir, "documents", name, 2,
-            Seq("h"), Seq("h")) {
-            (0L until 100L).toDF("h")
-          }
-        }))
-    def assertMembers(bf: BloomFilter, keys: Range.Inclusive,
+    def bloom(): BloomFamily =
+      IndexStore.bloomFamilyFor(spark, dir, "documents", name, "h", 2) {
+        IndexStore.cachedBucketTable(spark, dir, "documents", name, 2,
+          Seq("h"), Seq("h")) {
+          (0L until 100L).toDF("h")
+        }
+      }
+    def assertMembers(bf: BloomFamily, keys: Range.Inclusive,
         what: String): Unit =
       keys.foreach(k => assert(bf.mightContainLong(k.toLong),
         s"$what: indexed key $k missing from the bloom (false negative)"))
