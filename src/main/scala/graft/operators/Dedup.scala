@@ -1873,6 +1873,59 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Index MAJOR REWRITE — the tombstone-APPLYING compaction every
+    * tombstone serve path ([[dedupIndexRetract]] and its ANN/semantic
+    * siblings) defers to with "physical removal happens at the next
+    * major rewrite". Here that rewrite actually runs
+    * ([[graft.sources.IndexStore.majorRewrite]]): a snapshot whose
+    * content arrived in two installments (a bucketed base over doc_id
+    * % 10 ∉ {0, 1} plus an appended segment of the % 10 == 1 docs —
+    * the lane-folding half of the contract) is rewritten MINUS the
+    * tombstoned docs into a new generation, published by swapping the
+    * serving alias, and probes then run against the new generation
+    * with NO tombstone anti-join anywhere in the plan — the takedown
+    * is physical, the per-serve anti-join cost and the dead keys'
+    * storage are both gone. Idempotent under re-runs (build-once
+    * generation + re-promote); in-flight probes keep the old
+    * generation's immutable files.
+    *
+    * Verdicts must equal [[dedupIndexRetract]]'s (the reduced-corpus
+    * batch twin — same tombstone set, same probes): retract-by-
+    * tombstone and retract-by-rewrite are the SAME logical operation
+    * at two maintenance stages, so they share the oracle verbatim. */
+  def dedupIndexRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexStore
+    val docs = Star.table(spark, dir, "documents")
+    val isNew = col("doc_id") % 10 === 0
+    // own snapshot identity: mhband's lane receives arrival segments
+    // from the compaction query, which would make the rewrite's folded
+    // content depend on query execution order
+    val base = IndexStore.cachedBucketTable(
+      spark, dir, "documents", "mhbandrw", 8,
+      Seq("band_id", "h"), Seq("band_id", "h")) {
+      bandRows(withMinhashBands(shingleRows(
+        docs.filter(!isNew && col("doc_id") % 10 =!= 1))))
+    }
+    IndexStore.appendSegment(spark, dir, "documents", "mhbandrw", "s1") {
+      bandRows(withMinhashBands(shingleRows(
+        docs.filter(col("doc_id") % 10 === 1))))
+    }
+    IndexStore.majorRewrite(spark, dir, "documents", "mhbandrw", "g2",
+      8, Seq("band_id", "h"), Seq("band_id", "h"), Seq("doc_id"))(base) {
+      docs.filter((col("doc_id") % 10).isin(5, 8)).select("doc_id")
+    }
+    val live = IndexStore.openTable(spark, dir, "documents",
+      IndexStore.servingName(dir, "documents", "mhbandrw"))
+    val newBands = bandRows(withMinhashBands(shingleRows(docs.filter(isNew))))
+    val dropIds = bandProbeDropIds(docs, Seq(live, newBands), newBands)
+    docs.filter(isNew)
+      .join(dropIds.withColumn("__d", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("__d").isNotNull, lit("drop")).otherwise(lit("keep"))
+          .as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** Persisted-index APPEND COMPACTION — the maintenance half
     * [[dedupIndexAppend]] leaves open: repeated appends add one small
     * segment per arriving shard next to the immutable base snapshot, and
@@ -1975,6 +2028,10 @@ object Dedup {
     QueryDef("q_dedup_index_append", dedupIndexAppend,
       Some(dedupIndexAppendSql)),
     QueryDef("q_dedup_index_retract", dedupIndexRetract,
+      Some(dedupIndexRetractSql)),
+    // retract-by-rewrite: same tombstones, same probes, physically
+    // reduced snapshot — shares the retract oracle verbatim
+    QueryDef("q_dedup_index_rewrite", dedupIndexRewrite,
       Some(dedupIndexRetractSql)),
     QueryDef("q_dedup_index_compact", dedupIndexCompact,
       Some(dedupIndexCompactSql)),

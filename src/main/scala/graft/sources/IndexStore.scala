@@ -787,6 +787,128 @@ object IndexStore {
     }
   }
 
+  /** Open an EXISTING published snapshot (registration-only — the
+    * cross-process serve path; no build closure). Throws if the
+    * snapshot was never published: the caller asked to serve a
+    * generation that does not exist, which is a lifecycle bug, not a
+    * build trigger. */
+  def openTable(spark: SparkSession, dir: String, srcTable: String,
+      name: String): DataFrame = synchronized {
+    val table = tableName(dir, srcTable, name)
+    if (!spark.catalog.tableExists(table)) {
+      val base = snapshotRoot(dir, srcTable, name)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new Path(base, "_READY")))
+        throw new IllegalStateException(
+          s"snapshot '$name' was never published under $base — " +
+            "openTable serves existing generations only")
+      register(spark, table, base)
+    }
+    heartbeat(spark, dir, srcTable, s"graft_idx_$name")
+    spark.table(table)
+  }
+
+  /** MAJOR REWRITE — the tombstone-APPLYING compaction that closes the
+    * "physical removal happens at the next major rewrite" promise every
+    * tombstone serve path defers to. Minor compaction
+    * ([[compactAppends]]) only folds append segments; after heavy
+    * takedown the index, its counts companion, and its (monotone,
+    * insert-only) blooms all retain dead keys forever — the bloom's fpp
+    * and the scan's cost never recover. This op rewrites the snapshot's
+    * CURRENT content (base ∪ live append segments) minus the tombstoned
+    * rows into a NEW GENERATION snapshot named `<name>_<gen>`, rebuilds
+    * the companions FROM the reduced content (blooms are monotone —
+    * rebuild is the only way fpp recovers; populations shrink to the
+    * live rows), and publishes by swapping the `name` alias pointer via
+    * the existing staged [[promote]] — probes in flight keep reading
+    * the old generation's immutable files, the next probe resolves the
+    * new one through [[servingName]].
+    *
+    * At-least-once maintenance stays idempotent ACROSS generations: the
+    * old lane's applied segment ids are carried into the new
+    * generation's lanes as markers (index `_applied_*`, counts
+    * `_applied_*`, bloom `b_<id>/_DONE` empty sides), so a replayed
+    * append of a segment the rewrite already folded no-ops in every
+    * lane instead of double-counting. The whole op is build-once per
+    * generation name (staged `_READY` publication) — a re-run
+    * re-promotes the same generation and changes nothing.
+    *
+    * 100 TB shape: one bucketed write of the reduced index (the same
+    * cost as the original build, paid per MAJOR maintenance window, not
+    * per serve), one scan for the counts companion, one key shuffle for
+    * the bloom family. Nothing here runs on the serve path. */
+  def majorRewrite(spark: SparkSession, dir: String, srcTable: String,
+      name: String, gen: String, nBuckets: Int, bucketCols: Seq[String],
+      sortCols: Seq[String], tombstoneCols: Seq[String],
+      countsKeyCols: Option[Seq[String]] = None,
+      bloomKeyCol: Option[String] = None, bloomShards: Int = 8)
+      (baseIndex: => DataFrame)(tombstones: => DataFrame): String =
+    synchronized {
+      val newName = s"${name}_$gen"
+      val fs = snapshotRoot(dir, srcTable, name)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rewritten = cachedBucketTable(spark, dir, srcTable, newName,
+        nBuckets, bucketCols, sortCols) {
+        val lane = readAppends(spark, dir, srcTable, name)
+        val content = lane.fold(baseIndex)(baseIndex.unionByName(_))
+        content.join(tombstones, tombstoneCols, "left_anti")
+      }
+      // carry the old lane's applied ids into every new-generation
+      // lane, so replayed appends of rewrite-folded segments no-op and
+      // the companion lockstep guards see a consistent applied set.
+      // ORDER MATTERS: markers land only into roots that have already
+      // PUBLISHED — a marker dir created before its snapshot would be
+      // moved aside as an incomplete leftover by buildOnce's staged
+      // rename (the bug the first cut of this op had). The bloom
+      // sides go in before bloomFamilyFor so its lockstep check sees
+      // them; its root (the index snapshot's) published in step 1.
+      // Carried on EVERY call (idempotent create-if-absent), so a
+      // crash between the index publication and a companion build
+      // heals on retry. MAINTENANCE-WINDOW CONTRACT: no concurrent
+      // appends to the OLD generation while the rewrite runs — a
+      // racing append would nondeterministically be folded or not;
+      // post-rewrite arrivals must target [[servingName]]'s result.
+      val oldIds: Set[String] = appliedSegIds(spark, dir, srcTable, name)
+      def carryMarkers(root: Path): Unit = {
+        val appends = new Path(root, "appends")
+        fs.mkdirs(appends)
+        oldIds.foreach { id =>
+          try fs.create(new Path(appends, s"_applied_$id"), false).close()
+          catch { case _: java.io.IOException => () }
+        }
+      }
+      carryMarkers(snapshotRoot(dir, srcTable, newName))
+      bloomKeyCol.foreach { _ =>
+        oldIds.foreach { id =>
+          val side = new Path(
+            snapshotRoot(dir, srcTable, newName), s"blooms/b_$id")
+          fs.mkdirs(side)
+          try fs.create(new Path(side, "_DONE"), false).close()
+          catch { case _: java.io.IOException => () }
+        }
+      }
+      // companions rebuild FROM the rewritten content: populations
+      // shrink to live rows; the bloom family's fresh geometry is how
+      // fpp recovers (insert-only bit arrays cannot forget)
+      countsKeyCols.foreach { keys =>
+        cachedBucketCounts(spark, dir, srcTable, newName, keys)(rewritten)
+        carryMarkers(snapshotRoot(dir, srcTable, countsName(newName)))
+      }
+      bloomKeyCol.foreach { key =>
+        bloomFamilyFor(spark, dir, srcTable, newName, key, bloomShards)(
+          rewritten)
+        ()
+      }
+      promote(dir, srcTable, name, newName)
+      newName
+    }
+
+  /** The snapshot name the serve path should open for `name`: the
+    * promoted generation if a [[majorRewrite]] published one, else the
+    * bootstrap snapshot itself. */
+  def servingName(dir: String, srcTable: String, name: String): String =
+    resolveAlias(dir, srcTable, name).getOrElse(name)
+
   /** Serving-generation ALIAS — the atomic-promotion half of
     * retrain-and-swap: a maintenance job publishes a NEW snapshot next to
     * the serving one (staged `_READY` publication, above), then swaps ONE

@@ -318,6 +318,20 @@ object StreamingQueries {
     * are assigned by a post-sink window partitioned by user. */
   def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // CONTRACT (r13 advice): dropping the trailing no-data batch below
+    // is sound only while sentinel 1's watermark already flushes every
+    // real session when sentinel 2's data batch applies it — i.e.
+    // sentinel-1 offset − watermark delay must clear the latest real
+    // event (offset 0) + the session gap. These literals must track the
+    // withWatermark / session_window arguments below; a future change
+    // to either that breaks the algebra fails HERE, not by silently
+    // leaving sessions unflushed.
+    val wmDelayUs = 1L * 3600L * 1000000L // withWatermark("ts", "1 hour")
+    val gapUs = 30L * 60L * 1000000L // session_window(_, "30 minutes")
+    require(sentinel1OffsetUs - wmDelayUs > gapUs,
+      "sessionize sentinel contract broken: sentinel 1's watermark no " +
+        "longer flushes every real session — restore the trailing " +
+        "no-data batch or respace the sentinels")
     val src = chronoReplayWithSentinel(spark, dir)
     val agg = src
       .withWatermark("ts", "1 hour")
@@ -629,6 +643,14 @@ object StreamingQueries {
     * and the result depends on where the input happens to stop — this
     * makes end-of-stream explicit, the streaming analog of closing the
     * books. */
+  /** Sentinel offsets past the max real event ts (the watermark-driving
+    * halves of [[chronoReplayWithSentinel]]'s replay). Consumers that
+    * cut trigger counts on watermark algebra (sessionize) assert
+    * against these, so respacing the sentinels breaks THEM, loudly. */
+  private val sentinelHoursByShard = Map(3 -> 36L, 4 -> 72L)
+  private[streaming] val sentinel1OffsetUs =
+    sentinelHoursByShard(3) * 3600L * 1000000L
+
   private def chronoReplayWithSentinel(spark: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._
@@ -659,7 +681,7 @@ object StreamingQueries {
           if (k < 3) ev.filter(
             unix_micros(col("ts")) >= lo + k * span &&
               unix_micros(col("ts")) < lo + (k + 1) * span)
-          else sentinel(if (k == 3) 36L else 72L)
+          else sentinel(sentinelHoursByShard(k))
         val tmp = new org.apache.hadoop.fs.Path(base, s"_tmp$k")
         part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val f = fs.globStatus(

@@ -131,7 +131,7 @@ class SimilarityGateSpec extends SparkSuite {
       s"cap must BIND pre-retraction (only cold-bucket pairs), " +
         s"got ${before.take(5)}")
     // retract 10 of bucket-100's vectors: live index loses their rows,
-    // and their band rows are what netPopulations subtracts
+    // and their band rows are what netPopulationRows subtracts
     val tombBands = bands((0L until 10L).map(i => (i, 0, 100L)))
     val live = index.join(tombBands.select("vec_id"),
       Seq("vec_id"), "left_anti")
@@ -143,7 +143,7 @@ class SimilarityGateSpec extends SparkSuite {
         "(the defect this feature closes)")
     // WITH the net: 50 + 10 = 60 <= 64 → the cap releases, and the
     // bucket's candidates (live index × shard, shard-internal) appear
-    val after = pairs(live, Similarity.netPopulations(idxPop, tombBands))
+    val after = pairs(live, Similarity.netPopulationRows(idxPop, tombBands))
     val bucket100 = after.filter { case (a, b) =>
       (10 <= a && a < 60 || a >= 1000) && 1000 <= b && b < 1010 }
     assert(bucket100.nonEmpty,
