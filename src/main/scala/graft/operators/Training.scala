@@ -532,6 +532,73 @@ object Training {
     contaminationServeOf(spark, dir,
       col("bucket") >= 90 && col("doc_id") < cap)
 
+  /** The contamination index's bucketed snapshot + its sharded bloom
+    * family (shared by the serve chain and the probe tooling — the
+    * FixedShardProbe fpp measurement must probe the very family the
+    * serve uses). */
+  private[graft] def contamIndexAndBloom(spark: SparkSession, dir: String)
+      : (DataFrame, graft.functions.BloomFamily) = {
+    val docs = contamDocs(spark, dir)
+    val nb = contamBucketsFor(spark, dir)
+    val index = graft.sources.IndexStore.cachedBucketTable(
+      spark, dir, "documents", "bench_ngrams", nb, Seq("h"), Seq("h")) {
+      contamShingled(spark, docs.filter(col("bucket") < 80))
+        .select("h").distinct()
+    }
+    (index, graft.sources.IndexStore.bloomFamilyFor(
+      spark, dir, "documents", "bench_ngrams", "h", nb)(index))
+  }
+
+  /** Probe seam (r13 verdict item 5): exact-membership serve through a
+    * KEY-SORTED SECONDARY LAYOUT + a pushed IN-list — the candidate
+    * answer to the one honest floor left in this chain (the bucketed
+    * index's column scan is linear in index size per arrival: uniform
+    * hash keys make every bucket file one full-range row group, so no
+    * stat prunes it). The secondary layout range-partitions the SAME
+    * key set globally by h, so each file covers a NARROW key range;
+    * the probe collects its bloom survivors' distinct keys (bounded by
+    * the ARRIVAL, not the corpus — that boundedness is the adoption
+    * precondition) and pushes them as an IN filter, which parquet
+    * row-group stats can evaluate per file. If the scan then touches
+    * only the survivor-covering files, exact membership goes sub-linear
+    * in index size for small arrivals; FixedShardProbe A/Bs this
+    * against the join form at ×100/×1000 — adopt or record the
+    * negative in BASELINE.md either way. */
+  private[graft] def contaminationServePointLookup(
+      spark: SparkSession, dir: String, cap: Long): DataFrame = {
+    val docs = contamDocs(spark, dir)
+    val (index, bloom) = contamIndexAndBloom(spark, dir)
+    val nb = contamBucketsFor(spark, dir)
+    val sorted = graft.sources.IndexStore.cachedTable(
+      spark, dir, "documents", "bench_ngrams_srt") {
+      index.repartitionByRange(nb, col("h")).sortWithinPartitions("h")
+    }
+    val shard = docs.filter(col("bucket") >= 90 && col("doc_id") < cap)
+    val totals = Star.fan(spark, shard)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"),
+        size(expr(contamArrExpr)).cast("long").as("n_shingles"))
+    val test = contamShingled(spark, shard)
+    val mightContain =
+      graft.functions.BloomOps.familyMightContainLong(col("h"), bloom)
+    val survivors = test.filter(mightContain)
+    // bounded driver collect — the survivors are the arrival's true
+    // hits plus ~1 % bloom fpp, never corpus-sized; the caller (probe)
+    // keeps the arrival small enough for a literal IN list
+    val keys = survivors.select("h").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val matched = sorted.filter(col("h").isInCollection(keys))
+      .select("h").distinct()
+    val hits = survivors.join(broadcast(matched), Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        Star.ratio6(coalesce(col("n_contaminated"), lit(0L)),
+          col("n_shingles")).as("contamination"))
+      .orderBy("doc_id")
+  }
+
   /** The serve chain body: persisted bucketed n-gram index + its BLOOM
     * SIDE-FILE (r12 verdict item 2 — the one serve chain that was
     * honestly linear in index size per arrival). The shard's shingles
@@ -547,18 +614,11 @@ object Training {
   private def contaminationServeOf(spark: SparkSession, dir: String,
       shardPred: Column): DataFrame = {
     val docs = contamDocs(spark, dir)
-    val nb = contamBucketsFor(spark, dir)
-    val index = graft.sources.IndexStore.cachedBucketTable(
-      spark, dir, "documents", "bench_ngrams", nb, Seq("h"), Seq("h")) {
-      contamShingled(spark, docs.filter(col("bucket") < 80))
-        .select("h").distinct()
-    }
     // family sharded by the index's own bucket count: per-shard geometry
     // scales with the corpus (r13 verdict item 1 — a single bloom's
     // 2^28-bit cap saturated to ~59 % fpp at the ×1000 probe's 240 M
     // keys; sharded, each of the nb shards sizes for its ~1/nb slice)
-    val bloom = graft.sources.IndexStore.bloomFamilyFor(
-      spark, dir, "documents", "bench_ngrams", "h", nb)(index)
+    val (index, bloom) = contamIndexAndBloom(spark, dir)
     val shard = docs.filter(shardPred)
     // per-doc totals MAP-SIDE as the shingle array's size — no explode,
     // no count shuffle (doc_id is unique in documents). This is a second

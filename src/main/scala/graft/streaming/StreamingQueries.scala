@@ -64,11 +64,29 @@ object StreamingQueries {
       scala.util.Try(s.toInt).getOrElse(sys.error(
         s"SPARK_GRAFT_STREAM_PARTS must be an int, got '$s'"))
     }.getOrElse(n)
+    // A/B knob for state-store / micro-batch confs (probe-only, NOT a
+    // production switch): "k=v;k2=v2" applied for the replay's scope
+    // and restored after — how the addBatch-floor candidates (RocksDB
+    // provider, async progress tracking, changelog checkpointing) get
+    // measured without a rebuild per hypothesis.
+    val extra: Seq[(String, String)] =
+      sys.env.get("SPARK_GRAFT_STREAM_CONF").toSeq
+        .flatMap(_.split(';')).filter(_.contains('='))
+        .map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k.trim -> v.trim
+        }
+    val extraOld = extra.map { case (k, _) => k -> spark.conf.getOption(k) }
     spark.conf.set(key, nEff.toString)
     spark.conf.set(ndKey, finalNoDataBatch.toString)
+    extra.foreach { case (k, v) => spark.conf.set(k, v) }
     try body finally {
       spark.conf.set(key, old)
       spark.conf.set(ndKey, oldNd)
+      extraOld.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
   }
 

@@ -29,6 +29,11 @@ object FixedShardProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // the point-lookup A/B needs the survivor IN-list pushed as
+      // per-value parquet predicates; past the default threshold (10)
+      // Spark degrades IN pushdown to a [min, max] range, which for
+      // uniform hash keys prunes nothing
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "200000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -47,7 +52,22 @@ object FixedShardProbe {
       // confirms the companion's population deltas stay shard-sized
       "semantic_capped_append_fixed" ->
         (() => graft.operators.Similarity
-          .semanticDedupCappedAppendFixedShard(spark, sfDir, vecCap)))
+          .semanticDedupCappedAppendFixedShard(spark, sfDir, vecCap)),
+      // r13 verdict item 6: capped serve + tombstone netting — the
+      // netting legs must stay shard/tombstone-sized, never corpus
+      "semantic_capped_retract_fixed" ->
+        (() => graft.operators.Similarity
+          .semanticDedupCappedRetractFixedShard(spark, sfDir, vecCap)),
+      // r13 verdict item 5 A/B: exact-membership serve, bucketed-join
+      // form vs key-sorted secondary layout + pushed IN point lookups,
+      // at a SMALL arrival (50 docs) — the lookup path's precondition
+      // is an arrival-bounded survivor set
+      "contamination_join_small" ->
+        (() => graft.operators.Training
+          .contaminationServeFixedShard(spark, sfDir, 50L)),
+      "contamination_point_small" ->
+        (() => graft.operators.Training
+          .contaminationServePointLookup(spark, sfDir, 50L)))
 
     for ((label, mk) <- chains) {
       def run(): Double = {
@@ -63,6 +83,22 @@ object FixedShardProbe {
       println(f"[fixedshard] $label%-28s rows=$rows%-7d " +
         times.map(t => f"$t%7.2f").mkString(" "))
     }
+
+    // r13 verdict item 1 done-criterion: the sharded bloom family's
+    // measured fpp at this corpus scale (random longs over 2^64 are
+    // non-members w.p. ~1, so the hit rate IS the fpp)
+    val (_, fam) = graft.operators.Training.contamIndexAndBloom(spark, sfDir)
+    val rnd = new java.util.Random(7)
+    val nProbe = 200000
+    var hits = 0
+    var i = 0
+    while (i < nProbe) {
+      if (fam.mightContainLong(rnd.nextLong())) hits += 1
+      i += 1
+    }
+    println(f"[fixedshard] bloom_family shards=${fam.shards} " +
+      f"bytes=${fam.bytes.map(_.length.toLong).sum} " +
+      f"fpp=${hits.toDouble / nProbe}%.4f")
     spark.stop()
   }
 }

@@ -209,4 +209,18 @@ class TrainingSpec extends SparkSuite {
       .sortBy(_._1).map(_._2)
     byIdx.sliding(2).foreach { case Array(a, b) => assert(a <= b) }
   }
+
+  test("point-lookup contamination probe matches the join form " +
+    "(secondary layout answers identically)") {
+    // the key-sorted layout + pushed-IN variant is a PHYSICAL A/B of
+    // the exact-membership serve (r13 verdict item 5) — any row-level
+    // divergence would mean the lookup path is answering a different
+    // question, not serving the same one faster
+    val a = Training.contaminationServeFixedShard(spark, sf, 50L)
+      .collect().toSeq
+    val b = Training.contaminationServePointLookup(spark, sf, 50L)
+      .collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }
