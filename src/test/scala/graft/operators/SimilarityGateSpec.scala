@@ -143,7 +143,10 @@ class SimilarityGateSpec extends SparkSuite {
         "(the defect this feature closes)")
     // WITH the net: 50 + 10 = 60 <= 64 → the cap releases, and the
     // bucket's candidates (live index × shard, shard-internal) appear
-    val after = pairs(live, Similarity.netPopulationRows(idxPop, tombBands))
+    // tombstone band rows come from the index itself in the serve path;
+    // the synthetic rows here ARE index rows of the retracted ids
+    val after = pairs(live,
+      Similarity.netPopulationRows(idxPop, tombBands, shard))
     val bucket100 = after.filter { case (a, b) =>
       (10 <= a && a < 60 || a >= 1000) && 1000 <= b && b < 1010 }
     assert(bucket100.nonEmpty,
