@@ -241,4 +241,35 @@ class MultimodalSpec extends SparkSuite {
       "second serve run rebuilt the fingerprint index")
     assert(serve2 === serve1)
   }
+
+  test("H.264 I_PCM: decode round-trips the renderer exactly; " +
+    "emulation prevention is load-bearing; subset violations throw") {
+    // exact facts for a hand-checked id: I_PCM is lossless, so every
+    // sample must come back bit-for-bit
+    val id = 7L
+    val v = Multimodal.decodeH264(Multimodal.renderH264(id))
+    assert(v.profileIdc === 66L)
+    assert((v.width, v.height) === (32L, 32L))
+    assert(v.nNals === 4L) // SPS + PPS + 2 IDR
+    assert((v.nFrames, v.nMbs) === (2L, 8L))
+    def y(f: Int, x: Int, yy: Int) =
+      if (f == 0 && yy == 0 && x < 3) (if (x < 2) 0L else 1L)
+      else ((id * 31 + f * 19 + x * 7 + yy * 13) % 256)
+    val expLuma = (for (f <- 0 until 2; yy <- 0 until 32; x <- 0 until 32)
+      yield y(f, x, yy)).sum
+    assert(v.lumaSum === expLuma, "lossless luma must match closed form")
+    // emulation prevention is LOAD-BEARING by construction: the first
+    // three luma samples are the planted start-code prefix 00 00 01,
+    // so every stream must carry at least one escaped 00 00 03 — and a
+    // decoder that failed to strip it would see a phantom NAL boundary
+    val p = Multimodal.renderH264(id)
+    assert((0 until p.length - 2).exists(j =>
+      p(j) == 0 && p(j + 1) == 0 && p(j + 2) == 3),
+      "planted 00 00 01 PCM prefix must force an emulation-prevention " +
+        "byte into the byte stream")
+    // subset honesty: garbage and out-of-subset syntax fail loudly
+    intercept[Exception] {
+      Multimodal.decodeH264(Array[Byte](1, 2, 3, 4, 5))
+    }
+  }
 }
