@@ -1187,10 +1187,13 @@ object Multimodal {
         .ue(0) // pic_parameter_set_id
         .u(0, 4) // frame_num (IDR ⇒ 0) at the SPS-declared width
         .ue(f) // idr_pic_id — distinguishes consecutive IDRs
-        .se(0) // slice_qp_delta
-      // dec_ref_pic_marking for IDR:
+      // dec_ref_pic_marking comes BEFORE slice_qp_delta (§7.3.3 —
+      // nal_ref_idc != 0); the first cut had them swapped, which a
+      // round-trip test cannot catch (decoder mirrored the bug) but a
+      // conformant decoder would desync on
       w.bit(0) // no_output_of_prior_pics_flag
       w.bit(0) // long_term_reference_flag
+      w.se(0) // slice_qp_delta
       var mb = 0
       while (mb < XMbs) {
         val mbX = (mb % (XW / 16)) * 16
@@ -1331,8 +1334,8 @@ object Multimodal {
           val idrPicId = r.ue()
           require(idrPicId > lastIdrPicId, "idr_pic_id must advance")
           lastIdrPicId = idrPicId
+          r.u1(); r.u1() // dec_ref_pic_marking (IDR form, §7.3.3 order)
           r.se() // slice_qp_delta
-          r.u1(); r.u1() // dec_ref_pic_marking (IDR form)
           val picMbs = (widthMbs * heightMbs).toInt
           var mb = 0
           while (mb < picMbs) {
@@ -1356,9 +1359,14 @@ object Multimodal {
       nFrames, nMbs, lumaSum, chromaSum)
   }
 
-  /** Synthetic H.264 media table (build-once fixture cache). */
+  /** Synthetic H.264 media table (build-once fixture cache). The kind
+    * string carries a FORMAT VERSION: the fixture is the rendered byte
+    * stream, so any bitstream-syntax change (v2: dec_ref_pic_marking
+    * moved before slice_qp_delta per §7.3.3) must mint a new fixture
+    * identity or cached payloads from the old syntax would desync the
+    * new decoder. */
   def h264Media(spark: SparkSession, dir: String): DataFrame =
-    cachedMedia(spark, dir, "h264_ipcm") {
+    cachedMedia(spark, dir, "h264_ipcm_v2") {
       import spark.implicits._
       graft.operators.Star.fan(spark,
           graft.operators.Star.table(spark, dir, "documents").select("doc_id"))

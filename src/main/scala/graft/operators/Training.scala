@@ -574,14 +574,14 @@ object Training {
       index.repartitionByRange(nb, col("h")).sortWithinPartitions("h")
     }
     val shard = docs.filter(col("bucket") >= 90 && col("doc_id") < cap)
-    val totals = Star.fan(spark, shard)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-      .select(col("doc_id"),
-        size(expr(contamArrExpr)).cast("long").as("n_shingles"))
     val test = contamShingled(spark, shard)
     val mightContain =
       graft.functions.BloomOps.familyMightContainLong(col("h"), bloom)
-    val survivors = test.filter(mightContain)
+    // pinned ONCE (bandProbeDropIds doctrine): the survivors feed both
+    // the keys collect and the hits join, and an un-pinned lineage
+    // would re-run the shingle + bloom pass per reference — inflating
+    // the very side of the A/B this seam exists to measure
+    val survivors = test.filter(mightContain).localCheckpoint(true)
     // bounded driver collect — the survivors are the arrival's true
     // hits plus ~1 % bloom fpp, never corpus-sized; the caller (probe)
     // keeps the arrival small enough for a literal IN list
@@ -591,13 +591,34 @@ object Training {
       .select("h").distinct()
     val hits = survivors.join(broadcast(matched), Seq("h"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    contamAssemble(contamTotalsOf(spark, shard), hits)
+  }
+
+  /** Per-doc shingle totals of an arriving shard, MAP-SIDE as the
+    * shingle array's size — no explode, no count shuffle (doc_id is
+    * unique in documents). Shared by every serve form so the totals
+    * derivation cannot drift between the A/B pair. This is a second
+    * tokenize pass over the shard, deliberately: branching one shingled
+    * lineage into totals + hits would re-evaluate it twice anyway
+    * (Catalyst does not CSE across plan branches), and the un-exploded
+    * size() pass is the cheaper of the two evaluations. */
+  private def contamTotalsOf(spark: SparkSession,
+      shard: DataFrame): DataFrame =
+    Star.fan(spark, shard)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"),
+        size(expr(contamArrExpr)).cast("long").as("n_shingles"))
+
+  /** Final score assembly shared by every serve form: totals LEFT JOIN
+    * per-doc hit counts → contamination ratio, ordered. */
+  private def contamAssemble(totals: DataFrame,
+      hits: DataFrame): DataFrame =
     totals.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
         Star.ratio6(coalesce(col("n_contaminated"), lit(0L)),
           col("n_shingles")).as("contamination"))
       .orderBy("doc_id")
-  }
 
   /** The serve chain body: persisted bucketed n-gram index + its BLOOM
     * SIDE-FILE (r12 verdict item 2 — the one serve chain that was
@@ -620,33 +641,18 @@ object Training {
     // keys; sharded, each of the nb shards sizes for its ~1/nb slice)
     val (index, bloom) = contamIndexAndBloom(spark, dir)
     val shard = docs.filter(shardPred)
-    // per-doc totals MAP-SIDE as the shingle array's size — no explode,
-    // no count shuffle (doc_id is unique in documents). This is a second
-    // tokenize pass over the shard, deliberately: branching one shingled
-    // lineage into totals + hits would re-evaluate it twice anyway
-    // (Catalyst does not CSE across plan branches), and the un-exploded
-    // size() pass is the cheaper of the two evaluations.
-    val totals = Star.fan(spark, shard)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-      .select(col("doc_id"),
-        size(expr(contamArrExpr)).cast("long").as("n_shingles"))
     val test = contamShingled(spark, shard)
     // custom expression, not BloomFilterMightContain(Literal(bloom), _):
     // a corpus-scaled bloom inside a Literal makes Catalyst hash/compare
     // the full bit array on every canonicalization during optimization —
     // a ~4 s per-serve plateau once the ×100 corpus hit the 32 MB cap
-    // (probe numbers in BASELINE.md). BloomRef compares by reference.
+    // (probe numbers in BASELINE.md). The family compares by reference.
     val mightContain =
       graft.functions.BloomOps.familyMightContainLong(col("h"), bloom)
     val hits = test.filter(mightContain)
       .join(index, Seq("h"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
-    totals.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        Star.ratio6(coalesce(col("n_contaminated"), lit(0L)),
-          col("n_shingles")).as("contamination"))
-      .orderBy("doc_id")
+    contamAssemble(contamTotalsOf(spark, shard), hits)
   }
 
   /** bench_ngrams snapshot BUCKET COUNT, corpus-size-driven (the

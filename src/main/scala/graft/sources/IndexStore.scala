@@ -401,57 +401,83 @@ object IndexStore {
       val blooms = new Path(root, "blooms")
       val fs = blooms.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val specPath = new Path(blooms, "_SPEC.properties")
-      // legacy single-bloom layout (pre-sharding): blooms are DERIVED
-      // data — drop and rebuild at the sharded geometry
-      if (fs.exists(specPath) && bloomSpec(fs, blooms)._1 == 0)
+
+      /** Full (re)build from CURRENT content: blooms are DERIVED data,
+        * so every inconsistent family state — legacy pre-sharding
+        * layout, a lagging segment whose dir was already compacted
+        * away (its rows now live in unattributable sc* dirs) — is
+        * recoverable by rebuilding b_base over base ∪ live lane and
+        * marking the captured applied ids done. Ids are captured
+        * BEFORE the content read: a segment applied mid-rebuild stays
+        * unmarked and gets the normal per-segment backfill on the next
+        * read (marking it without its rows would be a false-negative
+        * factory). The counts companion deliberately has NO such path:
+        * rebuilding it costs a full index group-by (the work it exists
+        * to avoid), so its gone-lagging case stays a loud failure. */
+      def rebuildFamily(): Unit = {
+        val ids0 = appliedSegIds(spark, dir, srcTable, name)
+        val base = index.select(org.apache.spark.sql.functions.col(keyCol))
+        val df = readAppends(spark, dir, srcTable, name)
+          .map(l => base.unionByName(
+            l.select(org.apache.spark.sql.functions.col(keyCol))))
+          .getOrElse(base)
         fs.delete(blooms, true)
-      if (!fs.exists(new Path(blooms, "b_base/_DONE"))) {
-        val df = index
-        if (!fs.exists(specPath)) {
-          val n = math.max(1L, df.count())
-          val shards = math.max(1, shardsHint)
-          // optimal sizing for 1 % fpp is ~9.585 bits/item, applied PER
-          // SHARD (keys are uniform under the routing hash → balanced);
-          // per-shard cap 2^28 bits keeps any one build/merge bounded at
-          // 32 MB while the family's total capacity scales with shards.
-          // Any fpp is correctness-neutral: the exact join drops false
-          // positives.
-          val perShard = math.max(1L, (n + shards - 1) / shards)
-          val bits = math.min(1L << 28,
-            math.max(1L << 13, (perShard * 9.585).toLong))
-          fs.mkdirs(blooms)
-          val props = new java.util.Properties
-          props.setProperty("shards", shards.toString)
-          props.setProperty("itemsPerShard", perShard.toString)
-          props.setProperty("bitsPerShard", bits.toString)
-          val out = fs.create(specPath, true)
-          try props.store(out, "graft sharded bloom side-file spec")
-          finally out.close()
-        }
-        val (shards, items, bits) = bloomShardSpec(fs, blooms)
+        val n = math.max(1L, df.count())
+        val shards = math.max(1, shardsHint)
+        // optimal sizing for 1 % fpp is ~9.585 bits/item, applied PER
+        // SHARD (keys are uniform under the routing hash → balanced);
+        // per-shard cap 2^28 bits keeps any one build/merge bounded at
+        // 32 MB while the family's total capacity scales with shards.
+        // Any fpp is correctness-neutral: the exact join drops false
+        // positives.
+        val perShard = math.max(1L, (n + shards - 1) / shards)
+        val bits = math.min(1L << 28,
+          math.max(1L << 13, (perShard * 9.585).toLong))
+        fs.mkdirs(blooms)
+        val props = new java.util.Properties
+        props.setProperty("shards", shards.toString)
+        props.setProperty("itemsPerShard", perShard.toString)
+        props.setProperty("bitsPerShard", bits.toString)
+        val out = fs.create(specPath, true)
+        try props.store(out, "graft sharded bloom side-file spec")
+        finally out.close()
         writeBloomSide(spark, fs, blooms, "b_base", df, keyCol,
-          shards, items, bits)
+          shards, perShard, bits)
+        ids0.foreach { id =>
+          val side = new Path(blooms, s"b_$id")
+          fs.mkdirs(side)
+          try fs.create(new Path(side, "_DONE"), false).close()
+          catch { case _: java.io.IOException => () }
+        }
       }
+
+      if (!fs.exists(specPath) || bloomShardSpec(fs, blooms)._1 == 0 ||
+        !fs.exists(new Path(blooms, "b_base/_DONE")))
+        rebuildFamily()
       val (shards, items, bits) = bloomShardSpec(fs, blooms)
       // lockstep: any applied index segment missing its bloom side is
       // built from its still-live dir (and persisted, so the fallback
-      // runs once); a compacted-away lagging segment is unrecoverable
-      val have = fs.listStatus(blooms).iterator
+      // runs once); a compacted-away lagging segment triggers the full
+      // rebuild — recoverable precisely because blooms are derived
+      def segmentSides(): Set[String] = fs.listStatus(blooms).iterator
         .filter(s => s.isDirectory &&
           fs.exists(new Path(s.getPath, "_DONE")))
         .map(_.getPath.getName)
-        .filter(_.startsWith("b_")).map(_.stripPrefix("b_")).toSet
-      // b_base is not a segment id; pass only segment sides as "has"
-      val lagging = laggingSegments(spark, dir, srcTable, name,
-        have - "base",
-        gone => s"index '$name' segments ${gone.mkString(", ")} were " +
-          "applied without their bloom side-files and have since been " +
-          "compacted — the prefilter would drop true members " +
-          "(rebuild the bloom family from the index)")
-      lagging.foreach { case (id, p) =>
-        writeBloomSide(spark, fs, blooms, s"b_$id",
-          spark.read.parquet(p.toString), keyCol, shards, items, bits)
+        .filter(_.startsWith("b_")).map(_.stripPrefix("b_"))
+        .toSet - "base" // b_base is not a segment id
+      try {
+        laggingSegments(spark, dir, srcTable, name, segmentSides(),
+          gone => s"bloom sides of '$name' segments " +
+            s"${gone.mkString(", ")} are unrecoverable per-segment")
+          .foreach { case (id, p) =>
+            writeBloomSide(spark, fs, blooms, s"b_$id",
+              spark.read.parquet(p.toString), keyCol, shards, items, bits)
+          }
+      } catch {
+        case _: IllegalStateException => rebuildFamily()
       }
+      // re-read: a catch-path rebuild may have re-sized the geometry
+      val (shardsN, itemsN, bitsN) = bloomShardSpec(fs, blooms)
       // per-shard OR-merge across sides (driver-side, ≤32 MB per shard),
       // memoized on the full shard-file listing: serve queries construct
       // per arrival batch, and re-reading + re-merging a corpus-scaled
@@ -474,7 +500,7 @@ object IndexStore {
       val hit = bloomFamilyCache.get(rootKey)
       if (hit != null && hit._1 == guard) hit._2
       else {
-        val perShard = new Array[BloomFilter](shards)
+        val perShard = new Array[BloomFilter](shardsN)
         shardFiles.foreach { s =>
           val i = s.getPath.getName.drop(1).takeWhile(_ != '_').toInt
           val in = fs.open(s.getPath)
@@ -495,12 +521,12 @@ object IndexStore {
         }
         val bytes = perShard.map { bf =>
           val filled =
-            if (bf != null) bf else BloomFilter.create(items, bits)
+            if (bf != null) bf else BloomFilter.create(itemsN, bitsN)
           val bos = new java.io.ByteArrayOutputStream()
           filled.writeTo(bos)
           bos.toByteArray
         }
-        val fam = graft.functions.BloomFamily(shards, bytes)
+        val fam = graft.functions.BloomFamily(shardsN, bytes)
         if (bloomFamilyCache.size > 16) bloomFamilyCache.clear()
         bloomFamilyCache.put(rootKey, (guard, fam))
         fam
@@ -533,6 +559,10 @@ object IndexStore {
           "bloomFamilyFor before appending deltas — segment sides must " +
           "share its shard geometry to merge)")
     val (shards, items, bits) = bloomShardSpec(fs, blooms)
+    if (shards <= 0) throw new IllegalStateException(
+      s"index '$name' carries a pre-sharding bloom spec — serve it once " +
+        "through bloomFamilyFor (which rebuilds the family at the " +
+        "sharded geometry) before appending deltas")
     writeBloomSide(spark, fs, blooms, s"b_$segId", delta, keyCol,
       shards, items, bits)
   }

@@ -402,9 +402,12 @@ class IndexLifecycleSpec extends SparkSuite {
     assertMembers(bf, 0 to 99, "post-compaction")
     assertMembers(bf, 200 to 210, "post-compaction")
     assertMembers(bf, 300 to 310, "post-compaction")
-    // a lagging segment whose dir was compacted away BEFORE any bloom
-    // read is unrecoverable — the guard must fail, not silently serve
-    // a bloom with false negatives
+    // a lagging segment whose dir was compacted away before any bloom
+    // read can no longer be rebuilt PER SEGMENT (its rows live in an
+    // unattributable compacted dir) — but blooms are DERIVED data, so
+    // the read path self-heals with a FULL family rebuild over base ∪
+    // live lane instead of failing or, worse, silently serving false
+    // negatives. The compacted rows must be members afterwards.
     IndexStore.appendSegment(spark, dir, "documents", name, "a3") {
       (400L to 410L).toDF("h")
     }
@@ -412,9 +415,11 @@ class IndexLifecycleSpec extends SparkSuite {
       (500L to 510L).toDF("h")
     }
     IndexStore.compactAppends(spark, dir, "documents", name, maxSegments = 1)
-    val e = intercept[IllegalStateException](bloom())
-    assert(e.getMessage.contains("bloom"),
-      s"expected the bloom lockstep failure, got: ${e.getMessage}")
+    val healed = bloom()
+    assertMembers(healed, 400 to 410, "self-heal rebuild")
+    assertMembers(healed, 500 to 510, "self-heal rebuild")
+    assertMembers(healed, 0 to 99, "self-heal rebuild (base)")
+    assertMembers(healed, 200 to 210, "self-heal rebuild (compacted a1)")
   }
 
   test("streaming SEMANTIC dedup: segment bound holds; verdicts converge to the batch twin") {
