@@ -275,7 +275,11 @@ object IndexStore {
       gone => s"index '$name' segments ${gone.mkString(", ")} were " +
         "applied without their count deltas and have since been " +
         "compacted — their rows can no longer be attributed; the " +
-        "companion under-counts permanently (rebuild it from the index)")
+        "companion under-counts permanently. Recovery: a majorRewrite " +
+        "mints a new generation whose companion rebuilds from the " +
+        "reduced content (deliberately NOT automatic here — the " +
+        "rebuild is a full index group-by, the very cost the " +
+        "companion exists to amortize)")
       .map { case (_, p) =>
         spark.read.parquet(p.toString)
           .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))

@@ -15,11 +15,20 @@ import org.apache.spark.sql.functions._
   * main in a real separate JVM against the same tmpdir lane its own
   * threads are hammering.
   *
+  * A second mode runs the MAJOR REWRITE from the foreign process while
+  * the parent probes — the tombstone-applying compaction's whole
+  * coordination surface (build-once generation, companion rebuilds,
+  * marker carry, alias promote) exercised cross-process against the
+  * MajorRewriteSpec fixture (base rows 0-99, segment a1 rows 200-219,
+  * h = doc_id % 10 — the fixture contract is shared with that spec).
+  *
   * Usage: runMain graft.tools.LifecycleStressMain
   *   <sfDir> <laneName> <alias> <gen> <loSeg> <hiSeg>
+  *   | --rewrite <sfDir> <laneName> <gen>
   */
 object LifecycleStressMain {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--rewrite")) { rewriteMain(args); return }
     val Array(dir, lane, alias, gen, loStr, hiStr) = args.take(6)
     val (lo, hi) = (loStr.toInt, hiStr.toInt)
     val spark = SparkSession.builder()
@@ -43,6 +52,30 @@ object LifecycleStressMain {
       }
       IndexStore.promote(dir, "documents", alias, gen)
       println(s"STRESS_DONE $lane [$lo,$hi)")
+    } finally spark.stop()
+  }
+
+  private def rewriteMain(args: Array[String]): Unit = {
+    val Array(_, dir, lane, gen) = args.take(4)
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      import spark.implicits._
+      // fixture contract shared with MajorRewriteSpec: ids 0-99 (base)
+      // ∪ 200-219 (segment a1), h = doc_id % 10, tombstones = even ids
+      val base = IndexStore.openTable(spark, dir, "documents", lane)
+      val tomb = ((0L until 100L) ++ (200L until 220L))
+        .filter(_ % 2 == 0).toDF("doc_id")
+      IndexStore.majorRewrite(spark, dir, "documents", lane, gen,
+        4, Seq("h"), Seq("h"), Seq("doc_id"),
+        countsKeyCols = Some(Seq("h")), bloomKeyCol = Some("doc_id"),
+        bloomShards = 4)(base)(tomb)
+      println(s"REWRITE_DONE $lane $gen")
     } finally spark.stop()
   }
 }

@@ -22,33 +22,10 @@ class ConcurrentLifecycleSpec extends SparkSuite {
   private val dir = "/root/testdata/sf0.001"
 
   /** Launch a graft.tools main in a REAL second JVM, return (exit,
-    * stdout). Shared by the lifecycle storm and the fresh-process serve
-    * spec below. */
+    * stdout). Shared helper — see [[graft.ChildJvm]]. */
   private def runChildJvm(mainClass: String, args: Seq[String],
-      timeoutSec: Long = 180): (Int, String) = {
-    val javaBin = java.nio.file.Paths
-      .get(System.getProperty("java.home"), "bin", "java").toString
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar"
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val log = java.nio.file.Files.createTempFile("child_jvm", ".log")
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx3g",
-      "-Dspark.sql.session.timeZone=UTC",
-      "-cp", System.getProperty("java.class.path"), mainClass) ++ args
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.redirectErrorStream(true)
-    pb.redirectOutput(log.toFile)
-    val child = pb.start()
-    assert(child.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS),
-      s"child JVM timed out; log: ${java.nio.file.Files.readString(log)}")
-    (child.exitValue(), java.nio.file.Files.readString(log))
-  }
+      timeoutSec: Long = 180): (Int, String) =
+    graft.ChildJvm.run(mainClass, args, timeoutSec)
 
   test("a fresh process serves the residual-banded index without running the trainer") {
     // VERDICT r11 item 3: the residual banding model (centroids + τ²)

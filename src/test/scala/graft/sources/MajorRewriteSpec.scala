@@ -173,4 +173,53 @@ class MajorRewriteSpec extends SparkSuite {
       anomalies.toArray.mkString("; "))
     assert(IndexStore.servingName(dir, "documents", name) === s"${name}_g2")
   }
+
+  test("a REAL second JVM runs the major rewrite while this process " +
+    "probes: only complete generations observed, companions consistent") {
+    // the thread race above shares the JVM-wide IndexStore lock; this
+    // drives the whole coordination surface (build-once generation,
+    // staged publication, marker carry, alias promote) from a foreign
+    // process — the shape a production maintenance job actually has
+    val name = s"mrwjvm${java.util.UUID.randomUUID.toString.take(6)}"
+    buildFixture(name)
+    val (child, log) = graft.ChildJvm.start(
+      "graft.tools.LifecycleStressMain",
+      Seq("--rewrite", dir, name, "g2"))
+    val anomalies = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    var sawNew = false
+    try {
+      while (child.isAlive) {
+        try {
+          val serving = IndexStore.servingName(dir, "documents", name)
+          if (serving != name) sawNew = true
+          if (sawNew && serving == name)
+            anomalies.add("alias regressed to the old generation")
+          val n = IndexStore.openTable(spark, dir, "documents", serving)
+            .count()
+          val expected = if (serving == name) 100L else 60L
+          if (n != expected)
+            anomalies.add(s"generation $serving read $n rows")
+        } catch {
+          case e: Throwable => anomalies.add(s"probe threw ${e.getMessage}")
+        }
+      }
+      assert(child.exitValue() === 0,
+        s"child rewrite failed; log: ${java.nio.file.Files.readString(log)}")
+    } finally if (child.isAlive) child.destroyForcibly()
+    assert(anomalies.isEmpty,
+      s"cross-JVM anomalies: ${anomalies.toArray.mkString("; ")}")
+    val gen = IndexStore.servingName(dir, "documents", name)
+    assert(gen === s"${name}_g2", "child's promotion must be visible here")
+    // the foreign process's companion rebuilds serve consistently HERE
+    val served = IndexStore.openTable(spark, dir, "documents", gen)
+    assert(contentOf(served).forall(_ % 2 == 1))
+    val pops = IndexStore.bucketPopulations(
+      spark, dir, "documents", gen, Seq("h"))(served)
+      .collect().map(_.getLong(1)).sum
+    assert(pops === 60L, s"populations of the child-built generation: $pops")
+    val fam = IndexStore.bloomFamilyFor(
+      spark, dir, "documents", gen, "doc_id", 4)(served)
+    contentOf(served).foreach(k => assert(fam.mightContainLong(k),
+      s"live key $k missing from the child-built bloom family"))
+  }
 }
