@@ -167,6 +167,25 @@ object PlanDump {
           |between that scan and the full-precision embeddings join, so
           |true vectors are read only for 10 candidates per
           |query.""".stripMargin,
+      "q_contamination_serve" ->
+        """Exact-membership serve behind the SHARDED bloom family. What to
+          |look for: graft_bloom_family_might_contain sits as a Filter on
+          |the SHARD's shingle lineage (never on the index side — the
+          |expression's deterministic=false fence keeps
+          |InferFiltersFromConstraints from copying it across the join
+          |equality), and exactly one scan of the persisted
+          |graft_idx_bench_ngrams_* table feeds the exact inner join;
+          |per-doc totals are computed from the shard alone (size() over
+          |the un-exploded shingle array — no second index
+          |touch).""".stripMargin,
+      "q_dedup_index_rewrite" ->
+        """Serve AFTER the tombstone-applying major rewrite. What to look
+          |for: the band-probe join's earlier side scans the REWRITTEN
+          |generation (graft_idx_mhbandrw_g2_*) directly — no tombstone
+          |anti-join anywhere in the plan (physical removal happened at
+          |maintenance time), no re-shingling of the base corpus, and the
+          |same candidate-restricted exact-Jaccard verify shape as the
+          |incremental serve.""".stripMargin,
     )
 
     val sb = new StringBuilder
