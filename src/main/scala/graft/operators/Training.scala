@@ -549,6 +549,59 @@ object Training {
       spark, dir, "documents", "bench_ngrams", "h", nb)(index))
   }
 
+  /** Exact-membership serve THROUGH THE APPEND LANE — the contamination
+    * twin of q_semantic_dedup_capped_append (r12): the benchmark n-gram
+    * index arrives in two installments (a bucketed base over the
+    * bucket < 70 docs' shingles, then the bucket 70-80 expansion as an
+    * append-lane segment IN LOCKSTEP with its bloom side-file), and the
+    * arriving shard probes base ∪ segment behind the MERGED family —
+    * so the bloom companion's whole append machinery (per-segment
+    * sides, spec-geometry deltas, the listing-guarded per-shard
+    * OR-merge) is gated by the hash oracle, not only the lifecycle
+    * specs. Hits count DISTINCT matched keys per doc: the lane's union
+    * can carry a shingle on both sides (base and segment build their
+    * distinct sets independently), and a join-multiplicity count would
+    * double-bill exactly those — the distinct runs over matched
+    * survivors only, shard-sized. Oracle: the in-query contamination
+    * form verbatim (base ∪ segment ≡ the bucket < 80 train split). */
+  def contaminationAppend(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexStore
+    val docs = contamDocs(spark, dir)
+    val nb = contamBucketsFor(spark, dir)
+    val name = "bench_ngrams_a"
+    val index = IndexStore.cachedBucketTable(
+      spark, dir, "documents", name, nb, Seq("h"), Seq("h")) {
+      contamShingled(spark, docs.filter(col("bucket") < 70))
+        .select("h").distinct()
+    }
+    // base family first (segment sides must share its shard geometry),
+    // then the lockstep pair, then the merged read
+    IndexStore.bloomFamilyFor(spark, dir, "documents", name, "h", nb)(index)
+    IndexStore.appendSegment(spark, dir, "documents", name, "b7080") {
+      contamShingled(spark,
+          docs.filter(col("bucket") >= 70 && col("bucket") < 80))
+        .select("h").distinct()
+    }
+    IndexStore.appendBloomSegment(
+      spark, dir, "documents", name, "b7080", "h") {
+      contamShingled(spark,
+          docs.filter(col("bucket") >= 70 && col("bucket") < 80))
+        .select("h").distinct()
+    }
+    val bloom =
+      IndexStore.bloomFamilyFor(spark, dir, "documents", name, "h", nb)(index)
+    val lane = IndexStore.readAppends(spark, dir, "documents", name)
+      .map(index.unionByName(_)).getOrElse(index)
+    val shard = docs.filter(col("bucket") >= 90)
+    val test = contamShingled(spark, shard)
+    val survivors = test.filter(
+      graft.functions.BloomOps.familyMightContainLong(col("h"), bloom))
+    val hits = survivors.join(lane, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("h")).as("n_contaminated"))
+    contamAssemble(contamTotalsOf(spark, shard), hits)
+  }
+
   /** Probe seam (r13 verdict item 5): exact-membership serve through a
     * KEY-SORTED SECONDARY LAYOUT + a pushed IN-list — the candidate
     * answer to the one honest floor left in this chain (the bucketed
@@ -1043,6 +1096,11 @@ object Training {
     // serve path against the persisted benchmark n-gram index — same
     // split/scoring, index build amortized → shared oracle
     QueryDef("q_contamination_serve", contaminationServe,
+      Some(contaminationSql)),
+    // serve through the append lane: base ∪ segment behind the MERGED
+    // bloom family — the bloom companion's append machinery under the
+    // hash oracle (base∪segment ≡ the same bucket<80 train split)
+    QueryDef("q_contamination_append", contaminationAppend,
       Some(contaminationSql)),
     QueryDef("q_unigram_likelihood", unigramLikelihood,
       Some(unigramLikelihoodSql)),
