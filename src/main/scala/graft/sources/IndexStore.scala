@@ -937,6 +937,37 @@ object IndexStore {
       newName
     }
 
+  /** [[majorRewrite]] for cell-PARTITIONED snapshots (IVF postings):
+    * the same generation / lane-fold / marker-carry / alias-promote
+    * flow over a `partitionBy` layout, so the rewritten generation
+    * keeps the probed-cell static directory pruning the serve relies
+    * on. No companion params — the partitioned snapshots carry none.
+    * Same maintenance-window contract as the bucketed form. */
+  def majorRewritePartitioned(spark: SparkSession, dir: String,
+      srcTable: String, name: String, gen: String, partCols: Seq[String],
+      tombstoneCols: Seq[String])
+      (baseIndex: => DataFrame)(tombstones: => DataFrame): String =
+    synchronized {
+      val newName = s"${name}_$gen"
+      val fs = snapshotRoot(dir, srcTable, name)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      cachedPartitionedTable(spark, dir, srcTable, newName, partCols) {
+        val lane = readAppends(spark, dir, srcTable, name)
+        val content = lane.fold(baseIndex)(baseIndex.unionByName(_))
+        content.join(tombstones, tombstoneCols, "left_anti")
+      }
+      // marker carry: idempotent, after publication (see majorRewrite)
+      val appends =
+        new Path(snapshotRoot(dir, srcTable, newName), "appends")
+      fs.mkdirs(appends)
+      appliedSegIds(spark, dir, srcTable, name).foreach { id =>
+        try fs.create(new Path(appends, s"_applied_$id"), false).close()
+        catch { case _: java.io.IOException => () }
+      }
+      promote(dir, srcTable, name, newName)
+      newName
+    }
+
   /** The snapshot name the serve path should open for `name`: the
     * promoted generation if a [[majorRewrite]] published one, else the
     * bootstrap snapshot itself. */

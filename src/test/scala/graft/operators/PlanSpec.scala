@@ -235,6 +235,24 @@ class PlanSpec extends SparkSuite {
         scanLine.get)
   }
 
+  test("annIvfRewrite: the REWRITTEN generation still prunes to the " +
+    "probed cells, and no anti-join survives in the plan") {
+    val p = plan(Similarity.annIvfRewrite(spark, dir))
+    // the serve must scan the promoted generation (the *_g2 snapshot),
+    // with the probed-cell literal partition filter intact — the new
+    // layout is partitionBy like the old, so pruning must survive the
+    // rewrite — and the takedown must be PHYSICAL: no LeftAnti anywhere
+    val scanLine = p.split("\n")
+      .find(l => l.contains("graft_idx_ivf_post_rw_g2"))
+    assert(scanLine.isDefined,
+      "serve must scan the rewritten postings generation\n" + p)
+    assert(scanLine.get.contains("PartitionFilters: [cid"),
+      "rewritten postings scan must prune by probed cell ids\n" +
+        scanLine.get)
+    assert(!p.contains("LeftAnti"),
+      "physical removal means no tombstone anti-join in the plan\n" + p)
+  }
+
   test("annIvfQuant: code postings prune to probed cells; full vectors " +
     "only touched after the shortlist") {
     val df = Similarity.annIvfQuant(spark, dir)
