@@ -1101,8 +1101,10 @@ object Multimodal {
     ((id * 13 + f * 29 + cx * 3 + cy * 29) % 256).toInt
 
   /** MSB-first RBSP bit writer with the H.264 entropy codes: ue(v) /
-    * se(v) Exp-Golomb and fixed-width u(n). */
-  private final class BitWriter {
+    * se(v) Exp-Golomb and fixed-width u(n). private[multimodal]: the
+    * spec round-trips the entropy codes and the EP transform directly,
+    * not only through whole streams. */
+  private[multimodal] final class BitWriter {
     private val bos = new java.io.ByteArrayOutputStream()
     private var cur = 0
     private var nbits = 0
@@ -1133,7 +1135,7 @@ object Multimodal {
 
   /** RBSP → EBSP: insert emulation-prevention 0x03 before any byte
     * ≤ 0x03 that would follow two zero bytes (§7.4.1.1). */
-  private def ebspOf(rbsp: Array[Byte]): Array[Byte] = {
+  private[multimodal] def ebspOf(rbsp: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(rbsp.length + 8)
     var zeros = 0
     rbsp.foreach { b =>
@@ -1224,7 +1226,7 @@ object Multimodal {
   }
 
   /** MSB-first RBSP bit reader — the decode half of [[BitWriter]]. */
-  private final class BitReader(b: Array[Byte]) {
+  private[multimodal] final class BitReader(b: Array[Byte]) {
     private var pos = 0
     private var off = 0
     def u1(): Int = {
@@ -1253,7 +1255,8 @@ object Multimodal {
   }
 
   /** EBSP → RBSP: strip emulation-prevention bytes (00 00 03 → 00 00). */
-  private def rbspOf(ebsp: Array[Byte], from: Int, to: Int): Array[Byte] = {
+  private[multimodal] def rbspOf(ebsp: Array[Byte], from: Int,
+      to: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(to - from)
     var zeros = 0
     var i = from

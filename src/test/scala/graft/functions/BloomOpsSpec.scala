@@ -136,6 +136,33 @@ class BloomOpsSpec extends SparkSuite {
       "post-empty-delta merge must keep the family geometry"))
   }
 
+  test("shardOf routes every key into [0, n) and matches the pmod " +
+    "reference at every shard count") {
+    // build and probe must agree bit-for-bit, and the codegen path
+    // inlines this formula — pin it against an independent reference
+    val rnd = new scala.util.Random(3)
+    val keys = Seq(0L, 1L, -1L, Long.MinValue, Long.MaxValue) ++
+      Seq.fill(2000)(rnd.nextLong())
+    Seq(1, 2, 8, 20, 200, 256).foreach { n =>
+      keys.foreach { k =>
+        val s = BloomFamily.shardOf(k, n)
+        assert(s >= 0 && s < n, s"shardOf($k, $n) = $s out of range")
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(k, 42)
+        val ref = ((h % n) + n) % n
+        assert(s === ref, s"shardOf($k, $n) diverges from pmod reference")
+      }
+      // balance sanity at n >= 8: no shard may be empty or hold more
+      // than 4x its fair share over 2000 uniform keys
+      if (n >= 8 && n <= 20) {
+        val counts = keys.groupBy(BloomFamily.shardOf(_, n))
+          .map(_._2.size)
+        assert(counts.size === n, s"empty shards at n=$n")
+        assert(counts.max <= 4 * keys.size / n,
+          s"shard skew at n=$n: max=${counts.max}")
+      }
+    }
+  }
+
   test("bloomFamilyFor memoizes the merged family per snapshot and " +
     "invalidates on a new segment side") {
     import graft.sources.IndexStore

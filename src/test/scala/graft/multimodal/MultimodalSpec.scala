@@ -272,4 +272,47 @@ class MultimodalSpec extends SparkSuite {
       Multimodal.decodeH264(Array[Byte](1, 2, 3, 4, 5))
     }
   }
+
+  test("Exp-Golomb ue/se and fixed-width u(n) round-trip exactly; " +
+    "emulation prevention is an exact inverse on adversarial bytes") {
+    // entropy-code properties directly, not only through whole streams:
+    // a single off-by-one in the Golomb prefix corrupts every later
+    // field silently (the whole-stream test can cancel paired bugs)
+    val rnd = new scala.util.Random(11)
+    val ues = (0L until 64L) ++ Seq(255L, 256L, 65535L, 1000000L) ++
+      Seq.fill(200)(rnd.nextInt(1 << 24).toLong)
+    val ses = (-40L to 40L) ++ Seq.fill(200)((rnd.nextInt(1 << 20) -
+      (1 << 19)).toLong)
+    val w = new Multimodal.BitWriter
+    ues.foreach(w.ue)
+    ses.foreach(w.se)
+    w.u(0xA5L, 8); w.u(5L, 3); w.u(1L, 1)
+    w.rbspTrailing()
+    val r = new Multimodal.BitReader(w.toArray)
+    ues.foreach(v => assert(r.ue() === v, s"ue($v) round-trip"))
+    ses.foreach(v => assert(r.se() === v, s"se($v) round-trip"))
+    assert(r.u(8) === 0xA5L)
+    assert(r.u(3) === 5L)
+    assert(r.u(1) === 1L)
+    // EP transform: every 00 00 {00,01,02,03} run must be escaped and
+    // strip back byte-identically, including runs longer than 2 zeros
+    // and trailing zeros
+    val adversarial = Seq[Array[Byte]](
+      Array(0, 0, 0), Array(0, 0, 1), Array(0, 0, 2), Array(0, 0, 3),
+      Array(0, 0, 0, 0, 0, 1), Array(1, 0, 0, 3, 0, 0),
+      Array.fill(64)(0.toByte),
+      Array.tabulate(512)(i => (i % 4).toByte),
+      Array.tabulate(300)(_ => rnd.nextInt(4).toByte))
+    adversarial.foreach { rbsp =>
+      val e = Multimodal.ebspOf(rbsp)
+      // no start-code-prefix (00 00 0x, x<=3) may survive in the EBSP
+      (0 until e.length - 2).foreach { j =>
+        assert(!(e(j) == 0 && e(j + 1) == 0 && (e(j + 2) & 0xff) <= 2),
+          s"unescaped 00 00 0${e(j + 2)} at $j in ${e.mkString(",")}")
+      }
+      val back = Multimodal.rbspOf(e, 0, e.length)
+      assert(back.toSeq === rbsp.toSeq,
+        s"EP round-trip failed for ${rbsp.mkString(",")}")
+    }
+  }
 }
