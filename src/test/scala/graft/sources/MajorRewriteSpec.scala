@@ -126,6 +126,52 @@ class MajorRewriteSpec extends SparkSuite {
       === liveIds, "re-run must re-promote the same generation unchanged")
   }
 
+  test("partitioned major rewrite: content reduced, partition layout " +
+    "kept, replays no-op, re-run stable") {
+    val name = s"mrwp${java.util.UUID.randomUUID.toString.take(6)}"
+    val base = IndexStore.cachedPartitionedTable(
+      spark, dir, "documents", name, Seq("h")) {
+      rowsDf(0L until 100L)
+    }
+    IndexStore.appendSegment(spark, dir, "documents", name, "a1") {
+      rowsDf(200L until 220L)
+    }
+    val allIds = ((0L until 100L) ++ (200L until 220L)).toSet
+    val liveIds = allIds.filter(_ % 2 == 1)
+    val gen = IndexStore.majorRewritePartitioned(spark, dir, "documents",
+      name, "g2", Seq("h"), Seq("doc_id"))(base) {
+      rowsDf(allIds.toSeq.filter(_ % 2 == 0))
+    }
+    assert(gen === s"${name}_g2")
+    assert(IndexStore.servingName(dir, "documents", name) === gen)
+    val served = IndexStore.openTable(spark, dir, "documents", gen)
+    assert(contentOf(served) === liveIds,
+      "partitioned rewrite must hold base ∪ lane minus tombstones")
+    // the generation keeps the partition layout — a partition-value
+    // filter must prune to the matching directories
+    val pruned = served.filter(org.apache.spark.sql.functions
+      .col("h") === 1)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(h"),
+      "rewritten generation must keep partition pruning\n" +
+        pruned.queryExecution.executedPlan)
+    assert(contentOf(pruned) === liveIds.filter(_ % 10 == 1))
+    // replays of the folded segment no-op across the generation
+    IndexStore.appendSegment(spark, dir, "documents", gen, "a1") {
+      rowsDf(200L until 220L)
+    }
+    assert(IndexStore.readAppends(spark, dir, "documents", gen).isEmpty,
+      "replayed append of a rewrite-folded segment must be a no-op")
+    // re-run is build-once stable
+    val gen2 = IndexStore.majorRewritePartitioned(spark, dir, "documents",
+      name, "g2", Seq("h"), Seq("doc_id"))(base) {
+      rowsDf(allIds.toSeq.filter(_ % 2 == 0))
+    }
+    assert(gen2 === gen)
+    assert(contentOf(IndexStore.openTable(spark, dir, "documents", gen))
+      === liveIds)
+  }
+
   test("a probe racing the major rewrite only ever reads a complete " +
     "generation (old or new, never torn or unpublished)") {
     val name = s"mrwrace${java.util.UUID.randomUUID.toString.take(6)}"
