@@ -26,7 +26,7 @@ final case class BloomRef(bytes: Array[Byte]) {
 }
 
 /** Serializable carrier of a SHARDED bloom family: one bloom per index
-  * bucket (the `p<i>` files under each `blooms/b_<side>` dir,
+  * bucket (the `p<i>` files under each version's `b_<side>` dir,
   * [[graft.sources.IndexStore.bloomFamilyFor]]), probed by routing
   * each key to its shard with the
   * SAME hash Spark's bucketed layout uses (`Murmur3(key) pmod shards`).
@@ -35,14 +35,37 @@ final case class BloomRef(bytes: Array[Byte]) {
   * fpp degrades until the prefilter passes everything — per-shard
   * geometry scales with the index's bucket count instead (256 shards ×
   * 2^28 bits ≈ 6.7 B keys at ~1 % fpp before any cap binds). Same
-  * by-reference identity contract as [[BloomRef]]. */
+  * by-reference identity contract as [[BloomRef]].
+  *
+  * The family may be PARTIAL (r14 verdict item 1 — arrival-routed
+  * residency, [[graft.sources.IndexStore.bloomFamilyForArrival]]): an
+  * unloaded shard's slot is null and probing it answers the
+  * conservative "might contain". The one-sided-error contract is
+  * preserved — `false` still PROVES absence; a null-shard `true` just
+  * forwards the key to the exact join behind the prefilter, which
+  * drops non-members the same way it drops loaded-shard false
+  * positives. A serve that routes its arrival's keys first never hits
+  * the fallback (every probed key's shard was loaded); the fallback is
+  * the safety net that makes partial loading impossible to misuse. */
 final case class BloomFamily(shards: Int, bytes: Array[Array[Byte]]) {
   @transient lazy val filters: Array[org.apache.spark.util.sketch.BloomFilter] =
-    bytes.map(b => org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(b)))
+    bytes.map(b =>
+      if (b == null) null
+      else org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(b)))
 
-  def mightContainLong(h: Long): Boolean =
-    filters(BloomFamily.shardOf(h, shards)).mightContainLong(h)
+  def mightContainLong(h: Long): Boolean = {
+    val f = filters(BloomFamily.shardOf(h, shards))
+    f == null || f.mightContainLong(h)
+  }
+
+  /** Bytes actually resident (loaded shards only) — the quantity
+    * arrival-routed loading bounds by the ARRIVAL instead of the
+    * index (probe tooling records it per serve). */
+  def loadedBytes: Long =
+    bytes.iterator.filter(_ != null).map(_.length.toLong).sum
+
+  def loadedShards: Int = bytes.count(_ != null)
 }
 
 object BloomFamily {
@@ -140,16 +163,23 @@ case class BloomFamilyMightContain(child: Expression, family: BloomFamily)
       ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftBloomFamily", family,
       classOf[BloomFamily].getName)
-    // deserialize every shard ONCE per instance; per row the probe is
-    // murmur + pmod + one array index + two bit reads
+    // deserialize every loaded shard ONCE per instance; per row the
+    // probe is murmur + pmod + one array index + two bit reads (plus a
+    // null check — the partial-family conservative fallback)
     val fs = ctx.addMutableState(
       "org.apache.spark.util.sketch.BloomFilter[]", "graftBloomShards",
       v => s"$v = $ref.filters();")
     val n = family.shards
     // inline shardOf: codegen must match the build's routing bit-for-bit
-    defineCodeGen(ctx, ev, c => {
-      val hash = s"org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong($c, 42)"
-      s"$fs[(($hash % $n) + $n) % $n].mightContainLong($c)"
+    nullSafeCodeGen(ctx, ev, c => {
+      val idx = ctx.freshName("graftShardIdx")
+      s"""
+         |int $idx = org.apache.spark.unsafe.hash.Murmur3_x86_32
+         |  .hashLong($c, 42) % $n;
+         |if ($idx < 0) $idx += $n;
+         |${ev.value} =
+         |  $fs[$idx] == null || $fs[$idx].mightContainLong($c);
+       """.stripMargin
     })
   }
 

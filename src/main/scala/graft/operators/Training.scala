@@ -520,7 +520,18 @@ object Training {
     * Same train/test split and scoring as the in-query form → shared
     * oracle. */
   def contaminationServe(spark: SparkSession, dir: String): DataFrame =
-    contaminationServeOf(spark, dir, col("bucket") >= 90)
+    contaminationServeOf(spark, dir, col("bucket") >= 90, FamilyAdaptive)
+
+  /** [[contaminationServe]] with FORCED arrival-routed family residency
+    * (r14 verdict item 1): the serve routes the arriving shard's keys to
+    * their family shards first and loads ONLY those side-files — at
+    * harness scales the adaptive production serve ships the whole
+    * (tiny) family, so this registration is what keeps the routed
+    * machinery (touched-shard load, partial family, conservative
+    * unloaded-shard fallback) under the driver's hash oracle at every
+    * scale. Same oracle as the in-query contamination form. */
+  def contaminationRouted(spark: SparkSession, dir: String): DataFrame =
+    contaminationServeOf(spark, dir, col("bucket") >= 90, FamilyRouted)
 
   /** Probe seam (BASELINE fixed-shard campaign, r11 verdict item 5):
     * [[contaminationServe]] with the arriving eval shard TRUNCATED to
@@ -530,23 +541,84 @@ object Training {
   private[graft] def contaminationServeFixedShard(
       spark: SparkSession, dir: String, cap: Long): DataFrame =
     contaminationServeOf(spark, dir,
-      col("bucket") >= 90 && col("doc_id") < cap)
+      col("bucket") >= 90 && col("doc_id") < cap, FamilyWhole)
 
-  /** The contamination index's bucketed snapshot + its sharded bloom
-    * family (shared by the serve chain and the probe tooling — the
-    * FixedShardProbe fpp measurement must probe the very family the
-    * serve uses). */
-  private[graft] def contamIndexAndBloom(spark: SparkSession, dir: String)
-      : (DataFrame, graft.functions.BloomFamily) = {
+  /** [[contaminationServeFixedShard]] at ROUTED residency — the probe
+    * pair that prices arrival-sized family loading against the whole-
+    * family form at ×100/×1000 (and records loaded vs total bytes). */
+  private[graft] def contaminationServeRoutedFixedShard(
+      spark: SparkSession, dir: String, cap: Long): DataFrame =
+    contaminationServeOf(spark, dir,
+      col("bucket") >= 90 && col("doc_id") < cap, FamilyRouted)
+
+  /** The persisted benchmark n-gram index (bucketed on the shingle
+    * hash) — one build shared by every contamination serve form. */
+  private def contamIndex(spark: SparkSession, dir: String): DataFrame = {
     val docs = contamDocs(spark, dir)
     val nb = contamBucketsFor(spark, dir)
-    val index = graft.sources.IndexStore.cachedBucketTable(
+    graft.sources.IndexStore.cachedBucketTable(
       spark, dir, "documents", "bench_ngrams", nb, Seq("h"), Seq("h")) {
       contamShingled(spark, docs.filter(col("bucket") < 80))
         .select("h").distinct()
     }
+  }
+
+  /** The contamination index's bucketed snapshot + its sharded bloom
+    * family, ALL shards loaded (shared by the serve chain and the probe
+    * tooling — the FixedShardProbe fpp measurement must probe the very
+    * family the serve uses). */
+  private[graft] def contamIndexAndBloom(spark: SparkSession, dir: String)
+      : (DataFrame, graft.functions.BloomFamily) = {
+    val index = contamIndex(spark, dir)
     (index, graft.sources.IndexStore.bloomFamilyFor(
-      spark, dir, "documents", "bench_ngrams", "h", nb)(index))
+      spark, dir, "documents", "bench_ngrams", "h",
+      contamBucketsFor(spark, dir))(index))
+  }
+
+  /** Family RESIDENCY of a contamination serve (r14 verdict item 1).
+    * [[FamilyWhole]] loads every shard (the pre-r15 behavior — O(index)
+    * bytes resident per JVM); [[FamilyRouted]] routes the arriving
+    * batch's keys to their shards first and loads ONLY those (O(arrival)
+    * residency; unloaded shards answer the conservative "might
+    * contain"); [[FamilyAdaptive]] is the production setting — whole
+    * while the family's footprint is under the 32 MB budget (skips the
+    * routing pass at small corpus scales), routed past it (a serving
+    * JVM's residency must not scale with index size). */
+  private[graft] sealed trait FamilyResidency
+  private[graft] case object FamilyWhole extends FamilyResidency
+  private[graft] case object FamilyRouted extends FamilyResidency
+  private[graft] case object FamilyAdaptive extends FamilyResidency
+
+  /** The DISTINCT family shards an arriving key column touches:
+    * `pmod(hash(h), shards)` IS `BloomFamily.shardOf` bit-for-bit
+    * (Spark's `hash` on one BIGINT is `Murmur3_x86_32.hashLong(v, 42)`
+    * — property-pinned in BloomOpsSpec), evaluated as one arrival-sized
+    * pass whose result is ≤ shards ints. That pass is the price of
+    * family residency dropping from O(index) to O(arrival). */
+  private def touchedShards(test: DataFrame, shards: Int): Set[Int] =
+    test.select(pmod(hash(col("h")), lit(shards)).as("s"))
+      .distinct().collect().map(_.getInt(0)).toSet
+
+  /** The serve family at the requested residency. */
+  private def contamBloom(spark: SparkSession, dir: String,
+      test: DataFrame, residency: FamilyResidency)
+      : graft.functions.BloomFamily = {
+    import graft.sources.IndexStore
+    val nb = contamBucketsFor(spark, dir)
+    def index = contamIndex(spark, dir)
+    residency match {
+      case FamilyWhole =>
+        IndexStore.bloomFamilyFor(
+          spark, dir, "documents", "bench_ngrams", "h", nb)(index)
+      case FamilyRouted =>
+        IndexStore.bloomFamilyForArrival(
+          spark, dir, "documents", "bench_ngrams", "h", nb)(index)(
+          touchedShards(test, _))
+      case FamilyAdaptive =>
+        IndexStore.bloomFamilyAdaptive(
+          spark, dir, "documents", "bench_ngrams", "h", nb)(index)(
+          touchedShards(test, _))
+    }
   }
 
   /** Exact-membership serve THROUGH THE APPEND LANE — the contamination
@@ -588,12 +660,16 @@ object Training {
           docs.filter(col("bucket") >= 70 && col("bucket") < 80))
         .select("h").distinct()
     }
-    val bloom =
-      IndexStore.bloomFamilyFor(spark, dir, "documents", name, "h", nb)(index)
     val lane = IndexStore.readAppends(spark, dir, "documents", name)
       .map(index.unionByName(_)).getOrElse(index)
     val shard = docs.filter(col("bucket") >= 90)
     val test = contamShingled(spark, shard)
+    // serve-side family read at production (adaptive) residency: whole
+    // under the footprint budget, arrival-routed past it — the merged
+    // base∪segment family must never be O(index) resident per JVM
+    val bloom = IndexStore.bloomFamilyAdaptive(
+      spark, dir, "documents", name, "h", nb)(index)(
+      touchedShards(test, _))
     val survivors = test.filter(
       graft.functions.BloomOps.familyMightContainLong(col("h"), bloom))
     val hits = survivors.join(lane, Seq("h"))
@@ -647,6 +723,83 @@ object Training {
     contamAssemble(contamTotalsOf(spark, shard), hits)
   }
 
+  /** ADAPTIVE small-arrival dispatch (r14 verdict item 2): the r14 A/B
+    * measured the key-sorted secondary layout + pushed-IN point lookup
+    * winning ~30 % at ×1000 for arrivals whose bloom-survivor set fits
+    * a literal IN list, and losing below that (fixed overhead: second
+    * layout resolve, survivors collect, two extra jobs). This serve
+    * CHOOSES: (1) a cheap arrival gate — a shard over
+    * `graft.contam.pointMaxDocs` (default 2000) docs cannot fit the IN
+    * bound, so it takes the bucketed join immediately with NO survivor
+    * materialization (the production path's plan, unchanged); (2) under
+    * the gate, the bloom survivors are pinned once
+    * (localCheckpoint — the r14 double-billing lesson) and counted up
+    * to `graft.contam.pointMaxKeys` (default 20 000): within the bound
+    * → point path (collected keys pushed as an IN filter over the
+    * range-sorted secondary layout, built lazily on first dispatch);
+    * over it → the exact bucketed join finishes on the SAME pinned
+    * survivors. Row-identical on every branch (the probe seam's spec);
+    * deployment note: the IN list only reaches parquet row-group stats
+    * past `spark.sql.parquet.pushdown.inFilterThreshold` (default 10 —
+    * the measured win was taken at 200 000), but the filter itself is
+    * exact either way, so the dispatch is correctness-neutral under any
+    * conf. */
+  private[graft] def contaminationAdaptiveOf(spark: SparkSession,
+      dir: String, shardPred: Column): DataFrame = {
+    val docs = contamDocs(spark, dir)
+    val shard = docs.filter(shardPred)
+    val maxDocs = java.lang.Long.getLong("graft.contam.pointMaxDocs", 2000L)
+    val maxKeys =
+      java.lang.Long.getLong("graft.contam.pointMaxKeys", 20000L).toInt
+    if (shard.count() > maxDocs)
+      contaminationServeOf(spark, dir, shardPred, FamilyAdaptive)
+    else {
+      val index = contamIndex(spark, dir)
+      val test = contamShingled(spark, shard)
+      val bloom = contamBloom(spark, dir, test, FamilyAdaptive)
+      val survivors = test.filter(
+        graft.functions.BloomOps.familyMightContainLong(col("h"), bloom))
+        .localCheckpoint(true)
+      val keys = survivors.select("h").distinct()
+        .limit(maxKeys + 1).collect().map(_.getLong(0)).toSeq
+      val hits =
+        if (keys.size > maxKeys)
+          survivors.join(index, Seq("h"))
+            .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+        else {
+          val nb = contamBucketsFor(spark, dir)
+          val sorted = graft.sources.IndexStore.cachedTable(
+            spark, dir, "documents", "bench_ngrams_srt") {
+            index.repartitionByRange(nb, col("h")).sortWithinPartitions("h")
+          }
+          val inList =
+            if (keys.isEmpty) lit(false) else col("h").isInCollection(keys)
+          val matched = sorted.filter(inList).select("h").distinct()
+          survivors.join(broadcast(matched), Seq("h"))
+            .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+        }
+      contamAssemble(contamTotalsOf(spark, shard), hits)
+    }
+  }
+
+  /** Registered face of the adaptive dispatch: a genuinely SMALL
+    * arrival (the bucket ≥ 90 shard truncated to doc_id < 120), so the
+    * point path — survivors pin, keys collect, IN-pushed probe of the
+    * range-sorted secondary layout — runs under the driver's hash
+    * oracle at every scale. The big-arrival branch is the production
+    * serve's plan verbatim; PlanSpec asserts the switch both ways. */
+  def contaminationPoint(spark: SparkSession, dir: String): DataFrame =
+    contaminationAdaptiveOf(spark, dir,
+      col("bucket") >= 90 && col("doc_id") < 120)
+
+  /** Probe seam: the adaptive dispatch at a capped arrival (the A/B's
+    * small-arrival shape) — prices the dispatch overhead against the
+    * raw point/join forms at ×100/×1000. */
+  private[graft] def contaminationAdaptiveFixedShard(
+      spark: SparkSession, dir: String, cap: Long): DataFrame =
+    contaminationAdaptiveOf(spark, dir,
+      col("bucket") >= 90 && col("doc_id") < cap)
+
   /** Per-doc shingle totals of an arriving shard, MAP-SIDE as the
     * shingle array's size — no explode, no count shuffle (doc_id is
     * unique in documents). Shared by every serve form so the totals
@@ -686,15 +839,18 @@ object Training {
     * planner's: survivors are usually broadcast-small, but a massive
     * arrival batch falls back to the bucket-co-located shuffle join. */
   private def contaminationServeOf(spark: SparkSession, dir: String,
-      shardPred: Column): DataFrame = {
+      shardPred: Column, residency: FamilyResidency): DataFrame = {
     val docs = contamDocs(spark, dir)
     // family sharded by the index's own bucket count: per-shard geometry
     // scales with the corpus (r13 verdict item 1 — a single bloom's
     // 2^28-bit cap saturated to ~59 % fpp at the ×1000 probe's 240 M
-    // keys; sharded, each of the nb shards sizes for its ~1/nb slice)
-    val (index, bloom) = contamIndexAndBloom(spark, dir)
+    // keys; sharded, each of the nb shards sizes for its ~1/nb slice),
+    // loaded at the requested residency (whole / arrival-routed /
+    // footprint-adaptive — r14 verdict item 1)
+    val index = contamIndex(spark, dir)
     val shard = docs.filter(shardPred)
     val test = contamShingled(spark, shard)
+    val bloom = contamBloom(spark, dir, test, residency)
     // custom expression, not BloomFilterMightContain(Literal(bloom), _):
     // a corpus-scaled bloom inside a Literal makes Catalyst hash/compare
     // the full bit array on every canonicalization during optimization —
@@ -720,7 +876,11 @@ object Training {
       graft.sources.IndexStore.memoizedTableCount(spark, dir, "documents"),
       rowsPerBucket = 25000L)
 
-  private val contaminationSql =
+  /** The contamination oracle, with an optional extra predicate on the
+    * TEST shard (e.g. the point-path registration's doc_id cap) — the
+    * train split and scoring are shared verbatim across every serve
+    * form. */
+  private def contaminationSqlOf(testExtra: String): String =
     s"""WITH b AS (
        |  SELECT doc_id, text,
        |    (doc_id * 2654435761) % 4294967296 % 100 AS bucket
@@ -735,7 +895,8 @@ object Training {
        |    i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))) AS s
        |  FROM words),
        |train_set AS (SELECT DISTINCT s FROM sh WHERE bucket < 80),
-       |test_sh AS (SELECT doc_id, s FROM sh WHERE bucket >= 90)
+       |test_sh AS (
+       |  SELECT doc_id, s FROM sh WHERE bucket >= 90 $testExtra)
        |SELECT t.doc_id, COUNT(*) AS n_shingles,
        |  CAST(COALESCE(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 END), 0)
        |    AS BIGINT) AS n_contaminated,
@@ -744,6 +905,8 @@ object Training {
                  "COUNT(*)")} AS contamination
        |FROM test_sh t LEFT JOIN train_set tr ON t.s = tr.s
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  private val contaminationSql = contaminationSqlOf("")
 
   // ------------------------------------------- unigram-model likelihood
 
@@ -1097,6 +1260,17 @@ object Training {
     // split/scoring, index build amortized → shared oracle
     QueryDef("q_contamination_serve", contaminationServe,
       Some(contaminationSql)),
+    // FORCED arrival-routed family residency (touched-shard load +
+    // partial family + conservative fallback) under the hash oracle —
+    // the production serve's adaptive residency only routes past the
+    // footprint budget, which harness scales never reach
+    QueryDef("q_contamination_routed", contaminationRouted,
+      Some(contaminationSql)),
+    // adaptive small-arrival dispatch: point path (pinned survivors →
+    // IN-pushed probe of the range-sorted secondary layout) under the
+    // oracle; the big-arrival branch is q_contamination_serve's plan
+    QueryDef("q_contamination_point", contaminationPoint,
+      Some(contaminationSqlOf("AND doc_id < 120"))),
     // serve through the append lane: base ∪ segment behind the MERGED
     // bloom family — the bloom companion's append machinery under the
     // hash oracle (base∪segment ≡ the same bucket<80 train split)

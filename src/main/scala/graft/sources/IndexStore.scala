@@ -348,7 +348,7 @@ object IndexStore {
       .map(_.stripPrefix("_applied_")).toSet
   }
 
-  // ---- bloom side-file companion (sharded by index bucket) -----------
+  // ---- bloom side-file companion (sharded by index bucket, versioned) --
   //
   // Value-skipping for EXACT-membership serve (r12 verdict item 2): an
   // exact n-gram contamination probe joins the arriving shard against
@@ -366,16 +366,28 @@ object IndexStore {
   // bloom per bucket (`Murmur3(key) pmod shards` — the same routing as
   // the bucketed parquet) makes the geometry scale with bucket count:
   // 256 shards × 2^28 bits ≈ 6.7 B keys before any cap binds, and a
-  // probe touches exactly one shard's bit array per key. Layout, a
-  // property OF THE SNAPSHOT, persisted WITH it under `<root>/blooms/`:
+  // probe touches exactly one shard's bit array per key. The layout, a
+  // property OF THE SNAPSHOT, is persisted WITH it — VERSIONED (r14
+  // advice: the heal used to delete + rewrite the live dir in place,
+  // which a concurrent serving process could list mid-delete):
   //
-  //   blooms/_SPEC.properties   shards + per-shard (items, bits) — fixed
-  //                             per family; merging needs identical
+  //   blooms/_PTR               one-line pointer: current version dir
+  //                             (atomically replaced — the same local
+  //                             stand-in for a table-format pointer
+  //                             commit as [[promote]])
+  //   blooms/v_<uuid>/          one fully-built family VERSION
+  //     _SPEC.properties        shards + per-shard (items, bits) — fixed
+  //                             per version; merging needs identical
   //                             geometry per shard
-  //   blooms/b_base/            base index table's family (one side)
-  //     _DONE                   side-complete marker (staged with files)
-  //     p<i>_<uuid>             shard i's serialized BloomFilter
-  //   blooms/b_<segId>/         one appended segment's delta family
+  //     b_base/                 base index table's family (one side)
+  //       _DONE                 side-complete marker (staged with files)
+  //       p<i>_<uuid>           shard i's serialized BloomFilter
+  //     b_<segId>/              one appended segment's delta family
+  //
+  // A heal builds a NEW version dir completely (spec, b_base, marker
+  // sides), then swaps `_PTR` — readers mid-merge keep their resolved
+  // version's files through a grace window; only non-current versions
+  // older than the grace are reaped, and only by the next heal.
   //
   // Blooms are monotone (insert-only, never removed), so the per-shard
   // OR of every side ever written is a correct prefilter regardless of
@@ -389,25 +401,77 @@ object IndexStore {
   // merge memo's listing guard is content-unique — an in-place rewrite
   // racing mtime granularity (r13 advice) cannot serve a stale merge;
   // sides are write-once (create-if-absent + staged dir rename).
+  //
+  // RESIDENCY (r14 verdict item 1): the merged family used to be loaded
+  // whole per JVM — O(total index keys) bytes riding every serve plan
+  // (~100+ GB at a 100 TB corpus; no executor holds that). The sharded
+  // layout routes each key to exactly ONE shard, so a serve that knows
+  // which shards its arrival touches ([[bloomFamilyForArrival]]) loads
+  // and merges ONLY those side-files — arrival-sized residency — and
+  // probes through a PARTIAL family whose unloaded shards answer the
+  // conservative "might contain" (one-sided error preserved; the exact
+  // join drops the extras). Loaded shards fill a per-snapshot slot
+  // array lazily and the whole memo is bounded by BYTES, not entries.
+
+  /** Grace window before non-current bloom versions (and legacy
+    * pre-versioning layout entries) are reaped — matches the append
+    * lane's reader grace. */
+  private val bloomGraceMs = 10L * 60 * 1000
 
   /** Sharded bloom family over `keyCol` (a LONG column) of index
-    * `name`'s CURRENT content (base ∪ applied segments). Builds and
-    * persists the base side on first use across processes; segment
-    * sides are appended in lockstep via [[appendBloomSegment]].
-    * `shardsHint` sizes a NEW family (pass the index's bucket count);
-    * an existing family keeps the shard count in its `_SPEC`. Feed the
-    * result to [[graft.functions.BloomOps.familyMightContainLong]]. */
+    * `name`'s CURRENT content (base ∪ applied segments), ALL shards
+    * loaded. Builds and persists the base side on first use across
+    * processes; segment sides are appended in lockstep via
+    * [[appendBloomSegment]]. `shardsHint` sizes a NEW family (pass the
+    * index's bucket count); an existing family keeps the shard count in
+    * its `_SPEC`. Feed the result to
+    * [[graft.functions.BloomOps.familyMightContainLong]]. */
   def bloomFamilyFor(spark: SparkSession, dir: String, srcTable: String,
       name: String, keyCol: String, shardsHint: Int)
+      (index: => DataFrame): graft.functions.BloomFamily =
+    bloomFamilyLoad(spark, dir, srcTable, name, keyCol, shardsHint,
+      None, adaptive = false)(index)
+
+  /** [[bloomFamilyFor]] with ARRIVAL-SIZED residency: `touchedOf`
+    * receives the family's actual shard count and returns the shards
+    * the arriving batch's keys route to (one arrival-sized pass —
+    * `pmod(hash(key), shards)` distinct); only those shards'
+    * side-files are read and merged. The returned family is PARTIAL:
+    * unloaded shards answer the conservative "might contain", so a key
+    * the routing missed is passed through to the exact join, never
+    * wrongly dropped. */
+  def bloomFamilyForArrival(spark: SparkSession, dir: String,
+      srcTable: String, name: String, keyCol: String, shardsHint: Int)
+      (index: => DataFrame)(touchedOf: Int => Set[Int])
+      : graft.functions.BloomFamily =
+    bloomFamilyLoad(spark, dir, srcTable, name, keyCol, shardsHint,
+      Some(touchedOf), adaptive = false)(index)
+
+  /** Adaptive residency: whole-family load while the family's
+    * footprint (shards × bits) stays under
+    * `graft.bloom.wholeFamilyBudgetBytes` (default 32 MB — skips the
+    * extra arrival routing pass at small corpus scales), touched-shard
+    * load past it (the budget is what keeps a serving JVM's residency
+    * from scaling with index size). */
+  def bloomFamilyAdaptive(spark: SparkSession, dir: String,
+      srcTable: String, name: String, keyCol: String, shardsHint: Int)
+      (index: => DataFrame)(touchedOf: Int => Set[Int])
+      : graft.functions.BloomFamily =
+    bloomFamilyLoad(spark, dir, srcTable, name, keyCol, shardsHint,
+      Some(touchedOf), adaptive = true)(index)
+
+  private def bloomFamilyLoad(spark: SparkSession, dir: String,
+      srcTable: String, name: String, keyCol: String, shardsHint: Int,
+      touchedOf: Option[Int => Set[Int]], adaptive: Boolean)
       (index: => DataFrame): graft.functions.BloomFamily =
     synchronized {
       val root = snapshotRoot(dir, srcTable, name)
       val blooms = new Path(root, "blooms")
       val fs = blooms.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val specPath = new Path(blooms, "_SPEC.properties")
 
-      /** Full (re)build from CURRENT content: blooms are DERIVED data,
-        * so every inconsistent family state — legacy pre-sharding
+      /** Full (re)build from CURRENT content into a NEW version dir,
+        * published by the `_PTR` swap: blooms are DERIVED data, so
+        * every inconsistent family state — legacy pre-versioning
         * layout, a lagging segment whose dir was already compacted
         * away (its rows now live in unattributable sc* dirs) — is
         * recoverable by rebuilding b_base over base ∪ live lane and
@@ -418,14 +482,13 @@ object IndexStore {
         * factory). The counts companion deliberately has NO such path:
         * rebuilding it costs a full index group-by (the work it exists
         * to avoid), so its gone-lagging case stays a loud failure. */
-      def rebuildFamily(): Unit = {
+      def rebuildFamily(): Path = {
         val ids0 = appliedSegIds(spark, dir, srcTable, name)
         val base = index.select(org.apache.spark.sql.functions.col(keyCol))
         val df = readAppends(spark, dir, srcTable, name)
           .map(l => base.unionByName(
             l.select(org.apache.spark.sql.functions.col(keyCol))))
           .getOrElse(base)
-        fs.delete(blooms, true)
         val n = math.max(1L, df.count())
         val shards = math.max(1, shardsHint)
         // optimal sizing for 1 % fpp is ~9.585 bits/item, applied PER
@@ -437,33 +500,45 @@ object IndexStore {
         val perShard = math.max(1L, (n + shards - 1) / shards)
         val bits = math.min(1L << 28,
           math.max(1L << 13, (perShard * 9.585).toLong))
-        fs.mkdirs(blooms)
+        val vNew = new Path(blooms,
+          s"v_${java.util.UUID.randomUUID.toString.take(12)}")
+        fs.mkdirs(vNew)
         val props = new java.util.Properties
         props.setProperty("shards", shards.toString)
         props.setProperty("itemsPerShard", perShard.toString)
         props.setProperty("bitsPerShard", bits.toString)
-        val out = fs.create(specPath, true)
+        val out = fs.create(new Path(vNew, "_SPEC.properties"), true)
         try props.store(out, "graft sharded bloom side-file spec")
         finally out.close()
-        writeBloomSide(spark, fs, blooms, "b_base", df, keyCol,
+        writeBloomSide(spark, fs, vNew, "b_base", df, keyCol,
           shards, perShard, bits)
+        // marker sides for already-applied segments (their rows are in
+        // b_base): pre-publication, so readers can never observe the
+        // mkdirs/_DONE pair half-done
         ids0.foreach { id =>
-          val side = new Path(blooms, s"b_$id")
+          val side = new Path(vNew, s"b_$id")
           fs.mkdirs(side)
           try fs.create(new Path(side, "_DONE"), false).close()
           catch { case _: java.io.IOException => () }
         }
+        publishBloomPtr(blooms, vNew.getName)
+        reapBloomVersions(fs, blooms, vNew.getName)
+        vNew
       }
 
-      if (!fs.exists(specPath) || bloomShardSpec(fs, blooms)._1 == 0 ||
-        !fs.exists(new Path(blooms, "b_base/_DONE")))
-        rebuildFamily()
-      val (shards, items, bits) = bloomShardSpec(fs, blooms)
+      def currentVersion(): Option[Path] = bloomPtr(fs, blooms).filter { v =>
+        fs.exists(new Path(v, "_SPEC.properties")) &&
+          fs.exists(new Path(v, "b_base/_DONE")) &&
+          bloomShardSpec(fs, v)._1 > 0
+      }
+
+      var v = currentVersion().getOrElse(rebuildFamily())
+      var (shards, items, bits) = bloomShardSpec(fs, v)
       // lockstep: any applied index segment missing its bloom side is
       // built from its still-live dir (and persisted, so the fallback
       // runs once); a compacted-away lagging segment triggers the full
       // rebuild — recoverable precisely because blooms are derived
-      def segmentSides(): Set[String] = fs.listStatus(blooms).iterator
+      def segmentSides(): Set[String] = fs.listStatus(v).iterator
         .filter(s => s.isDirectory &&
           fs.exists(new Path(s.getPath, "_DONE")))
         .map(_.getPath.getName)
@@ -474,167 +549,274 @@ object IndexStore {
           gone => s"bloom sides of '$name' segments " +
             s"${gone.mkString(", ")} are unrecoverable per-segment")
           .foreach { case (id, p) =>
-            writeBloomSide(spark, fs, blooms, s"b_$id",
+            writeBloomSide(spark, fs, v, s"b_$id",
               spark.read.parquet(p.toString), keyCol, shards, items, bits)
           }
       } catch {
-        case _: IllegalStateException => rebuildFamily()
+        case _: IllegalStateException =>
+          v = rebuildFamily()
+          val spec2 = bloomShardSpec(fs, v)
+          shards = spec2._1; items = spec2._2; bits = spec2._3
       }
-      // re-read: a catch-path rebuild may have re-sized the geometry
-      val (shardsN, itemsN, bitsN) = bloomShardSpec(fs, blooms)
-      // per-shard OR-merge across sides (driver-side, ≤32 MB per shard),
-      // memoized on the full shard-file listing: serve queries construct
-      // per arrival batch, and re-reading + re-merging a corpus-scaled
-      // family on every construction is a per-serve cost proportional to
-      // INDEX size — exactly what the side-file exists to avoid. Shard
-      // file names are content-unique (uuid suffix, write-once), so the
-      // guard changes whenever any side lands or is backfilled.
+      // per-shard lazy OR-merge across sides, memoized per snapshot on
+      // the version + shard-file listing: serve queries construct per
+      // arrival batch, and re-reading + re-merging a corpus-scaled
+      // family on every construction is a per-serve cost proportional
+      // to INDEX size — exactly what the side-file exists to avoid.
+      // Shard file names are content-unique (uuid suffix, write-once),
+      // so the guard changes whenever any side lands or is backfilled.
       import org.apache.spark.util.sketch.BloomFilter
-      val sides = fs.listStatus(blooms)
+      val shardFiles = fs.listStatus(v)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("b_") &&
           fs.exists(new Path(s.getPath, "_DONE")))
         .sortBy(_.getPath.getName)
-      val shardFiles = sides.flatMap(s => fs.listStatus(s.getPath))
+        .flatMap(s => fs.listStatus(s.getPath))
         .filter(_.getPath.getName.startsWith("p"))
         .sortBy(_.getPath.toString)
-      val guard = shardFiles.map(s =>
+      val guard = v.getName + "|" + shardFiles.map(s =>
         s"${s.getPath.getParent.getName}/${s.getPath.getName}:${s.getLen}")
         .mkString(";")
-      val rootKey = root.toString
-      val hit = bloomFamilyCache.get(rootKey)
-      if (hit != null && hit._1 == guard) hit._2
-      else {
-        val perShard = new Array[BloomFilter](shardsN)
-        shardFiles.foreach { s =>
-          val i = s.getPath.getName.drop(1).takeWhile(_ != '_').toInt
-          val in = fs.open(s.getPath)
-          val bf = try BloomFilter.readFrom(in) finally in.close()
-          try {
-            if (perShard(i) == null) perShard(i) = bf
-            else perShard(i).mergeInPlace(bf)
-          } catch {
-            // every side of a family is written at the _SPEC geometry,
-            // so a mismatch means files from before that invariant held
-            // — fail with the recovery, not a bare sketch exception
-            case e: org.apache.spark.util.sketch.IncompatibleMergeException =>
-              throw new IllegalStateException(
-                s"bloom side-files under $blooms have mixed geometries " +
-                  "(family predates the spec-pinned build); delete the " +
-                  "blooms/ dir to rebuild it from the index", e)
+      val entry = bloomCacheEntry(root.toString, guard, shards)
+      // wanted shards: everything (whole load), or the arrival's touched
+      // set — adaptive picks by the family's spec footprint, so small
+      // families skip the routing pass entirely
+      val footprint = shards.toLong * (bits / 8 + 40)
+      val want: Seq[Int] = touchedOf match {
+        case Some(f) if !adaptive || footprint > bloomWholeFamilyBudget =>
+          f(shards).toSeq.filter(i => i >= 0 && i < shards).sorted
+        case _ => 0 until shards
+      }
+      val missing = want.filter(entry.slots(_) == null)
+      if (missing.nonEmpty) {
+        val byShard = shardFiles.groupBy(
+          _.getPath.getName.drop(1).takeWhile(_ != '_').toInt)
+        missing.foreach { i =>
+          var mergedShard: BloomFilter = null
+          byShard.getOrElse(i,
+              Array.empty[org.apache.hadoop.fs.FileStatus]).foreach { s =>
+            val in = fs.open(s.getPath)
+            val bf = try BloomFilter.readFrom(in) finally in.close()
+            try {
+              if (mergedShard == null) mergedShard = bf
+              else mergedShard.mergeInPlace(bf)
+            } catch {
+              // every side of a version is written at its _SPEC
+              // geometry, so a mismatch means files from before that
+              // invariant held — fail with the recovery, not a bare
+              // sketch exception
+              case e: org.apache.spark.util.sketch
+                  .IncompatibleMergeException =>
+                throw new IllegalStateException(
+                  s"bloom side-files under $v have mixed geometries " +
+                    "(family predates the spec-pinned build); delete " +
+                    "the blooms/ dir to rebuild it from the index", e)
+            }
           }
-        }
-        val bytes = perShard.map { bf =>
           val filled =
-            if (bf != null) bf else BloomFilter.create(itemsN, bitsN)
+            if (mergedShard != null) mergedShard
+            else BloomFilter.create(items, bits)
           val bos = new java.io.ByteArrayOutputStream()
           filled.writeTo(bos)
-          bos.toByteArray
+          entry.slots(i) = bos.toByteArray
+          bloomCacheCharge(root.toString, entry.slots(i).length.toLong)
         }
-        val fam = graft.functions.BloomFamily(shardsN, bytes)
-        if (bloomFamilyCache.size > 16) bloomFamilyCache.clear()
-        bloomFamilyCache.put(rootKey, (guard, fam))
-        fam
       }
+      entry.family
     }
 
-  // merged-family memo: root dir -> (shard-file listing guard, family).
-  // Names are content-unique (write-once uuid files), so guard equality
-  // proves byte equality; bounded at 16 snapshot roots (a serving JVM
-  // touches a handful — the clear-all eviction is deliberately coarse).
-  // Callers receive the SHARED family and must treat it as immutable
-  // (they do — it feeds BloomFamilyMightContain by reference).
-  private val bloomFamilyCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, graft.functions.BloomFamily)]
+  /** One memoized snapshot family: the shared slot array fills shard by
+    * shard as serves touch them; `family` wraps the SAME array, so a
+    * later load of more shards upgrades every handed-out reference from
+    * conservative to exact MONOTONICALLY (an executor's copy is a
+    * serialization-time snapshot — correctness-neutral either way, the
+    * exact join behind the prefilter settles it). Reference equality of
+    * `family` across calls is a contract: BloomFamily comparisons must
+    * stay O(1) (see [[graft.functions.BloomRef]]). */
+  private final class BloomSlots(val guard: String,
+      val slots: Array[Array[Byte]]) {
+    var bytes = 0L
+    val family = graft.functions.BloomFamily(slots.length, slots)
+  }
+
+  // byte-budget LRU of lazily-merged family slots (r14 advice: the
+  // entry-count-capped clear-all memo held up to 16 corpus-scaled
+  // whole families). Access-ordered; eviction drops least-recently-
+  // served roots until loaded bytes fit the budget, never the root
+  // being served. Guarded by IndexStore's lock (all callers hold it).
+  private val bloomSlotCache =
+    new java.util.LinkedHashMap[String, BloomSlots](16, 0.75f, true)
+  private var bloomSlotBytes = 0L
+
+  private def bloomCacheBudget: Long =
+    java.lang.Long.getLong("graft.bloom.cacheBudgetBytes", 256L << 20)
+  private def bloomWholeFamilyBudget: Long =
+    java.lang.Long.getLong("graft.bloom.wholeFamilyBudgetBytes", 32L << 20)
+
+  /** Loaded bloom bytes across all memoized snapshots (spec probe). */
+  private[graft] def bloomCacheLoadedBytes: Long =
+    synchronized(bloomSlotBytes)
+
+  private def bloomCacheEntry(key: String, guard: String,
+      shards: Int): BloomSlots = {
+    val cur = bloomSlotCache.get(key) // refreshes LRU order
+    if (cur != null && cur.guard == guard && cur.slots.length == shards) cur
+    else {
+      if (cur != null) {
+        bloomSlotBytes -= cur.bytes
+        bloomSlotCache.remove(key)
+      }
+      val e = new BloomSlots(guard, new Array[Array[Byte]](shards))
+      bloomSlotCache.put(key, e)
+      e
+    }
+  }
+
+  private def bloomCacheCharge(key: String, n: Long): Unit = {
+    val e = bloomSlotCache.get(key)
+    if (e != null) { e.bytes += n; bloomSlotBytes += n }
+    val it = bloomSlotCache.entrySet().iterator()
+    while (bloomSlotBytes > bloomCacheBudget && bloomSlotCache.size > 1 &&
+      it.hasNext) {
+      val eldest = it.next()
+      if (eldest.getKey != key) {
+        bloomSlotBytes -= eldest.getValue.bytes
+        it.remove()
+      }
+    }
+  }
+
+  /** Resolve the family's current version dir via `_PTR`. */
+  private def bloomPtr(fs: org.apache.hadoop.fs.FileSystem,
+      blooms: Path): Option[Path] = {
+    val p = new Path(blooms, "_PTR")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val nameStr =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      val v = new Path(blooms, nameStr)
+      if (nameStr.nonEmpty && fs.exists(v)) Some(v) else None
+    }
+  }
+
+  /** Atomic `_PTR` swap (readers see the old or the new version dir
+    * name, never a torn write) — locally a one-line file replaced with
+    * ATOMIC_MOVE, on a lake the table format's pointer commit, the same
+    * stand-in [[promote]] documents. */
+  private def publishBloomPtr(blooms: Path, versionName: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption => O}
+    val d = Paths.get(blooms.toUri.getPath)
+    Files.createDirectories(d)
+    val tmp = Files.createTempFile(d, "._ptr_", ".tmp")
+    Files.writeString(tmp, versionName)
+    Files.move(tmp, d.resolve("_PTR"), O.ATOMIC_MOVE, O.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Reap non-current version dirs (and legacy pre-versioning layout
+    * entries) older than the reader grace window — a process that
+    * resolved `_PTR` just before a heal keeps scanning its version's
+    * files through the window. */
+  private def reapBloomVersions(fs: org.apache.hadoop.fs.FileSystem,
+      blooms: Path, current: String): Unit = {
+    val cutoff = System.currentTimeMillis() - bloomGraceMs
+    fs.listStatus(blooms).foreach { s =>
+      val n = s.getPath.getName
+      if (n != "_PTR" && n != current && s.getModificationTime < cutoff)
+        fs.delete(s.getPath, true)
+    }
+  }
 
   /** Append the bloom delta of an arriving index segment, in lockstep
     * with the segment itself (same segId; idempotent — the side dir's
     * `_DONE` is its applied marker). Must follow [[appendSegment]] of
     * the same id; [[bloomFamilyFor]]'s lockstep guard backfills a crash
-    * between the two from the live segment dir. */
+    * between the two from the live segment dir. Sides land in the
+    * CURRENT family version; a concurrent heal that supersedes it
+    * re-covers the segment via the same lockstep backfill. */
   def appendBloomSegment(spark: SparkSession, dir: String, srcTable: String,
       name: String, segId: String, keyCol: String)
       (delta: => DataFrame): Unit = synchronized {
     val blooms = new Path(snapshotRoot(dir, srcTable, name), "blooms")
     val fs = blooms.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(blooms, s"b_$segId/_DONE"))) return
-    if (!fs.exists(new Path(blooms, "_SPEC.properties")))
-      throw new IllegalStateException(
-        s"index '$name' has no bloom family (build the base family via " +
-          "bloomFamilyFor before appending deltas — segment sides must " +
-          "share its shard geometry to merge)")
-    val (shards, items, bits) = bloomShardSpec(fs, blooms)
+    val v = bloomPtr(fs, blooms).getOrElse(throw new IllegalStateException(
+      s"index '$name' has no bloom family (build the base family via " +
+        "bloomFamilyFor before appending deltas — segment sides must " +
+        "share its shard geometry to merge)"))
+    if (fs.exists(new Path(v, s"b_$segId/_DONE"))) return
+    val (shards, items, bits) = bloomShardSpec(fs, v)
     if (shards <= 0) throw new IllegalStateException(
       s"index '$name' carries a pre-sharding bloom spec — serve it once " +
         "through bloomFamilyFor (which rebuilds the family at the " +
         "sharded geometry) before appending deltas")
-    writeBloomSide(spark, fs, blooms, s"b_$segId", delta, keyCol,
+    writeBloomSide(spark, fs, v, s"b_$segId", delta, keyCol,
       shards, items, bits)
   }
 
-  /** (shards, itemsPerShard, bitsPerShard) of the family's spec; a
+  /** (shards, itemsPerShard, bitsPerShard) of a version's spec; a
     * legacy (pre-sharding) spec reads as shards = 0 → caller rebuilds. */
   private def bloomShardSpec(fs: org.apache.hadoop.fs.FileSystem,
-      blooms: Path): (Int, Long, Long) = {
+      versionDir: Path): (Int, Long, Long) = {
     val props = new java.util.Properties
-    val in = fs.open(new Path(blooms, "_SPEC.properties"))
+    val in = fs.open(new Path(versionDir, "_SPEC.properties"))
     try props.load(in) finally in.close()
     (Option(props.getProperty("shards")).map(_.toInt).getOrElse(0),
       Option(props.getProperty("itemsPerShard")).map(_.toLong).getOrElse(0L),
       Option(props.getProperty("bitsPerShard")).map(_.toLong).getOrElse(0L))
   }
 
-  private def bloomSpec(fs: org.apache.hadoop.fs.FileSystem,
-      blooms: Path): (Int, Long, Long) = bloomShardSpec(fs, blooms)
-
   /** Distributed sharded-bloom build + staged atomic side publication.
     * The keys shuffle ONCE by the family's routing hash (8-byte rows)
     * and each reducer builds exactly its shard's bloom — no
     * BloomFilterAggregate, so nothing touches the session's runtime-
     * row-filter clamp confs (r13 advice: the conf-pin window could leak
-    * clamps to concurrent queries) and the driver never merges
-    * corpus-scaled partials (per-task partials of a monolithic bloom
-    * are family-sized EACH; per-shard partials are shard-sized). The
-    * whole side stages under an invisible `_bstage_*` dir and publishes
-    * by ONE rename, `_DONE` included — a reader never lists a
-    * half-written side. Re-publication races are harmless (identical
-    * deterministic content; the loser deletes its stage). */
+    * clamps to concurrent queries) — and WRITES it straight from the
+    * task (r14 advice: the driver-side collect held shards × bits bytes
+    * at once; nothing bounded the product). Task retries/speculation
+    * write a second uuid file for the same shard whose content ORs to
+    * identical bits — the read-side merge is idempotent. The whole side
+    * stages under an invisible `_bstage_*` dir and publishes by ONE
+    * rename, `_DONE` included — a reader never lists a half-written
+    * side. Re-publication races are harmless (identical deterministic
+    * content; the loser deletes its stage). */
   private def writeBloomSide(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, blooms: Path, side: String,
+      fs: org.apache.hadoop.fs.FileSystem, versionDir: Path, side: String,
       df: DataFrame, keyCol: String, shards: Int, items: Long,
       bits: Long): Unit = {
     import org.apache.spark.sql.functions.col
-    val perShard: Array[Array[Byte]] = {
-      val pairs = df.select(col(keyCol).cast("long")).na.drop()
-        .rdd.map(r => (graft.functions.BloomFamily
-          .shardOf(r.getLong(0), shards), r.getLong(0)))
-        .partitionBy(new org.apache.spark.Partitioner {
-          override def numPartitions: Int = shards
-          override def getPartition(key: Any): Int = key.asInstanceOf[Int]
-        })
-      val built = pairs.mapPartitionsWithIndex { (i, it) =>
-        val bf = org.apache.spark.util.sketch.BloomFilter.create(items, bits)
-        it.foreach(kv => bf.putLong(kv._2))
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        Iterator((i, bos.toByteArray))
-      }.collect()
-      // partitionBy yields exactly `shards` partitions, empty ones
-      // included, so every slot fills (an empty shard gets an empty
-      // bloom of the family geometry — keeps the merge total)
-      val arr = new Array[Array[Byte]](shards)
-      built.foreach { case (i, b) => arr(i) = b }
-      arr
-    }
-    val stage = new Path(blooms,
+    val stage = new Path(versionDir,
       s"_bstage_${side}_${java.util.UUID.randomUUID}")
     fs.mkdirs(stage)
-    perShard.zipWithIndex.foreach { case (b, i) =>
-      val f = fs.create(new Path(stage,
-        s"p${i}_${java.util.UUID.randomUUID.toString.take(8)}"), true)
-      try f.write(b) finally f.close()
-    }
+    // fully-qualified so the task resolves the same FS from the default
+    // conf (file:/ locally; on a cluster the executor classpath carries
+    // the site conf)
+    val stageStr = fs.makeQualified(stage).toString
+    val written = df.select(col(keyCol).cast("long")).na.drop()
+      .rdd.map(r => (graft.functions.BloomFamily
+        .shardOf(r.getLong(0), shards), r.getLong(0)))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = shards
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .mapPartitionsWithIndex { (i, it) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(items, bits)
+        it.foreach(kv => bf.putLong(kv._2))
+        val p = new Path(stageStr,
+          s"p${i}_${java.util.UUID.randomUUID.toString.take(8)}")
+        val tfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = tfs.create(p, true)
+        try bf.writeTo(out) finally out.close()
+        Iterator.single(1)
+      }.count()
+    // partitionBy yields exactly `shards` partitions, empty ones
+    // included, so every shard file exists (an empty shard gets an
+    // empty bloom of the family geometry — keeps the merge total)
+    require(written == shards.toLong,
+      s"bloom side build wrote $written of $shards shard files")
     fs.create(new Path(stage, "_DONE")).close()
-    val target = new Path(blooms, side)
+    val target = new Path(versionDir, side)
     // lost rename race / local-FS rename-into-existing-dir TOCTOU:
     // same discipline as appendSegment
     if (!fs.rename(stage, target)) fs.delete(stage, true)
@@ -667,28 +849,188 @@ object IndexStore {
     val fs = appends.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val applied = new Path(appends, s"_applied_$segId")
     if (fs.exists(applied)) return
-    val target = new Path(appends, s"s$segId")
-    if (!fs.exists(target)) {
-      val stage = new Path(appends,
-        s"_stage_${segId}_${java.util.UUID.randomUUID}")
-      build.write.mode("overwrite").parquet(stage.toString)
-      // lost rename race (concurrent appender of the same id): a false
-      // return is the clean case, but local-FS rename(src, existingDir)
-      // also "succeeds" by moving src INSIDE the existing target — the
-      // cross-process TOCTOU between the exists check above and this
-      // rename. Verify the stage became the target itself; a nested
-      // stage dir is the lost race and is removed (it is invisible to
-      // reads — underscore-prefixed — but would be permanent litter).
-      if (!fs.rename(stage, target)) fs.delete(stage, true)
-      else {
-        val nested = new Path(target, stage.getName)
-        if (fs.exists(nested)) fs.delete(nested, true)
-      }
+    // MAJOR-REWRITE FENCE (r14 verdict item 5): a lane a [[majorRewrite]]
+    // sealed takes no new segments — the rewrite captured its content
+    // deterministically, and an append landing here afterwards would
+    // nondeterministically be folded or stranded. Redirect to the new
+    // generation instead (wait for SEALED: the fence names it only once
+    // its root has published and the captured markers are carried).
+    readFence(fs, appends) match {
+      case Some(f0) =>
+        val f = awaitSealed(fs, appends, f0)
+        appendSegment(spark, dir, srcTable, f.gen, segId)(build)
+      case None =>
+        val target = new Path(appends, s"s$segId")
+        if (!fs.exists(target)) {
+          val stage = new Path(appends,
+            s"_stage_${segId}_${java.util.UUID.randomUUID}")
+          build.write.mode("overwrite").parquet(stage.toString)
+          // lost rename race (concurrent appender of the same id): a false
+          // return is the clean case, but local-FS rename(src, existingDir)
+          // also "succeeds" by moving src INSIDE the existing target — the
+          // cross-process TOCTOU between the exists check above and this
+          // rename. Verify the stage became the target itself; a nested
+          // stage dir is the lost race and is removed (it is invisible to
+          // reads — underscore-prefixed — but would be permanent litter).
+          if (!fs.rename(stage, target)) fs.delete(stage, true)
+          else {
+            val nested = new Path(target, stage.getName)
+            if (fs.exists(nested)) fs.delete(nested, true)
+          }
+        }
+        // marker LAST: a crash before this line re-runs the (idempotent)
+        // publish; after it, the append is permanently applied
+        fs.create(applied).close()
+        // post-publication RECHECK: a fence that landed while this append
+        // was publishing passed the pre-check but may have captured the
+        // lane without this segment. The sealed capture is the
+        // deterministic arbiter — an id it excluded was NOT folded (the
+        // rewrite reads captured ids' dirs only, never the live listing),
+        // so re-land it in the new generation; an id it included was
+        // folded and its marker carried, making the re-land a no-op.
+        readFence(fs, appends).foreach { f0 =>
+          val f = awaitSealed(fs, appends, f0)
+          if (!f.ids.contains(segId))
+            appendSegment(spark, dir, srcTable, f.gen, segId)(build)
+        }
     }
-    // marker LAST: a crash before this line re-runs the (idempotent)
-    // publish; after it, the append is permanently applied
-    fs.create(applied).close()
+  }
+
+  // ---- major-rewrite lane fence ---------------------------------------
+  //
+  // The r14 maintenance-window contract ("no concurrent appends to the
+  // OLD generation while a rewrite runs") was documented but unenforced
+  // — a racing append was nondeterministically folded or silently
+  // stranded in the dying generation. The fence makes the race
+  // deterministic with a two-phase seal:
+  //
+  //   1. `_FENCE` {state: sealing, gen} lands in the old lane FIRST.
+  //      From here, appendSegment's pre-check redirects new appends to
+  //      the new generation (waiting on phase 2 so the target exists).
+  //   2. The rewrite captures the applied-id set (markers present at
+  //      capture), folds EXACTLY those ids' rows, publishes the new
+  //      generation, carries the captured markers, then re-writes
+  //      `_FENCE` {state: sealed, gen, ids}.
+  //
+  // An append in flight across phase 1 (pre-check passed, publish
+  // landed after capture) finds the fence in its post-publication
+  // recheck and consults the sealed id list: captured → folded+carried,
+  // done; not captured → deterministically excluded from the fold →
+  // re-lands itself in the new generation. Either way the append ends
+  // up in the serving lineage exactly once — never silently vanishes.
+
+  private[graft] final case class LaneFence(state: String, gen: String,
+      ids: Set[String])
+
+  private[graft] def readFence(fs: org.apache.hadoop.fs.FileSystem,
+      appends: Path): Option[LaneFence] = {
+    val p = new Path(appends, "_FENCE")
+    if (!fs.exists(p)) None
+    else {
+      val props = new java.util.Properties
+      val in = fs.open(p)
+      try props.load(in) finally in.close()
+      Some(LaneFence(
+        props.getProperty("state", ""),
+        props.getProperty("gen", ""),
+        Option(props.getProperty("ids")).filter(_.nonEmpty)
+          .map(_.split(",").toSet).getOrElse(Set.empty)))
+    }
+  }
+
+  /** Atomic fence write/update (ATOMIC_MOVE onto `_FENCE` — readers see
+    * the old or the new state, never a torn file; underscore-prefixed,
+    * so scans and the `s*` glob never see it). */
+  private[graft] def writeFence(appends: Path, f: LaneFence): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption => O}
+    val d = Paths.get(appends.toUri.getPath)
+    Files.createDirectories(d)
+    val props = new java.util.Properties
+    props.setProperty("state", f.state)
+    props.setProperty("gen", f.gen)
+    props.setProperty("ids", f.ids.toSeq.sorted.mkString(","))
+    val bos = new java.io.ByteArrayOutputStream()
+    props.store(bos, "graft major-rewrite lane fence")
+    val tmp = Files.createTempFile(d, "._fence_", ".tmp")
+    Files.write(tmp, bos.toByteArray)
+    Files.move(tmp, d.resolve("_FENCE"), O.ATOMIC_MOVE, O.REPLACE_EXISTING)
     ()
+  }
+
+  /** Block until the fence reaches SEALED (the rewriting process has
+    * published the new generation and carried the captured markers).
+    * Same-JVM waits never spin: majorRewrite holds IndexStore's lock
+    * from seal to SEALED, so a local appendSegment only ever observes
+    * absent-or-sealed. Cross-process, a rewrite that died mid-window
+    * surfaces as a loud timeout with the recovery spelled out. */
+  private def awaitSealed(fs: org.apache.hadoop.fs.FileSystem,
+      appends: Path, first: LaneFence): LaneFence = {
+    var f = first
+    val deadline = System.currentTimeMillis() + 10L * 60 * 1000
+    while (f.state != "sealed") {
+      if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException(
+          s"lane fence under $appends never sealed — the rewriting " +
+            "process died mid-maintenance; delete _FENCE to unfence " +
+            "the lane or re-run the rewrite to completion")
+      Thread.sleep(100)
+      f = readFence(fs, appends).getOrElse(throw new IllegalStateException(
+        s"lane fence under $appends vanished mid-wait (manual unfence " +
+          "during an append?) — re-run the append"))
+    }
+    f
+  }
+
+  /** Phase-1 seal: fence the lane toward `gen` and capture the
+    * applied-id set (AFTER the seal, so the capture is a frozen upper
+    * bound — post-seal appends redirect). A fence already sealed toward
+    * the SAME gen is an at-least-once replay: reuse its captured ids
+    * verbatim so every replay folds the identical content. A fence
+    * toward a DIFFERENT gen is a concurrent rewrite — loud failure. */
+  private def sealLane(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, appends: Path, dir: String,
+      srcTable: String, name: String, gen: String): Set[String] =
+    readFence(fs, appends) match {
+      case Some(f) if f.gen != gen => throw new IllegalStateException(
+        s"lane under $appends is already fenced toward '${f.gen}' — " +
+          s"cannot rewrite toward '$gen'; concurrent rewrites of one " +
+          "snapshot toward different generations are not supported")
+      case Some(f) if f.state == "sealed" => f.ids
+      case _ =>
+        writeFence(appends, LaneFence("sealing", gen, Set.empty))
+        appliedSegIds(spark, dir, srcTable, name)
+    }
+
+  /** The lane rows a sealed capture deterministically folds: compacted
+    * `sc*` dirs (rows of segments retired by minor compaction — all of
+    * which carried markers before any capture) ∪ live `s<id>` dirs for
+    * CAPTURED ids only. A segment racing the seal (dir present, marker
+    * not yet captured) is excluded here and re-lands itself in the new
+    * generation via appendSegment's post-publication recheck; folding
+    * by live listing instead would nondeterministically duplicate
+    * exactly those segments (folded rows + the re-landed segment). */
+  private def capturedContent(spark: SparkSession, dir: String,
+      srcTable: String, name: String,
+      ids: Set[String]): Option[DataFrame] = {
+    val dirs = appendSegmentDirs(spark, dir, srcTable, name).filter { p =>
+      val n = p.getName
+      ids.contains(n.stripPrefix("s")) || n.startsWith("sc")
+    }
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(_.toString): _*))
+  }
+
+  /** Carry captured applied-ids into a (published) generation root's
+    * lane as markers — idempotent create-if-absent, so a crash between
+    * the index publication and a companion build heals on retry. */
+  private def carryMarkers(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, ids: Set[String]): Unit = {
+    val appends = new Path(root, "appends")
+    fs.mkdirs(appends)
+    ids.foreach { id =>
+      try fs.create(new Path(appends, s"_applied_$id"), false).close()
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   /** The applied-but-uncompacted segment rows of the snapshot, if any.
@@ -746,6 +1088,10 @@ object IndexStore {
     val appends = new Path(snapshotRoot(dir, srcTable, name), "appends")
     val fs = appends.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(appends)) return
+    // a fenced lane is mid-(or post-)rewrite: compacting it would retire
+    // captured segment dirs out from under the rewrite's deterministic
+    // fold, and a dying generation gains nothing from compaction
+    if (readFence(fs, appends).nonEmpty) return
     // reap litter: crashed-compaction stages, crashed-append stages
     // (legacy `_gone` rename-aside dirs too), and retired originals past
     // their reader grace window. The 10-minute age guard keeps a
@@ -859,13 +1205,21 @@ object IndexStore {
     * new one through [[servingName]].
     *
     * At-least-once maintenance stays idempotent ACROSS generations: the
-    * old lane's applied segment ids are carried into the new
-    * generation's lanes as markers (index `_applied_*`, counts
-    * `_applied_*`, bloom `b_<id>/_DONE` empty sides), so a replayed
-    * append of a segment the rewrite already folded no-ops in every
-    * lane instead of double-counting. The whole op is build-once per
-    * generation name (staged `_READY` publication) — a re-run
-    * re-promotes the same generation and changes nothing.
+    * sealed capture's segment ids are carried into the new generation's
+    * lanes as markers (index `_applied_*`, counts `_applied_*`; the
+    * bloom family's rebuild derives its marker sides from those), so a
+    * replayed append of a segment the rewrite already folded no-ops in
+    * every lane instead of double-counting. The whole op is build-once
+    * per generation name (staged `_READY` publication) — a re-run
+    * reuses the sealed capture, rebuilds nothing, and leaves a LATER
+    * promotion in place (compare-and-swap promote, r14 advice).
+    *
+    * CONCURRENT APPENDS are safe (r14 verdict item 5): the old lane is
+    * FENCED before the capture ([[sealLane]]), the fold reads exactly
+    * the captured ids' rows ([[capturedContent]]), and a racing append
+    * either redirects to the new generation or re-lands itself there
+    * via appendSegment's post-publication recheck — never silently
+    * vanishes, never double-counts.
     *
     * 100 TB shape: one bucketed write of the reduced index (the same
     * cost as the original build, paid per MAJOR maintenance window, not
@@ -879,61 +1233,55 @@ object IndexStore {
       (baseIndex: => DataFrame)(tombstones: => DataFrame): String =
     synchronized {
       val newName = s"${name}_$gen"
-      val fs = snapshotRoot(dir, srcTable, name)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val root = snapshotRoot(dir, srcTable, name)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // 1. seal the old lane toward the new generation and capture the
+      //    applied-id set (frozen: post-seal appends redirect)
+      val appends = new Path(root, "appends")
+      val capturedIds =
+        sealLane(spark, fs, appends, dir, srcTable, name, newName)
+      // 2. fold base ∪ captured lane content minus tombstones into the
+      //    new generation (build-once staged publication)
       val rewritten = cachedBucketTable(spark, dir, srcTable, newName,
         nBuckets, bucketCols, sortCols) {
-        val lane = readAppends(spark, dir, srcTable, name)
-        val content = lane.fold(baseIndex)(baseIndex.unionByName(_))
+        val content = capturedContent(spark, dir, srcTable, name,
+          capturedIds).fold(baseIndex)(baseIndex.unionByName(_))
         content.join(tombstones, tombstoneCols, "left_anti")
       }
-      // carry the old lane's applied ids into every new-generation
-      // lane, so replayed appends of rewrite-folded segments no-op and
-      // the companion lockstep guards see a consistent applied set.
-      // ORDER MATTERS: markers land only into roots that have already
-      // PUBLISHED — a marker dir created before its snapshot would be
-      // moved aside as an incomplete leftover by buildOnce's staged
-      // rename (the bug the first cut of this op had). The bloom
-      // sides go in before bloomFamilyFor so its lockstep check sees
-      // them; its root (the index snapshot's) published in step 1.
-      // Carried on EVERY call (idempotent create-if-absent), so a
-      // crash between the index publication and a companion build
-      // heals on retry. MAINTENANCE-WINDOW CONTRACT: no concurrent
-      // appends to the OLD generation while the rewrite runs — a
-      // racing append would nondeterministically be folded or not;
-      // post-rewrite arrivals must target [[servingName]]'s result.
-      val oldIds: Set[String] = appliedSegIds(spark, dir, srcTable, name)
-      def carryMarkers(root: Path): Unit = {
-        val appends = new Path(root, "appends")
-        fs.mkdirs(appends)
-        oldIds.foreach { id =>
-          try fs.create(new Path(appends, s"_applied_$id"), false).close()
-          catch { case _: java.io.IOException => () }
-        }
-      }
-      carryMarkers(snapshotRoot(dir, srcTable, newName))
-      bloomKeyCol.foreach { _ =>
-        oldIds.foreach { id =>
-          val side = new Path(
-            snapshotRoot(dir, srcTable, newName), s"blooms/b_$id")
-          fs.mkdirs(side)
-          try fs.create(new Path(side, "_DONE"), false).close()
-          catch { case _: java.io.IOException => () }
-        }
-      }
-      // companions rebuild FROM the rewritten content: populations
-      // shrink to live rows; the bloom family's fresh geometry is how
-      // fpp recovers (insert-only bit arrays cannot forget)
+      // 3. carry the captured ids into the new generation's lane —
+      //    ORDER MATTERS: markers land only into roots that have already
+      //    PUBLISHED (a marker dir created before its snapshot would be
+      //    moved aside as an incomplete leftover by buildOnce's staged
+      //    rename — the bug the first cut of this op had). Carried on
+      //    EVERY call (idempotent create-if-absent), so a crash between
+      //    the index publication and a companion build heals on retry.
+      carryMarkers(fs, snapshotRoot(dir, srcTable, newName), capturedIds)
+      // 4. SEAL the fence: the new root exists and its markers are
+      //    carried, so redirected/re-landed appends have a safe target
+      //    and the sealed id list is the deterministic race arbiter
+      writeFence(appends, LaneFence("sealed", newName, capturedIds))
+      // 5. companions rebuild FROM the rewritten content: populations
+      //    shrink to live rows; the bloom family's fresh geometry is how
+      //    fpp recovers (insert-only bit arrays cannot forget). Its
+      //    marker sides derive from the carried `_applied_*` ids inside
+      //    rebuildFamily — nothing pre-creates them here (the r14
+      //    pre-created dirs were dead: the first bloomFamilyFor always
+      //    took the no-pointer branch and rebuilt from scratch).
       countsKeyCols.foreach { keys =>
         cachedBucketCounts(spark, dir, srcTable, newName, keys)(rewritten)
-        carryMarkers(snapshotRoot(dir, srcTable, countsName(newName)))
+        carryMarkers(fs,
+          snapshotRoot(dir, srcTable, countsName(newName)), capturedIds)
       }
       bloomKeyCol.foreach { key =>
         bloomFamilyFor(spark, dir, srcTable, newName, key, bloomShards)(
           rewritten)
         ()
       }
-      promote(dir, srcTable, name, newName)
+      // 6. CAS promote: only while the alias still serves the
+      //    pre-rewrite generation — an at-least-once REPLAY after a
+      //    newer generation was promoted must no-op, not regress
+      //    serving back to this one (r14 advice)
+      promoteIfServing(dir, srcTable, name, newName, Set(name))
       newName
     }
 
@@ -949,22 +1297,21 @@ object IndexStore {
       (baseIndex: => DataFrame)(tombstones: => DataFrame): String =
     synchronized {
       val newName = s"${name}_$gen"
-      val fs = snapshotRoot(dir, srcTable, name)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val root = snapshotRoot(dir, srcTable, name)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // same seal → captured fold → marker carry → sealed fence → CAS
+      // promote flow as the bucketed form (see majorRewrite)
+      val appends = new Path(root, "appends")
+      val capturedIds =
+        sealLane(spark, fs, appends, dir, srcTable, name, newName)
       cachedPartitionedTable(spark, dir, srcTable, newName, partCols) {
-        val lane = readAppends(spark, dir, srcTable, name)
-        val content = lane.fold(baseIndex)(baseIndex.unionByName(_))
+        val content = capturedContent(spark, dir, srcTable, name,
+          capturedIds).fold(baseIndex)(baseIndex.unionByName(_))
         content.join(tombstones, tombstoneCols, "left_anti")
       }
-      // marker carry: idempotent, after publication (see majorRewrite)
-      val appends =
-        new Path(snapshotRoot(dir, srcTable, newName), "appends")
-      fs.mkdirs(appends)
-      appliedSegIds(spark, dir, srcTable, name).foreach { id =>
-        try fs.create(new Path(appends, s"_applied_$id"), false).close()
-        catch { case _: java.io.IOException => () }
-      }
-      promote(dir, srcTable, name, newName)
+      carryMarkers(fs, snapshotRoot(dir, srcTable, newName), capturedIds)
+      writeFence(appends, LaneFence("sealed", newName, capturedIds))
+      promoteIfServing(dir, srcTable, name, newName, Set(name))
       newName
     }
 
@@ -994,6 +1341,33 @@ object IndexStore {
     Files.writeString(tmp, gen)
     Files.move(tmp, p, O.ATOMIC_MOVE, O.REPLACE_EXISTING)
     ()
+  }
+
+  /** Compare-and-swap [[promote]] (r14 advice): point `alias` at `gen`
+    * only while it still serves a member of `expected` — the unaliased
+    * bootstrap counts as serving `alias` itself — or already serves
+    * `gen` (replay no-op). An at-least-once replay of an OLD rewrite
+    * after a newer generation was promoted must not regress serving
+    * back to the old one, which an unconditional promote silently did.
+    * The check+swap pair is serialized cross-process by a lock file
+    * next to the pointer (locally flock(2); on a lake this whole method
+    * is the table format's conditional pointer commit). Returns whether
+    * the alias now serves `gen`. */
+  def promoteIfServing(dir: String, srcTable: String, alias: String,
+      gen: String, expected: Set[String]): Boolean = synchronized {
+    import java.nio.file.{Paths, StandardOpenOption => OO}
+    val p = aliasPath(dir, srcTable, alias)
+    val ch = java.nio.channels.FileChannel.open(
+      Paths.get(p.toString + ".lock"), OO.CREATE, OO.WRITE)
+    try {
+      val lock = ch.lock()
+      try {
+        val cur = resolveAlias(dir, srcTable, alias).getOrElse(alias)
+        if (cur == gen) true
+        else if (!expected.contains(cur)) false
+        else { promote(dir, srcTable, alias, gen); true }
+      } finally lock.release()
+    } finally ch.close()
   }
 
   /** First-generation bootstrap: point the alias at `gen` only if it
