@@ -1893,10 +1893,26 @@ object Dedup {
     * batch twin — same tombstone set, same probes): retract-by-
     * tombstone and retract-by-rewrite are the SAME logical operation
     * at two maintenance stages, so they share the oracle verbatim. */
-  def dedupIndexRewrite(spark: SparkSession, dir: String): DataFrame = {
+  def dedupIndexRewrite(spark: SparkSession, dir: String): DataFrame =
+    dedupIndexRewriteOf(spark, dir, lit(true))
+
+  /** Probe seam (r14 verdict item 6): the rewrite-served dedup chain at
+    * a FIXED arrival (doc_id < cap within the modeled-new slice) — the
+    * rewrite amortizes build-once; this isolates the serve exponent
+    * against the rewritten generation. */
+  private[graft] def dedupIndexRewriteFixedShard(
+      spark: SparkSession, dir: String, cap: Long): DataFrame =
+    dedupIndexRewriteOf(spark, dir, col("doc_id") < cap)
+
+  private def dedupIndexRewriteOf(spark: SparkSession, dir: String,
+      shardExtra: Column): DataFrame = {
     import graft.sources.IndexStore
     val docs = Star.table(spark, dir, "documents")
-    val isNew = col("doc_id") % 10 === 0
+    // the ARRIVAL is the %10 == 0 slice (shardExtra caps it for the
+    // fixed-shard probe); base/segment/rewrite content is arrival-
+    // independent — the snapshot identity must not depend on which
+    // serve form touched it first
+    val isNew = col("doc_id") % 10 === 0 && shardExtra
     // own snapshot identity: mhband's lane receives arrival segments
     // from the compaction query, which would make the rewrite's folded
     // content depend on query execution order
@@ -1904,7 +1920,8 @@ object Dedup {
       spark, dir, "documents", "mhbandrw", 8,
       Seq("band_id", "h"), Seq("band_id", "h")) {
       bandRows(withMinhashBands(shingleRows(
-        docs.filter(!isNew && col("doc_id") % 10 =!= 1))))
+        docs.filter(col("doc_id") % 10 =!= 0 &&
+          col("doc_id") % 10 =!= 1))))
     }
     IndexStore.appendSegment(spark, dir, "documents", "mhbandrw", "s1") {
       bandRows(withMinhashBands(shingleRows(

@@ -800,6 +800,20 @@ object Training {
     contaminationAdaptiveOf(spark, dir,
       col("bucket") >= 90 && col("doc_id") < cap)
 
+  /** Probe-only residency measurement: load the family ROUTED for a
+    * capped arrival and report (loadedShards, shards, loadedBytes,
+    * wholeBytes estimate). MUST run before any whole-family load in the
+    * process — the memo upgrades the shared instance in place, so a
+    * later routed call on an already-whole entry reads fully loaded. */
+  private[graft] def contamRoutedFamilyStats(spark: SparkSession,
+      dir: String, cap: Long): (Int, Int, Long) = {
+    val docs = contamDocs(spark, dir)
+    val test = contamShingled(spark,
+      docs.filter(col("bucket") >= 90 && col("doc_id") < cap))
+    val fam = contamBloom(spark, dir, test, FamilyRouted)
+    (fam.loadedShards, fam.shards, fam.loadedBytes)
+  }
+
   /** Per-doc shingle totals of an arriving shard, MAP-SIDE as the
     * shingle array's size — no explode, no count shuffle (doc_id is
     * unique in documents). Shared by every serve form so the totals

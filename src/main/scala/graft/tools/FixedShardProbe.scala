@@ -38,6 +38,17 @@ object FixedShardProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // ROUTED-RESIDENCY measurement first: the family memo upgrades in
+    // place, so this must run before any whole-family load (the fpp
+    // probe below, the whole-residency serve chains) fills every slot —
+    // the loaded/total ratio is the r15 arrival-sized-residency claim
+    {
+      val (loaded, shards, bytes) =
+        graft.operators.Training.contamRoutedFamilyStats(spark, sfDir, 50L)
+      println(f"[fixedshard] bloom_routed_residency arrival=50docs " +
+        f"loaded_shards=$loaded/$shards loaded_bytes=$bytes")
+    }
+
     val chains = Seq[(String, () => org.apache.spark.sql.DataFrame)](
       "dedup_incremental_fixed" ->
         (() => graft.operators.Dedup
@@ -67,7 +78,31 @@ object FixedShardProbe {
           .contaminationServeFixedShard(spark, sfDir, 50L)),
       "contamination_point_small" ->
         (() => graft.operators.Training
-          .contaminationServePointLookup(spark, sfDir, 50L)))
+          .contaminationServePointLookup(spark, sfDir, 50L)),
+      // r14 verdict item 2: the WIRED dispatch at the A/B's arrival —
+      // its overhead (doc-count gate + survivor count) rides on top of
+      // whichever branch wins
+      "contamination_adaptive_small" ->
+        (() => graft.operators.Training
+          .contaminationAdaptiveFixedShard(spark, sfDir, 50L)),
+      // r14 verdict item 1: the serve with ARRIVAL-ROUTED family
+      // residency vs the whole-family form above (same arrival)
+      "contamination_routed_fixed" ->
+        (() => graft.operators.Training
+          .contaminationServeRoutedFixedShard(spark, sfDir, docCap)),
+      // r14 verdict item 6: serve exponents against REWRITTEN
+      // generations (the rewrite itself amortizes build-once; its
+      // one-time cost shows up in the first `rows=` construction)
+      "dedup_rewrite_fixed" ->
+        (() => graft.operators.Dedup
+          .dedupIndexRewriteFixedShard(spark, sfDir, docCap)),
+      "semantic_rewrite_fixed" ->
+        (() => graft.operators.Similarity
+          .semanticDedupRewriteFixedShard(spark, sfDir, vecCap)),
+      // constant 5-query arrival by construction — serves the rewritten
+      // cell-partitioned generation with static pruning
+      "ann_rewrite_serve" ->
+        (() => graft.operators.Similarity.annIvfRewrite(spark, sfDir)))
 
     for ((label, mk) <- chains) {
       def run(): Double = {
@@ -97,7 +132,7 @@ object FixedShardProbe {
       i += 1
     }
     println(f"[fixedshard] bloom_family shards=${fam.shards} " +
-      f"bytes=${fam.bytes.map(_.length.toLong).sum} " +
+      f"bytes=${fam.loadedBytes} " +
       f"fpp=${hits.toDouble / nProbe}%.4f")
     spark.stop()
   }

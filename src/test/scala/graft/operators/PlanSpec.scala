@@ -217,6 +217,50 @@ class PlanSpec extends SparkSuite {
       "bloom must prefilter the shard, not the index\n" + p)
   }
 
+  test("contamination adaptive dispatch: a small arrival takes the " +
+    "point path (pinned survivors + IN-probed sorted layout), a big " +
+    "arrival the bucketed join — the plan switches by arrival size") {
+    import org.apache.spark.sql.functions.col
+    // small branch: the survivors enter pinned (ExistingRDD leaf), the
+    // probe reads the range-sorted SECONDARY layout, and the bucketed
+    // index is NOT streamed through a join
+    val small = plan(Training.contaminationAdaptiveOf(spark, dir,
+      col("bucket") >= 90 && col("doc_id") < 120))
+    assert(small.contains("graft_idx_bench_ngrams_srt"),
+      "point path must probe the range-sorted secondary layout\n" + small)
+    assert(small.contains("ExistingRDD"),
+      "survivors must enter the point plan pinned (the r14 A/B's " +
+        "double-billing lesson)\n" + small)
+    val bucketedScans = small.split("\n")
+      .filter(_.contains("graft_idx_bench_ngrams"))
+      .filterNot(l => l.contains("_srt") || l.contains("cnt"))
+    assert(bucketedScans.isEmpty,
+      "small arrival must not stream the bucketed index through the " +
+        "join operator\n" + small)
+    // big branch: the production serve's plan verbatim — bloom
+    // prefilter + exact join against the bucketed index, no secondary
+    // layout anywhere. At this fixture scale even the full shard is a
+    // handful of docs, so the doc gate is forced to zero to drive the
+    // same arrival down the big-arrival branch.
+    val key = "graft.contam.pointMaxDocs"
+    val old = System.getProperty(key)
+    val big = try {
+      System.setProperty(key, "0")
+      plan(Training.contaminationAdaptiveOf(spark, dir,
+        col("bucket") >= 90))
+    } finally {
+      if (old == null) System.clearProperty(key)
+      else System.setProperty(key, old)
+    }
+    assert(!big.contains("graft_idx_bench_ngrams_srt"),
+      "big arrival must take the bucketed join, not the point path\n" +
+        big)
+    assert(big.contains("graft_idx_bench_ngrams"),
+      "big arrival must probe the persisted bucketed index\n" + big)
+    assert(big.contains("might_contain"),
+      "big arrival keeps the bloom prefilter\n" + big)
+  }
+
   test("annIvfServe: postings scan statically prunes to the probed cells") {
     val df = Similarity.annIvfServe(spark, dir)
     val p = plan(df)

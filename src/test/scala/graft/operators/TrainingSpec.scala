@@ -223,4 +223,31 @@ class TrainingSpec extends SparkSuite {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("adaptive contamination dispatch answers identically to the " +
+    "production join form on BOTH branches") {
+    // r14 verdict item 2: the dispatch may only ever change the plan,
+    // never the rows — pin the small-arrival (point path) branch and
+    // the over-the-doc-gate (join path) branch against the fixed-shard
+    // join form at matching arrival predicates
+    val smallJoin = Training.contaminationServeFixedShard(spark, sf, 50L)
+      .collect().toSeq
+    val smallAdaptive = Training.contaminationAdaptiveFixedShard(
+      spark, sf, 50L).collect().toSeq
+    assert(smallAdaptive === smallJoin)
+    assert(smallAdaptive.nonEmpty)
+    val key = "graft.contam.pointMaxDocs"
+    val old = System.getProperty(key)
+    try {
+      // force the doc gate to zero: the same arrival must now flow
+      // through the big-arrival branch (production serve) unchanged
+      System.setProperty(key, "0")
+      val viaJoinBranch = Training.contaminationAdaptiveFixedShard(
+        spark, sf, 50L).collect().toSeq
+      assert(viaJoinBranch === smallJoin)
+    } finally {
+      if (old == null) System.clearProperty(key)
+      else System.setProperty(key, old)
+    }
+  }
 }

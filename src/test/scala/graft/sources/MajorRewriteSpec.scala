@@ -220,6 +220,141 @@ class MajorRewriteSpec extends SparkSuite {
     assert(IndexStore.servingName(dir, "documents", name) === s"${name}_g2")
   }
 
+  test("an append arriving at a sealed lane REDIRECTS to the new " +
+    "generation — it never lands in the dying one") {
+    val name = s"mrwredir${java.util.UUID.randomUUID.toString.take(6)}"
+    val base = buildFixture(name)
+    val gen = IndexStore.majorRewrite(spark, dir, "documents", name, "g2",
+      4, Seq("h"), Seq("h"), Seq("doc_id"),
+      countsKeyCols = Some(Seq("h")), bloomKeyCol = Some("doc_id"),
+      bloomShards = 4) { base } {
+      rowsDf(((0L until 100L) ++ (200L until 220L)).filter(_ % 2 == 0))
+    }
+    // the old lane is now fenced (sealed): a late append must flow to
+    // the serving generation
+    IndexStore.appendSegment(spark, dir, "documents", name, "late") {
+      rowsDf(501L to 509L by 2)
+    }
+    val newLane = IndexStore.readAppends(spark, dir, "documents", gen)
+    assert(newLane.nonEmpty &&
+      contentOf(newLane.get) === (501L to 509L by 2).toSet,
+      "redirected append must land in the new generation's lane")
+    // and nothing landed in the old lane (its dirs would otherwise be
+    // nondeterministically folded by a rewrite replay)
+    val tag = FixtureCache.sourceTag(dir, "documents")
+    val oldSeg = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_idx_${name}_$tag/appends/slate")
+    assert(!java.nio.file.Files.exists(oldSeg),
+      "a sealed lane must take no new segment dirs")
+    // the redirected segment replays as a no-op in the new generation
+    IndexStore.appendSegment(spark, dir, "documents", gen, "late") {
+      rowsDf(900L to 999L)
+    }
+    assert(contentOf(IndexStore.readAppends(
+      spark, dir, "documents", gen).get) === (501L to 509L by 2).toSet,
+      "replay of the redirected segment must no-op")
+  }
+
+  test("an append RACING the seal (fence lands mid-publish) re-lands in " +
+    "the new generation exactly once; a captured id does not re-land") {
+    val name = s"mrwrace2${java.util.UUID.randomUUID.toString.take(6)}"
+    IndexStore.cachedBucketTable(
+      spark, dir, "documents", name, 4, Seq("h"), Seq("h")) {
+      rowsDf(0L until 50L)
+    }
+    val gen = s"${name}_g2"
+    val tag = FixtureCache.sourceTag(dir, "documents")
+    val oldAppends = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_idx_${name}_$tag/appends")
+    val genAppends = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_idx_${gen}_$tag/appends")
+    // the in-flight window, simulated exactly: the build closure runs
+    // BETWEEN appendSegment's fence pre-check and its publication, so a
+    // fence written inside it lands mid-publish. The sealed capture
+    // EXCLUDES this segment -> the post-publication recheck must re-land
+    // it in the named new generation.
+    var fencedMidFlight = false
+    IndexStore.appendSegment(spark, dir, "documents", name, "race") {
+      IndexStore.writeFence(oldAppends,
+        IndexStore.LaneFence("sealed", gen, Set("a0")))
+      fencedMidFlight = true
+      rowsDf(601L to 609L by 2)
+    }
+    assert(fencedMidFlight)
+    val relanded = IndexStore.readAppends(spark, dir, "documents", gen)
+    assert(relanded.nonEmpty &&
+      contentOf(relanded.get) === (601L to 609L by 2).toSet,
+      "a racing append the capture excluded must re-land in the new " +
+        "generation — the r14 behavior silently stranded it")
+    // captured-id case: the rewrite folded the segment and carried its
+    // marker, so the redirect resolves to the marker and no-ops
+    java.nio.file.Files.createDirectories(genAppends)
+    java.nio.file.Files.createFile(genAppends.resolve("_applied_folded"))
+    IndexStore.writeFence(oldAppends,
+      IndexStore.LaneFence("sealed", gen, Set("a0", "folded")))
+    IndexStore.appendSegment(spark, dir, "documents", name, "folded") {
+      rowsDf(900L to 999L)
+    }
+    assert(contentOf(IndexStore.readAppends(
+      spark, dir, "documents", gen).get) === (601L to 609L by 2).toSet,
+      "a captured (folded, marker-carried) id must not re-land")
+  }
+
+  test("a REAL second JVM streams appends while this process runs the " +
+    "major rewrite: every append lands in the serving lineage exactly " +
+    "once — folded or re-landed, never lost, never doubled") {
+    val name = s"mrwapp${java.util.UUID.randomUUID.toString.take(6)}"
+    val base = buildFixture(name)
+    val (child, log) = graft.ChildJvm.start(
+      "graft.tools.LifecycleStressMain",
+      Seq("--append-loop", dir, name, "12"))
+    // let a few appends land pre-seal so BOTH fates (captured-fold and
+    // redirect/re-land) occur in one run
+    Thread.sleep(2000)
+    val gen = IndexStore.majorRewrite(spark, dir, "documents", name, "g2",
+      4, Seq("h"), Seq("h"), Seq("doc_id"),
+      countsKeyCols = Some(Seq("h")), bloomKeyCol = Some("doc_id"),
+      bloomShards = 4) { base } {
+      rowsDf(((0L until 100L) ++ (200L until 220L)).filter(_ % 2 == 0))
+    }
+    assert(child.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      s"child timed out; log: ${java.nio.file.Files.readString(log)}")
+    val logText = java.nio.file.Files.readString(log)
+    assert(child.exitValue() === 0, s"child append loop failed: $logText")
+    val appendedIds = "APPENDED r\\d+ (\\d+)".r
+      .findAllMatchIn(logText).map(_.group(1).toLong).toSeq
+    assert(appendedIds.size === 12, s"child landed ${appendedIds.size}/12")
+    // audit multiplicity across the SERVING lineage (new gen base ∪ its
+    // lane): each child id exactly once — a zero is the silent loss the
+    // fence exists to prevent, a two is a fold+re-land double-count
+    val baseRows = IndexStore.openTable(spark, dir, "documents", gen)
+      .select("doc_id").collect().map(_.getLong(0))
+    val laneRows = IndexStore.readAppends(spark, dir, "documents", gen)
+      .map(_.select("doc_id").collect().map(_.getLong(0)))
+      .getOrElse(Array.empty[Long])
+    val multiplicity = (baseRows ++ laneRows)
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    appendedIds.foreach { id =>
+      assert(multiplicity.getOrElse(id, 0) === 1,
+        s"append id $id appears ${multiplicity.getOrElse(id, 0)} times " +
+          s"in the serving lineage (fold/re-land accounting broke); " +
+          s"log: $logText")
+    }
+    // fixture content is intact alongside
+    ((0L until 100L) ++ (200L until 220L)).filter(_ % 2 == 1).foreach(k =>
+      assert(multiplicity.getOrElse(k, 0) === 1, s"fixture row $k lost"))
+    // the bloom family heals any re-landed segment's side via the
+    // lockstep backfill and must hold every serving key
+    val fam = IndexStore.bloomFamilyFor(
+      spark, dir, "documents", gen, "doc_id", 4)(
+      IndexStore.openTable(spark, dir, "documents", gen))
+    (baseRows ++ laneRows).foreach(k => assert(fam.mightContainLong(k),
+      s"serving key $k missing from the healed bloom family"))
+  }
+
   test("a REAL second JVM runs the major rewrite while this process " +
     "probes: only complete generations observed, companions consistent") {
     // the thread race above shares the JVM-wide IndexStore lock; this
