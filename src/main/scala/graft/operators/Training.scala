@@ -533,6 +533,24 @@ object Training {
   def contaminationRouted(spark: SparkSession, dir: String): DataFrame =
     contaminationServeOf(spark, dir, col("bucket") >= 90, FamilyRouted)
 
+  /** [[contaminationServe]] at DISTRIBUTED residency — the registered
+    * face of the per-task shard-local probe (no merged family anywhere;
+    * see [[FamilyDistributed]]). Same oracle as every serve form. */
+  def contaminationDistributed(spark: SparkSession,
+      dir: String): DataFrame =
+    contaminationServeOf(spark, dir, col("bucket") >= 90,
+      FamilyDistributed)
+
+  /** Probe seam: the distributed serve at a capped arrival, with the
+    * per-task resident-bytes accumulator wired out. */
+  private[graft] def contaminationDistributedFixedShard(
+      spark: SparkSession, dir: String, cap: Long,
+      residentAcc: Option[org.apache.spark.util.CollectionAccumulator[
+        java.lang.Long]] = None): DataFrame =
+    contaminationServeOf(spark, dir,
+      col("bucket") >= 90 && col("doc_id") < cap, FamilyDistributed,
+      residentAcc)
+
   /** Probe seam (BASELINE fixed-shard campaign, r11 verdict item 5):
     * [[contaminationServe]] with the arriving eval shard TRUNCATED to
     * doc_id < cap — constant-size arrival at any corpus scale, isolating
@@ -588,6 +606,20 @@ object Training {
   private[graft] case object FamilyWhole extends FamilyResidency
   private[graft] case object FamilyRouted extends FamilyResidency
   private[graft] case object FamilyAdaptive extends FamilyResidency
+
+  /** [[FamilyDistributed]] is the 1000-executor form (r14 verdict item
+    * 1's endgame): NO merged family exists anywhere — the arriving
+    * keys REPARTITION by their shard id and each task OR-merges and
+    * probes only the shards its partition hosts, read straight from
+    * the side-files. Per-task residency = hosted shards × one shard's
+    * bytes (family_bytes / shards per task on average), so no JVM ever
+    * holds O(index) bits — the property the touched-shard form cannot
+    * give LARGE arrivals, whose keys hash into every shard (measured:
+    * a 50-doc arrival already touches all 200 shards at ×1000). Price:
+    * one extra shuffle of the arrival's 16-byte (doc_id, h) rows —
+    * exactly the trade a 100 TB serve wants against shipping a
+    * ~100 GB family to every executor. */
+  private[graft] case object FamilyDistributed extends FamilyResidency
 
   /** The DISTINCT family shards an arriving key column touches:
     * `pmod(hash(h), shards)` IS `BloomFamily.shardOf` bit-for-bit
@@ -852,18 +884,79 @@ object Training {
     * alone) — they never needed the index. Join strategy is the
     * planner's: survivors are usually broadcast-small, but a massive
     * arrival batch falls back to the bucket-co-located shuffle join. */
+  /** Per-task shard-local bloom prefilter — the [[FamilyDistributed]]
+    * body. The arrival repartitions by `pmod(hash(h), shards)` (the
+    * family's own routing), then each task lazily OR-merges just the
+    * shards its partition hosts from their side-files and filters.
+    * One-sided error unchanged (a shard with no files passes rows
+    * through). `residentAcc`, when given, collects each task's
+    * deserialized bloom bytes — the probe's residency evidence. */
+  private[graft] def distributedBloomFilter(spark: SparkSession,
+      test: DataFrame, sm: graft.sources.IndexStore.BloomShardMap,
+      residentAcc: Option[org.apache.spark.util.CollectionAccumulator[
+        java.lang.Long]] = None): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(sm)
+    test.repartition(sm.shards, pmod(hash(col("h")), lit(sm.shards)))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val m = bc.value
+        val loaded = scala.collection.mutable.HashMap[
+          Int, org.apache.spark.util.sketch.BloomFilter]()
+        var bytes = 0L
+        var reported = false
+        val filtered = it.filter { case (_, h) =>
+          val s = graft.functions.BloomFamily.shardOf(h, m.shards)
+          val bf = loaded.getOrElseUpdate(s, {
+            val merged = m.loadShard(s)
+            if (merged != null) {
+              val bos = new java.io.ByteArrayOutputStream()
+              merged.writeTo(bos)
+              bytes += bos.size().toLong
+            }
+            merged
+          })
+          bf == null || bf.mightContainLong(h)
+        }
+        // report this task's resident bytes once the partition drains
+        new Iterator[(Long, Long)] {
+          override def hasNext: Boolean = {
+            val h = filtered.hasNext
+            if (!h && !reported) {
+              reported = true
+              residentAcc.foreach(_.add(java.lang.Long.valueOf(bytes)))
+            }
+            h
+          }
+          override def next(): (Long, Long) = filtered.next()
+        }
+      }
+      .toDF("doc_id", "h")
+  }
+
   private def contaminationServeOf(spark: SparkSession, dir: String,
-      shardPred: Column, residency: FamilyResidency): DataFrame = {
+      shardPred: Column, residency: FamilyResidency,
+      residentAcc: Option[org.apache.spark.util.CollectionAccumulator[
+        java.lang.Long]] = None): DataFrame = {
     val docs = contamDocs(spark, dir)
     // family sharded by the index's own bucket count: per-shard geometry
     // scales with the corpus (r13 verdict item 1 — a single bloom's
     // 2^28-bit cap saturated to ~59 % fpp at the ×1000 probe's 240 M
     // keys; sharded, each of the nb shards sizes for its ~1/nb slice),
     // loaded at the requested residency (whole / arrival-routed /
-    // footprint-adaptive — r14 verdict item 1)
+    // footprint-adaptive / per-task distributed — r14 verdict item 1)
     val index = contamIndex(spark, dir)
     val shard = docs.filter(shardPred)
     val test = contamShingled(spark, shard)
+    if (residency == FamilyDistributed) {
+      val sm = graft.sources.IndexStore.bloomShardFileMap(
+        spark, dir, "documents", "bench_ngrams", "h",
+        contamBucketsFor(spark, dir))(index)
+      val survivors = distributedBloomFilter(spark, test, sm, residentAcc)
+      val hits = survivors.join(index, Seq("h"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+      return contamAssemble(contamTotalsOf(spark, shard), hits)
+    }
     val bloom = contamBloom(spark, dir, test, residency)
     // custom expression, not BloomFilterMightContain(Literal(bloom), _):
     // a corpus-scaled bloom inside a Literal makes Catalyst hash/compare
@@ -1279,6 +1372,10 @@ object Training {
     // the production serve's adaptive residency only routes past the
     // footprint budget, which harness scales never reach
     QueryDef("q_contamination_routed", contaminationRouted,
+      Some(contaminationSql)),
+    // per-task shard-local probe (no merged family anywhere — the
+    // 1000-executor residency form) under the hash oracle
+    QueryDef("q_contamination_distributed", contaminationDistributed,
       Some(contaminationSql)),
     // adaptive small-arrival dispatch: point path (pinned survivors →
     // IN-pushed probe of the range-sorted secondary layout) under the

@@ -460,11 +460,64 @@ object IndexStore {
     bloomFamilyLoad(spark, dir, srcTable, name, keyCol, shardsHint,
       Some(touchedOf), adaptive = true)(index)
 
-  private def bloomFamilyLoad(spark: SparkSession, dir: String,
-      srcTable: String, name: String, keyCol: String, shardsHint: Int,
-      touchedOf: Option[Int => Set[Int]], adaptive: Boolean)
-      (index: => DataFrame): graft.functions.BloomFamily =
-    synchronized {
+  /** Descriptor of a persisted family for the DISTRIBUTED probe
+    * (per-task shard loading): spec geometry + shard id → side-file
+    * paths. Contains only metadata — the bit arrays stay on disk until
+    * a TASK hosting that shard's partition reads them, which is what
+    * makes serve residency per-executor O(hosted shards), not O(index):
+    * at a 100 TB corpus no JVM ever holds the merged family. */
+  final case class BloomShardMap(shards: Int, items: Long, bits: Long,
+      files: Map[Int, Seq[String]]) extends Serializable {
+    /** OR-merge of one shard's side-files, read task-side. Returns null
+      * when the shard has no files (conservative pass-through — cannot
+      * happen for a spec-complete family, but a partial listing must
+      * never manufacture false negatives). */
+    def loadShard(s: Int): org.apache.spark.util.sketch.BloomFilter = {
+      var merged: org.apache.spark.util.sketch.BloomFilter = null
+      files.getOrElse(s, Seq.empty).foreach { f =>
+        val p = new Path(f)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = fs.open(p)
+        val bf =
+          try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+          finally in.close()
+        if (merged == null) merged = bf else merged.mergeInPlace(bf)
+      }
+      merged
+    }
+    def shardBytes(s: Int): Long = {
+      val p = files.getOrElse(s, Seq.empty)
+      // lengths are not carried; callers wanting bytes read them — the
+      // probe accumulates actual deserialized array sizes instead
+      p.size.toLong
+    }
+  }
+
+  /** Ensure the family and return its shard→side-file map WITHOUT
+    * loading any bit array on the driver — the metadata half of the
+    * distributed probe ([[BloomShardMap.loadShard]] runs on tasks). */
+  def bloomShardFileMap(spark: SparkSession, dir: String,
+      srcTable: String, name: String, keyCol: String, shardsHint: Int)
+      (index: => DataFrame): BloomShardMap = synchronized {
+    val (fs, _, shards, items, bits, shardFiles) =
+      bloomFamilyEnsure(spark, dir, srcTable, name, keyCol, shardsHint)(
+        index)
+    val byShard = shardFiles.toSeq
+      .map(s => s.getPath.getName.drop(1).takeWhile(_ != '_').toInt ->
+        fs.makeQualified(s.getPath).toString)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    BloomShardMap(shards, items, bits, byShard)
+  }
+
+  /** The shared ensure: publish/heal the family version, backfill
+    * lagging segment sides, and return (fs, versionDir, spec,
+    * shard-file listing) — everything both the driver-side merge
+    * ([[bloomFamilyLoad]]) and the metadata-only distributed map
+    * ([[bloomShardFileMap]]) need. Callers hold IndexStore's lock. */
+  private def bloomFamilyEnsure(spark: SparkSession, dir: String,
+      srcTable: String, name: String, keyCol: String, shardsHint: Int)
+      (index: => DataFrame): (org.apache.hadoop.fs.FileSystem, Path, Int,
+        Long, Long, Array[org.apache.hadoop.fs.FileStatus]) = {
       val root = snapshotRoot(dir, srcTable, name)
       val blooms = new Path(root, "blooms")
       val fs = blooms.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -558,6 +611,25 @@ object IndexStore {
           val spec2 = bloomShardSpec(fs, v)
           shards = spec2._1; items = spec2._2; bits = spec2._3
       }
+      val shardFiles = fs.listStatus(v)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("b_") &&
+          fs.exists(new Path(s.getPath, "_DONE")))
+        .sortBy(_.getPath.getName)
+        .flatMap(s => fs.listStatus(s.getPath))
+        .filter(_.getPath.getName.startsWith("p"))
+        .sortBy(_.getPath.toString)
+      (fs, v, shards, items, bits, shardFiles)
+    }
+
+  private def bloomFamilyLoad(spark: SparkSession, dir: String,
+      srcTable: String, name: String, keyCol: String, shardsHint: Int,
+      touchedOf: Option[Int => Set[Int]], adaptive: Boolean)
+      (index: => DataFrame): graft.functions.BloomFamily =
+    synchronized {
+      val root = snapshotRoot(dir, srcTable, name)
+      val (fs, v, shards, items, bits, shardFiles) =
+        bloomFamilyEnsure(spark, dir, srcTable, name, keyCol, shardsHint)(
+          index)
       // per-shard lazy OR-merge across sides, memoized per snapshot on
       // the version + shard-file listing: serve queries construct per
       // arrival batch, and re-reading + re-merging a corpus-scaled
@@ -566,13 +638,6 @@ object IndexStore {
       // Shard file names are content-unique (uuid suffix, write-once),
       // so the guard changes whenever any side lands or is backfilled.
       import org.apache.spark.util.sketch.BloomFilter
-      val shardFiles = fs.listStatus(v)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("b_") &&
-          fs.exists(new Path(s.getPath, "_DONE")))
-        .sortBy(_.getPath.getName)
-        .flatMap(s => fs.listStatus(s.getPath))
-        .filter(_.getPath.getName.startsWith("p"))
-        .sortBy(_.getPath.toString)
       val guard = v.getName + "|" + shardFiles.map(s =>
         s"${s.getPath.getParent.getName}/${s.getPath.getName}:${s.getLen}")
         .mkString(";")

@@ -90,6 +90,11 @@ object FixedShardProbe {
       "contamination_routed_fixed" ->
         (() => graft.operators.Training
           .contaminationServeRoutedFixedShard(spark, sfDir, docCap)),
+      // the per-task shard-local form (no merged family anywhere) —
+      // residency evidence printed after the chains
+      "contamination_distrib_fixed" ->
+        (() => graft.operators.Training
+          .contaminationDistributedFixedShard(spark, sfDir, docCap)),
       // r14 verdict item 6: serve exponents against REWRITTEN
       // generations (the rewrite itself amortizes build-once; its
       // one-time cost shows up in the first `rows=` construction)
@@ -134,6 +139,22 @@ object FixedShardProbe {
     println(f"[fixedshard] bloom_family shards=${fam.shards} " +
       f"bytes=${fam.loadedBytes} " +
       f"fpp=${hits.toDouble / nProbe}%.4f")
+
+    // DISTRIBUTED-RESIDENCY evidence (r14 verdict item 1): per-task
+    // deserialized bloom bytes of the shard-local probe — max is what
+    // any one executor holds at a time; the whole-family bytes above
+    // are what the merged form ships to EVERY executor
+    {
+      val acc = spark.sparkContext.collectionAccumulator[java.lang.Long](
+        "graft.bloom.taskResidentBytes")
+      graft.operators.Training
+        .contaminationDistributedFixedShard(spark, sfDir, docCap, Some(acc))
+        .write.format("noop").mode("overwrite").save()
+      val per = acc.value.toArray.map(_.asInstanceOf[java.lang.Long].longValue)
+      println(f"[fixedshard] bloom_distributed_residency tasks=${per.length} " +
+        f"max_task_bytes=${if (per.isEmpty) 0L else per.max} " +
+        f"sum_task_bytes=${per.sum}")
+    }
     spark.stop()
   }
 }

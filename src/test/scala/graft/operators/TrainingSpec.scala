@@ -224,6 +224,33 @@ class TrainingSpec extends SparkSuite {
     assert(a.nonEmpty)
   }
 
+  test("distributed shard-local probe answers identically; a task's " +
+    "resident bloom bytes are a strict fraction of the family") {
+    import scala.jdk.CollectionConverters._
+    val whole = Training.contaminationServeFixedShard(spark, sf, 50L)
+      .collect().toSeq
+    val acc = spark.sparkContext.collectionAccumulator[java.lang.Long](
+      "graft.bloom.taskResidentBytes.spec")
+    val dist = Training.contaminationDistributedFixedShard(
+      spark, sf, 50L, Some(acc)).collect().toSeq
+    assert(dist === whole,
+      "the per-task shard-local probe may only change WHERE bits are " +
+        "resident, never the rows")
+    assert(dist.nonEmpty)
+    val per = acc.value.asScala.map(_.longValue).toSeq
+    assert(per.nonEmpty, "the resident-bytes accumulator must report")
+    val (_, fam) = Training.contamIndexAndBloom(spark, sf)
+    // each shard is loaded by exactly the one partition its id hashes
+    // to, so the SUM across tasks is bounded by the whole family and
+    // no single task holds it all — the residency claim in miniature
+    assert(per.sum <= fam.loadedBytes,
+      s"task loads ${per.sum} exceed the family ${fam.loadedBytes} — " +
+        "a shard was loaded by more than one task")
+    assert(per.max < fam.loadedBytes,
+      "one task held the entire family — the repartition did not " +
+        "spread the shards")
+  }
+
   test("adaptive contamination dispatch answers identically to the " +
     "production join form on BOTH branches") {
     // r14 verdict item 2: the dispatch may only ever change the plan,
