@@ -178,6 +178,28 @@ object PlanDump {
           |per-doc totals are computed from the shard alone (size() over
           |the un-exploded shingle array — no second index
           |touch).""".stripMargin,
+      "q_contamination_distributed" ->
+        """Exact-membership serve with PER-TASK shard-local bloom
+          |residency (no merged family anywhere — the 1000-executor
+          |form). What to look for: one Exchange hashpartitioning on
+          |pmod(hash(h), shards) feeding a MapPartitions (each task
+          |OR-merges and probes only the shards its partition hosts,
+          |read from the side-files), then the exact inner join against
+          |the one persisted graft_idx_bench_ngrams_* scan; per-doc
+          |totals still from the shard alone. The extra 16-byte-row
+          |shuffle is the price of shipping ZERO family bytes with the
+          |plan.""".stripMargin,
+      "q_contamination_point" ->
+        """Adaptive small-arrival dispatch, point branch. What to look
+          |for: the pinned bloom survivors enter as a Scan ExistingRDD
+          |leaf (localCheckpoint — evaluated once, the A/B
+          |double-billing lesson); the probe reads the RANGE-SORTED
+          |secondary layout (graft_idx_bench_ngrams_srt_*) under an
+          |In/INSET filter of the collected survivor keys pushed to the
+          |parquet scan; the bucketed index never streams through a
+          |join. A big arrival takes q_contamination_serve's plan
+          |instead — the switch is plan-asserted both ways in
+          |PlanSpec.""".stripMargin,
       "q_dedup_index_rewrite" ->
         """Serve AFTER the tombstone-applying major rewrite. What to look
           |for: the band-probe join's earlier side scans the REWRITTEN
