@@ -485,12 +485,6 @@ object IndexStore {
       }
       merged
     }
-    def shardBytes(s: Int): Long = {
-      val p = files.getOrElse(s, Seq.empty)
-      // lengths are not carried; callers wanting bytes read them — the
-      // probe accumulates actual deserialized array sizes instead
-      p.size.toLong
-    }
   }
 
   /** Ensure the family and return its shard→side-file map WITHOUT
@@ -984,8 +978,13 @@ object IndexStore {
   // re-lands itself in the new generation. Either way the append ends
   // up in the serving lineage exactly once — never silently vanishes.
 
+  /** `captured` distinguishes "the id set was frozen and persisted" from
+    * "sealing just started" — a SEALED fence's ids are always the capture
+    * (readFence forces the flag), a SEALING fence's only once the
+    * rewriting process persisted them (see [[sealLane]]: a replay must
+    * reuse the persisted capture verbatim, never re-derive it). */
   private[graft] final case class LaneFence(state: String, gen: String,
-      ids: Set[String])
+      ids: Set[String], captured: Boolean = false)
 
   private[graft] def readFence(fs: org.apache.hadoop.fs.FileSystem,
       appends: Path): Option[LaneFence] = {
@@ -995,11 +994,14 @@ object IndexStore {
       val props = new java.util.Properties
       val in = fs.open(p)
       try props.load(in) finally in.close()
+      val state = props.getProperty("state", "")
       Some(LaneFence(
-        props.getProperty("state", ""),
+        state,
         props.getProperty("gen", ""),
         Option(props.getProperty("ids")).filter(_.nonEmpty)
-          .map(_.split(",").toSet).getOrElse(Set.empty)))
+          .map(_.split(",").toSet).getOrElse(Set.empty),
+        state == "sealed" ||
+          props.getProperty("captured", "false").toBoolean))
     }
   }
 
@@ -1014,6 +1016,8 @@ object IndexStore {
     props.setProperty("state", f.state)
     props.setProperty("gen", f.gen)
     props.setProperty("ids", f.ids.toSeq.sorted.mkString(","))
+    props.setProperty("captured",
+      (f.captured || f.state == "sealed").toString)
     val bos = new java.io.ByteArrayOutputStream()
     props.store(bos, "graft major-rewrite lane fence")
     val tmp = Files.createTempFile(d, "._fence_", ".tmp")
@@ -1046,12 +1050,20 @@ object IndexStore {
     f
   }
 
-  /** Phase-1 seal: fence the lane toward `gen` and capture the
-    * applied-id set (AFTER the seal, so the capture is a frozen upper
-    * bound — post-seal appends redirect). A fence already sealed toward
-    * the SAME gen is an at-least-once replay: reuse its captured ids
-    * verbatim so every replay folds the identical content. A fence
-    * toward a DIFFERENT gen is a concurrent rewrite — loud failure. */
+  /** Phase-1 seal: fence the lane toward `gen`, capture the applied-id
+    * set (AFTER the seal, so the capture is a frozen upper bound —
+    * post-seal appends redirect), and PERSIST the capture into the
+    * sealing fence before anything folds. A fence whose capture was
+    * already persisted (sealed, or sealing-with-capture) is an
+    * at-least-once replay: reuse its ids VERBATIM so every replay folds
+    * the identical content — re-deriving them from the live markers
+    * would race any append whose marker landed between the original
+    * capture and the crash: the replay's recapture would include it,
+    * carry its marker into a generation whose (already-published) fold
+    * EXCLUDED it, and the sealed id list would then tell the appender's
+    * recheck "folded — don't re-land": the one silent-loss window the
+    * fence exists to close. A fence toward a DIFFERENT gen is a
+    * concurrent rewrite — loud failure. */
   private def sealLane(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, appends: Path, dir: String,
       srcTable: String, name: String, gen: String): Set[String] =
@@ -1060,10 +1072,12 @@ object IndexStore {
         s"lane under $appends is already fenced toward '${f.gen}' — " +
           s"cannot rewrite toward '$gen'; concurrent rewrites of one " +
           "snapshot toward different generations are not supported")
-      case Some(f) if f.state == "sealed" => f.ids
+      case Some(f) if f.captured => f.ids
       case _ =>
         writeFence(appends, LaneFence("sealing", gen, Set.empty))
-        appliedSegIds(spark, dir, srcTable, name)
+        val ids = appliedSegIds(spark, dir, srcTable, name)
+        writeFence(appends, LaneFence("sealing", gen, ids, captured = true))
+        ids
     }
 
   /** The lane rows a sealed capture deterministically folds: compacted
@@ -1323,8 +1337,11 @@ object IndexStore {
       carryMarkers(fs, snapshotRoot(dir, srcTable, newName), capturedIds)
       // 4. SEAL the fence: the new root exists and its markers are
       //    carried, so redirected/re-landed appends have a safe target
-      //    and the sealed id list is the deterministic race arbiter
-      writeFence(appends, LaneFence("sealed", newName, capturedIds))
+      //    and the sealed id list is the deterministic race arbiter.
+      //    Skipped when already sealed identically — serve queries call
+      //    this on every construction, and re-writing an unchanged
+      //    fence is pure mtime churn against the write-once doctrine.
+      sealFenceOnce(fs, appends, newName, capturedIds)
       // 5. companions rebuild FROM the rewritten content: populations
       //    shrink to live rows; the bloom family's fresh geometry is how
       //    fpp recovers (insert-only bit arrays cannot forget). Its
@@ -1375,16 +1392,42 @@ object IndexStore {
         content.join(tombstones, tombstoneCols, "left_anti")
       }
       carryMarkers(fs, snapshotRoot(dir, srcTable, newName), capturedIds)
-      writeFence(appends, LaneFence("sealed", newName, capturedIds))
+      sealFenceOnce(fs, appends, newName, capturedIds)
       promoteIfServing(dir, srcTable, name, newName, Set(name))
       newName
     }
 
+  /** Write the SEALED fence unless an identical one is already in
+    * place (at-least-once rewrites re-run their tail on every serve
+    * construction; the fence file should settle, not churn). */
+  private def sealFenceOnce(fs: org.apache.hadoop.fs.FileSystem,
+      appends: Path, gen: String, ids: Set[String]): Unit =
+    if (!readFence(fs, appends).exists(f =>
+        f.state == "sealed" && f.gen == gen && f.ids == ids))
+      writeFence(appends, LaneFence("sealed", gen, ids))
+
   /** The snapshot name the serve path should open for `name`: the
     * promoted generation if a [[majorRewrite]] published one, else the
-    * bootstrap snapshot itself. */
-  def servingName(dir: String, srcTable: String, name: String): String =
-    resolveAlias(dir, srcTable, name).getOrElse(name)
+    * bootstrap snapshot itself. Follows the alias CHAIN to its fixed
+    * point — the second maintenance cycle rewrites the SERVING
+    * generation (the bootstrap lane is sealed toward g2 forever, so
+    * `majorRewrite(name_g2, "g3")` promotes under the `name_g2` alias),
+    * and a one-hop resolution would strand serving at g2. A revisited
+    * name is pointer corruption (aliases only ever extend), not a state
+    * this machinery can produce — loud failure over a silent spin. */
+  def servingName(dir: String, srcTable: String, name: String): String = {
+    var cur = name
+    val seen = scala.collection.mutable.Set(cur)
+    var next = resolveAlias(dir, srcTable, cur)
+    while (next.exists(_ != cur)) {
+      cur = next.get
+      if (!seen.add(cur)) throw new IllegalStateException(
+        s"serving-alias chain of '$name' revisits '$cur' — the pointer " +
+          "files are corrupted (a promotion can only extend the chain)")
+      next = resolveAlias(dir, srcTable, cur)
+    }
+    cur
+  }
 
   /** Serving-generation ALIAS — the atomic-promotion half of
     * retrain-and-swap: a maintenance job publishes a NEW snapshot next to

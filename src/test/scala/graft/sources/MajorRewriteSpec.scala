@@ -303,6 +303,118 @@ class MajorRewriteSpec extends SparkSuite {
       "a captured (folded, marker-carried) id must not re-land")
   }
 
+  test("a crashed rewrite's REPLAY (a real second JVM) reuses the " +
+    "PERSISTED capture — an append racing the crash window re-lands " +
+    "instead of silently vanishing") {
+    // The one silent-loss window left in the r15 fence: rewrite R seals
+    // the lane, captures the applied ids, PUBLISHES the fold, then dies
+    // before sealing. Segment X was mid-flight across R's capture (its
+    // marker landed after). A replay that re-derived the capture from
+    // the live markers would now include X, carry X's marker into a
+    // generation whose already-published fold EXCLUDED it, and seal an
+    // id list that tells X's recheck "folded — don't re-land": X's rows
+    // would be in NO serving lineage. The capture persisted in the
+    // sealing fence is the ground truth every replay must reuse.
+    val name = s"mrwcap${java.util.UUID.randomUUID.toString.take(6)}"
+    IndexStore.cachedBucketTable(
+      spark, dir, "documents", name, 4, Seq("h"), Seq("h")) {
+      rowsDf(0L until 100L)
+    }
+    val gen = s"${name}_g2"
+    val tag = FixtureCache.sourceTag(dir, "documents")
+    val oldAppends = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_idx_${name}_$tag/appends")
+    var child: Process = null
+    var childLog: java.nio.file.Path = null
+    // X's build closure runs between its fence pre-check and its
+    // publication — the crash is staged exactly there: R persisted an
+    // EMPTY capture (X's marker has not landed yet), published the fold
+    // of exactly that capture, and died before carry/seal/promote. The
+    // replay then arrives from a FOREIGN maintenance process that boots
+    // (~10 s) while X's publish + marker (~1 s) complete, so its
+    // sealLane runs with X's marker live — the exact window where a
+    // re-derived capture diverges from the persisted one. X's recheck
+    // meanwhile blocks in awaitSealed until the replay seals.
+    IndexStore.appendSegment(spark, dir, "documents", name, "x") {
+      IndexStore.writeFence(oldAppends,
+        IndexStore.LaneFence("sealing", gen, Set.empty, captured = true))
+      IndexStore.cachedBucketTable(
+        spark, dir, "documents", gen, 4, Seq("h"), Seq("h")) {
+        rowsDf((0L until 100L).filter(_ % 2 == 1))
+      }
+      val started = graft.ChildJvm.start(
+        "graft.tools.LifecycleStressMain",
+        Seq("--rewrite", dir, name, "g2"))
+      child = started._1
+      childLog = started._2
+      rowsDf(701L to 709L by 2)
+    }
+    assert(child.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      s"replay child timed out; log: " +
+        java.nio.file.Files.readString(childLog))
+    assert(child.exitValue() === 0, "replay child failed: " +
+      java.nio.file.Files.readString(childLog))
+    // the replay sealed the PERSISTED capture verbatim — a re-derived
+    // one would read {x} here
+    val fence = IndexStore.readFence(
+      oldAppends.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      oldAppends).get
+    assert(fence.state === "sealed" && fence.ids.isEmpty,
+      s"replay must seal the persisted capture verbatim, got ${fence.ids}")
+    assert(IndexStore.servingName(dir, "documents", name) === gen)
+    assert(contentOf(IndexStore.openTable(spark, dir, "documents", gen))
+      === (0L until 100L).filter(_ % 2 == 1).toSet,
+      "the generation serves the persisted capture's fold only")
+    // X was excluded from the capture -> not carried -> its own recheck
+    // re-landed it in the new generation (the rows a recaptured id list
+    // would have silently lost)
+    val lane = IndexStore.readAppends(spark, dir, "documents", gen)
+    assert(lane.nonEmpty &&
+      contentOf(lane.get) === (701L to 709L by 2).toSet,
+      "the racing append must re-land in the serving lineage — losing " +
+        "it is exactly the bug the persisted capture prevents")
+  }
+
+  test("a SECOND maintenance cycle rewrites the serving generation and " +
+    "the alias chain resolves to its fixed point") {
+    val name = s"mrwchain${java.util.UUID.randomUUID.toString.take(6)}"
+    val base = IndexStore.cachedBucketTable(
+      spark, dir, "documents", name, 4, Seq("h"), Seq("h")) {
+      rowsDf(0L until 100L)
+    }
+    val gen1 = IndexStore.majorRewrite(spark, dir, "documents", name, "g2",
+      4, Seq("h"), Seq("h"), Seq("doc_id")) { base } {
+      rowsDf((0L until 100L).filter(_ % 2 == 0))
+    }
+    assert(IndexStore.servingName(dir, "documents", name) === gen1)
+    // life goes on in the serving generation: an append, more takedown
+    IndexStore.appendSegment(spark, dir, "documents", gen1, "b1") {
+      rowsDf(301L to 309L by 2)
+    }
+    // the bootstrap lane is sealed toward g2 forever, so cycle two
+    // rewrites the SERVING generation (fold captures b1, marker carried)
+    val odds = (0L until 100L).filter(_ % 2 == 1) ++ (301L to 309L by 2)
+    val gen2 = IndexStore.majorRewrite(spark, dir, "documents", gen1, "g3",
+      4, Seq("h"), Seq("h"), Seq("doc_id")) {
+      IndexStore.openTable(spark, dir, "documents", gen1)
+    } { rowsDf(odds.filter(_ % 10 == 3)) }
+    assert(gen2 === s"${gen1}_g3")
+    // the serve path resolves name -> g2 -> g3 (a one-hop resolution
+    // would strand serving at g2)
+    assert(IndexStore.servingName(dir, "documents", name) === gen2,
+      "the alias chain must resolve across both maintenance cycles")
+    assert(contentOf(IndexStore.openTable(spark, dir, "documents", gen2))
+      === odds.filterNot(_ % 10 == 3).toSet,
+      "cycle two folds the serving generation's lane minus its tombstones")
+    // the folded segment's marker crossed BOTH generation boundaries
+    IndexStore.appendSegment(spark, dir, "documents", gen2, "b1") {
+      rowsDf(900L to 999L)
+    }
+    assert(IndexStore.readAppends(spark, dir, "documents", gen2).isEmpty,
+      "replay of a segment folded by cycle two must no-op")
+  }
+
   test("a REAL second JVM streams appends while this process runs the " +
     "major rewrite: every append lands in the serving lineage exactly " +
     "once — folded or re-landed, never lost, never doubled") {
