@@ -48,14 +48,46 @@ final case class BloomRef(bytes: Array[Byte]) {
   * the fallback (every probed key's shard was loaded); the fallback is
   * the safety net that makes partial loading impossible to misuse. */
 final case class BloomFamily(shards: Int, bytes: Array[Array[Byte]]) {
-  @transient lazy val filters: Array[org.apache.spark.util.sketch.BloomFilter] =
+  /** Deserialize the CURRENTLY loaded slots — one fresh array per call.
+    * Codegen hoists the result once per generated-class instance, and
+    * an executor-side instance's `bytes` are a serialization-time
+    * snapshot, so that hoist is exact. Deliberately NOT a cached
+    * `lazy val`: the memoized family's slots fill IN PLACE as serves
+    * touch more shards ([[graft.sources.IndexStore]]'s monotone
+    * upgrade), and a whole-array cache forced while the family was
+    * PARTIAL would freeze the unloaded shards at the conservative
+    * fallback forever — every later driver-side probe of an upgraded
+    * shard would keep passing its non-members (r15 review). */
+  def filters(): Array[org.apache.spark.util.sketch.BloomFilter] =
     bytes.map(b =>
       if (b == null) null
       else org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(b)))
 
+  /** Per-SLOT deserialization cache for the row-at-a-time driver path:
+    * a null (unloaded) slot is re-checked against `bytes` on every
+    * probe — cheap, and it picks up in-place upgrades immediately —
+    * while a loaded slot deserializes once. Benign to race: fills are
+    * idempotent. */
+  @transient private lazy val slotCache =
+    new Array[org.apache.spark.util.sketch.BloomFilter](bytes.length)
+
+  private def filterAt(i: Int): org.apache.spark.util.sketch.BloomFilter = {
+    val b = bytes(i)
+    if (b == null) null
+    else {
+      var f = slotCache(i)
+      if (f == null) {
+        f = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(b))
+        slotCache(i) = f
+      }
+      f
+    }
+  }
+
   def mightContainLong(h: Long): Boolean = {
-    val f = filters(BloomFamily.shardOf(h, shards))
+    val f = filterAt(BloomFamily.shardOf(h, shards))
     f == null || f.mightContainLong(h)
   }
 

@@ -914,11 +914,11 @@ object Training {
           val s = graft.functions.BloomFamily.shardOf(h, m.shards)
           val bf = loaded.getOrElseUpdate(s, {
             val merged = m.loadShard(s)
-            if (merged != null) {
-              val bos = new java.io.ByteArrayOutputStream()
-              merged.writeTo(bos)
-              bytes += bos.size().toLong
-            }
+            // resident bytes from the filter's own geometry (bitSize/8)
+            // — serializing the merged shard just to measure it copied
+            // up to 32 MB per shard per task on the registered serve's
+            // hot path (r15 review)
+            if (merged != null) bytes += merged.bitSize() / 8
             merged
           })
           bf == null || bf.mightContainLong(h)

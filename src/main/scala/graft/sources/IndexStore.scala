@@ -467,16 +467,20 @@ object IndexStore {
     * makes serve residency per-executor O(hosted shards), not O(index):
     * at a 100 TB corpus no JVM ever holds the merged family. */
   final case class BloomShardMap(shards: Int, items: Long, bits: Long,
-      files: Map[Int, Seq[String]]) extends Serializable {
-    /** OR-merge of one shard's side-files, read task-side. Returns null
-      * when the shard has no files (conservative pass-through — cannot
-      * happen for a spec-complete family, but a partial listing must
-      * never manufacture false negatives). */
+      files: Map[Int, Seq[String]], conf: SerializableHadoopConf)
+      extends Serializable {
+    /** OR-merge of one shard's side-files, read task-side with the
+      * SESSION's Hadoop conf (a blank `new Configuration()` would drop
+      * `spark.hadoop.*` credentials/endpoints and only resolve
+      * `file://`). Returns null when the shard has no files
+      * (conservative pass-through — cannot happen for a spec-complete
+      * family, but a partial listing must never manufacture false
+      * negatives). */
     def loadShard(s: Int): org.apache.spark.util.sketch.BloomFilter = {
       var merged: org.apache.spark.util.sketch.BloomFilter = null
       files.getOrElse(s, Seq.empty).foreach { f =>
         val p = new Path(f)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = p.getFileSystem(conf.value)
         val in = fs.open(p)
         val bf =
           try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
@@ -500,7 +504,8 @@ object IndexStore {
       .map(s => s.getPath.getName.drop(1).takeWhile(_ != '_').toInt ->
         fs.makeQualified(s.getPath).toString)
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
-    BloomShardMap(shards, items, bits, byShard)
+    BloomShardMap(shards, items, bits, byShard,
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
   }
 
   /** The shared ensure: publish/heal the family version, backfill
@@ -671,13 +676,18 @@ object IndexStore {
                     "the blooms/ dir to rebuild it from the index", e)
             }
           }
-          val filled =
-            if (mergedShard != null) mergedShard
-            else BloomFilter.create(items, bits)
-          val bos = new java.io.ByteArrayOutputStream()
-          filled.writeTo(bos)
-          entry.slots(i) = bos.toByteArray
-          bloomCacheCharge(root.toString, entry.slots(i).length.toLong)
+          // a shard with NO side-files stays null = the conservative
+          // "might contain" fallback. Unreachable for a spec-complete
+          // family (every side writes every shard, empty blooms
+          // included) — but filling an EMPTY bloom here would PROVE
+          // absence the family never checked: a false-negative factory
+          // if corruption ever drops a file (r15 review).
+          if (mergedShard != null) {
+            val bos = new java.io.ByteArrayOutputStream()
+            mergedShard.writeTo(bos)
+            entry.slots(i) = bos.toByteArray
+            bloomCacheCharge(root.toString, entry.slots(i).length.toLong)
+          }
         }
       }
       entry.family
@@ -848,10 +858,12 @@ object IndexStore {
     val stage = new Path(versionDir,
       s"_bstage_${side}_${java.util.UUID.randomUUID}")
     fs.mkdirs(stage)
-    // fully-qualified so the task resolves the same FS from the default
-    // conf (file:/ locally; on a cluster the executor classpath carries
-    // the site conf)
+    // fully-qualified, and carrying the SESSION's Hadoop conf into the
+    // tasks (a blank Configuration drops spark.hadoop.* credentials /
+    // endpoints and only resolves file://)
     val stageStr = fs.makeQualified(stage).toString
+    val taskConf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
     val written = df.select(col(keyCol).cast("long")).na.drop()
       .rdd.map(r => (graft.functions.BloomFamily
         .shardOf(r.getLong(0), shards), r.getLong(0)))
@@ -862,11 +874,28 @@ object IndexStore {
       .mapPartitionsWithIndex { (i, it) =>
         val bf = org.apache.spark.util.sketch.BloomFilter.create(items, bits)
         it.foreach(kv => bf.putLong(kv._2))
-        val p = new Path(stageStr,
-          s"p${i}_${java.util.UUID.randomUUID.toString.take(8)}")
-        val tfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val out = tfs.create(p, true)
+        // ATTEMPT-COMMITTED write (r15 review): a failed or speculative
+        // task attempt that died mid-write would otherwise leave a
+        // TRUNCATED p* file in the stage — the row-count require below
+        // counts emitted rows, not files, so the side would publish and
+        // every later family load would die in BloomFilter.readFrom.
+        // Write dot-prefixed (invisible to every read-side `p` filter
+        // and to Spark listings), rename into the visible name only
+        // after a complete write+close; duplicate complete files from
+        // speculative attempts OR to identical bits (read-side merge is
+        // idempotent).
+        val fname = s"p${i}_${java.util.UUID.randomUUID.toString.take(8)}"
+        val tmp = new Path(stageStr, s"._tmp_$fname")
+        val tfs = tmp.getFileSystem(taskConf.value)
+        val out = tfs.create(tmp, true)
         try bf.writeTo(out) finally out.close()
+        // uuid names cannot collide, so a failed commit rename is an FS
+        // fault: fail the TASK (Spark retries; the job aborts before
+        // publication) — swallowing it would publish a side missing
+        // this shard's file
+        if (!tfs.rename(tmp, new Path(stageStr, fname)))
+          throw new java.io.IOException(
+            s"bloom shard commit rename failed for $stageStr/$fname")
         Iterator.single(1)
       }.count()
     // partitionBy yields exactly `shards` partitions, empty ones
@@ -903,54 +932,115 @@ object IndexStore {
     * its rows were folded into a compacted segment (re-appending them
     * would double-count). */
   def appendSegment(spark: SparkSession, dir: String, srcTable: String,
-      name: String, segId: String)(build: => DataFrame): Unit = synchronized {
+      name: String, segId: String)(build: => DataFrame): Unit = {
+    // 'c' is reserved: a lane dir named 'sc*' is a minor-compaction
+    // output, which [[capturedContent]] folds UNCONDITIONALLY into a
+    // major rewrite — a user segment 's' + 'c…' would collide and be
+    // both folded and re-landed (double-count; r15 review)
+    require(!segId.startsWith("c") && !segId.contains("/"),
+      s"segment id '$segId' is reserved (ids starting with 'c' collide " +
+        "with minor-compaction output dirs in the rewrite fold)")
+    val deadline = System.currentTimeMillis() + fenceWaitMs
+    while (true) {
+      appendSegmentOnce(spark, dir, srcTable, name, segId, deadline)(
+        build) match {
+        case AppendDone => return
+        case AppendRedirect(gen) =>
+          appendSegment(spark, dir, srcTable, gen, segId)(build)
+          return
+        case AppendAwaitFence =>
+          // a FOREIGN process is mid-seal (same-JVM rewrites hold
+          // IndexStore's lock from seal to SEALED, so a local attempt
+          // only ever observes absent-or-sealed). Sleep WITHOUT the
+          // lock — sleeping inside it would stall every other
+          // snapshot's serve construction in this JVM for the whole
+          // maintenance window (r15 review).
+          Thread.sleep(100)
+      }
+    }
+  }
+
+  /** Loud-failure bound on waiting for a foreign rewrite's fence to
+    * seal — a rewrite that died mid-window must surface, not hang. */
+  private val fenceWaitMs = 10L * 60 * 1000
+
+  private sealed trait AppendStep
+  private case object AppendDone extends AppendStep
+  private case object AppendAwaitFence extends AppendStep
+  private final case class AppendRedirect(gen: String) extends AppendStep
+
+  /** One LOCKED attempt of [[appendSegment]]: publishes when the lane
+    * is open, otherwise reports what the UNLOCKED wrapper should do —
+    * redirect to the sealed fence's generation, or wait out a foreign
+    * rewrite mid-seal. The sealed capture is the deterministic race
+    * arbiter EVERYWHERE, including the applied-marker fast path: a
+    * marker alone does not settle a fenced lane, because the id may
+    * have been published-and-marked after the rewrite's capture by an
+    * appender that died before its own recheck could re-land it — an
+    * unconditional marker-return would strand those rows in the dying
+    * generation forever (r15 review; the one silent-loss window the
+    * r15 fence still had). */
+  private def appendSegmentOnce(spark: SparkSession, dir: String,
+      srcTable: String, name: String, segId: String, deadline: Long)
+      (build: => DataFrame): AppendStep = synchronized {
     val appends = new Path(snapshotRoot(dir, srcTable, name), "appends")
     val fs = appends.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val applied = new Path(appends, s"_applied_$segId")
-    if (fs.exists(applied)) return
+
     // MAJOR-REWRITE FENCE (r14 verdict item 5): a lane a [[majorRewrite]]
     // sealed takes no new segments — the rewrite captured its content
     // deterministically, and an append landing here afterwards would
-    // nondeterministically be folded or stranded. Redirect to the new
-    // generation instead (wait for SEALED: the fence names it only once
-    // its root has published and the captured markers are carried).
+    // nondeterministically be folded or stranded. An id the capture
+    // included was folded and its marker carried (done); an id it
+    // excluded was NOT folded (the rewrite reads captured ids' dirs
+    // only, never the live listing), so it re-lands in the new
+    // generation — where the carried markers make replays no-ops.
+    def arbitrate(f: LaneFence): AppendStep =
+      if (f.state == "sealed") {
+        if (f.ids.contains(segId)) AppendDone
+        else AppendRedirect(f.gen)
+      } else if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException(
+          s"lane fence under $appends never sealed — the rewriting " +
+            "process died mid-maintenance; delete _FENCE to unfence " +
+            "the lane or re-run the rewrite to completion")
+      else AppendAwaitFence
+
     readFence(fs, appends) match {
-      case Some(f0) =>
-        val f = awaitSealed(fs, appends, f0)
-        appendSegment(spark, dir, srcTable, f.gen, segId)(build)
+      case Some(f) => arbitrate(f)
       case None =>
-        val target = new Path(appends, s"s$segId")
-        if (!fs.exists(target)) {
-          val stage = new Path(appends,
-            s"_stage_${segId}_${java.util.UUID.randomUUID}")
-          build.write.mode("overwrite").parquet(stage.toString)
-          // lost rename race (concurrent appender of the same id): a false
-          // return is the clean case, but local-FS rename(src, existingDir)
-          // also "succeeds" by moving src INSIDE the existing target — the
-          // cross-process TOCTOU between the exists check above and this
-          // rename. Verify the stage became the target itself; a nested
-          // stage dir is the lost race and is removed (it is invisible to
-          // reads — underscore-prefixed — but would be permanent litter).
-          if (!fs.rename(stage, target)) fs.delete(stage, true)
-          else {
-            val nested = new Path(target, stage.getName)
-            if (fs.exists(nested)) fs.delete(nested, true)
+        if (!fs.exists(applied)) {
+          val target = new Path(appends, s"s$segId")
+          if (!fs.exists(target)) {
+            val stage = new Path(appends,
+              s"_stage_${segId}_${java.util.UUID.randomUUID}")
+            build.write.mode("overwrite").parquet(stage.toString)
+            // lost rename race (concurrent appender of the same id): a
+            // false return is the clean case, but local-FS rename(src,
+            // existingDir) also "succeeds" by moving src INSIDE the
+            // existing target — the cross-process TOCTOU between the
+            // exists check above and this rename. Verify the stage
+            // became the target itself; a nested stage dir is the lost
+            // race and is removed (it is invisible to reads —
+            // underscore-prefixed — but would be permanent litter).
+            if (!fs.rename(stage, target)) fs.delete(stage, true)
+            else {
+              val nested = new Path(target, stage.getName)
+              if (fs.exists(nested)) fs.delete(nested, true)
+            }
           }
+          // marker LAST: a crash before this line re-runs the
+          // (idempotent) publish; after it, the append is applied in
+          // THIS lane — subject to the post-publication recheck below
+          fs.create(applied).close()
         }
-        // marker LAST: a crash before this line re-runs the (idempotent)
-        // publish; after it, the append is permanently applied
-        fs.create(applied).close()
-        // post-publication RECHECK: a fence that landed while this append
-        // was publishing passed the pre-check but may have captured the
-        // lane without this segment. The sealed capture is the
-        // deterministic arbiter — an id it excluded was NOT folded (the
-        // rewrite reads captured ids' dirs only, never the live listing),
-        // so re-land it in the new generation; an id it included was
-        // folded and its marker carried, making the re-land a no-op.
-        readFence(fs, appends).foreach { f0 =>
-          val f = awaitSealed(fs, appends, f0)
-          if (!f.ids.contains(segId))
-            appendSegment(spark, dir, srcTable, f.gen, segId)(build)
+        // post-publication RECHECK: a fence that landed while this
+        // append was publishing passed the pre-check but may have
+        // captured the lane without this segment — arbitrate on the
+        // sealed capture exactly as above
+        readFence(fs, appends) match {
+          case Some(f) => arbitrate(f)
+          case None => AppendDone
         }
     }
   }
@@ -1024,30 +1114,6 @@ object IndexStore {
     Files.write(tmp, bos.toByteArray)
     Files.move(tmp, d.resolve("_FENCE"), O.ATOMIC_MOVE, O.REPLACE_EXISTING)
     ()
-  }
-
-  /** Block until the fence reaches SEALED (the rewriting process has
-    * published the new generation and carried the captured markers).
-    * Same-JVM waits never spin: majorRewrite holds IndexStore's lock
-    * from seal to SEALED, so a local appendSegment only ever observes
-    * absent-or-sealed. Cross-process, a rewrite that died mid-window
-    * surfaces as a loud timeout with the recovery spelled out. */
-  private def awaitSealed(fs: org.apache.hadoop.fs.FileSystem,
-      appends: Path, first: LaneFence): LaneFence = {
-    var f = first
-    val deadline = System.currentTimeMillis() + 10L * 60 * 1000
-    while (f.state != "sealed") {
-      if (System.currentTimeMillis() > deadline)
-        throw new IllegalStateException(
-          s"lane fence under $appends never sealed — the rewriting " +
-            "process died mid-maintenance; delete _FENCE to unfence " +
-            "the lane or re-run the rewrite to completion")
-      Thread.sleep(100)
-      f = readFence(fs, appends).getOrElse(throw new IllegalStateException(
-        s"lane fence under $appends vanished mid-wait (manual unfence " +
-          "during an append?) — re-run the append"))
-    }
-    f
   }
 
   /** Phase-1 seal: fence the lane toward `gen`, capture the applied-id
@@ -1319,6 +1385,24 @@ object IndexStore {
       val appends = new Path(root, "appends")
       val capturedIds =
         sealLane(spark, fs, appends, dir, srcTable, name, newName)
+      // 1b. fence the COUNTS companion lane in LOCKSTEP (same captured
+      //     ids, generation mapped to the companion's name): the index
+      //     fence alone lets a racing lockstep append SPLIT across
+      //     generations — its index rows redirect to the new generation
+      //     while its counts delta lands in the dying counts lane,
+      //     tripping the phantom guard on every old-generation serve
+      //     and leaving the new companion permanently lagging (r15
+      //     review). Counts deltas of captured ids are already
+      //     accounted (the companion REBUILDS from the rewritten
+      //     content, and the carried markers no-op their replays);
+      //     uncaptured ids redirect/re-land exactly like the index lane.
+      val countsAppends = new Path(
+        snapshotRoot(dir, srcTable, countsName(name)), "appends")
+      countsKeyCols.foreach { _ =>
+        if (!readFence(fs, countsAppends).exists(_.captured))
+          writeFence(countsAppends, LaneFence(
+            "sealing", countsName(newName), capturedIds, captured = true))
+      }
       // 2. fold base ∪ captured lane content minus tombstones into the
       //    new generation (build-once staged publication)
       val rewritten = cachedBucketTable(spark, dir, srcTable, newName,
@@ -1353,6 +1437,9 @@ object IndexStore {
         cachedBucketCounts(spark, dir, srcTable, newName, keys)(rewritten)
         carryMarkers(fs,
           snapshotRoot(dir, srcTable, countsName(newName)), capturedIds)
+        // seal the counts fence only now: its redirect target (the new
+        // companion + carried markers) exists from this point on
+        sealFenceOnce(fs, countsAppends, countsName(newName), capturedIds)
       }
       bloomKeyCol.foreach { key =>
         bloomFamilyFor(spark, dir, srcTable, newName, key, bloomShards)(

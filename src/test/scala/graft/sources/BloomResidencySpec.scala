@@ -70,6 +70,16 @@ class BloomResidencySpec extends SparkSuite {
     assert(whole.loadedShards === 8)
     assert(whole.loadedBytes >= routedBytes * 3,
       "upgrade must have loaded the remaining shards' bytes")
+    // the upgrade must be VISIBLE through the previously-partial
+    // reference: the probes above forced deserialization while shards
+    // were unloaded, and a whole-array cache would freeze those slots
+    // at the conservative fallback — non-members of the upgraded
+    // shards would keep passing forever (r15 review)
+    val upgradedRejects = inUnloaded.count(!routed.mightContainLong(_))
+    assert(upgradedRejects > inUnloaded.size * 9 / 10,
+      s"only $upgradedRejects/${inUnloaded.size} non-members rejected " +
+        "through the upgraded reference — the partial-family probe " +
+        "cache froze the unloaded slots")
   }
 
   test("a deliberately WRONG (empty) touched set still serves exactly: " +

@@ -376,6 +376,111 @@ class MajorRewriteSpec extends SparkSuite {
         "it is exactly the bug the persisted capture prevents")
   }
 
+  test("an applied MARKER alone does not settle a fenced lane: a " +
+    "marked-but-uncaptured segment's replay re-lands in the new " +
+    "generation instead of early-returning into the void") {
+    // the appender died between its marker and its own recheck; the
+    // sealed capture excludes it. An unconditional marker early-return
+    // would leave its rows in the dying generation forever — the sealed
+    // id list must arbitrate the marker fast path too.
+    val name = s"mrwmark${java.util.UUID.randomUUID.toString.take(6)}"
+    IndexStore.cachedBucketTable(
+      spark, dir, "documents", name, 4, Seq("h"), Seq("h")) {
+      rowsDf(0L until 50L)
+    }
+    IndexStore.appendSegment(spark, dir, "documents", name, "y1") {
+      rowsDf(801L to 809L by 2)
+    } // marker now in the old lane
+    val gen = s"${name}_g2"
+    IndexStore.cachedBucketTable(
+      spark, dir, "documents", gen, 4, Seq("h"), Seq("h")) {
+      rowsDf((0L until 50L).filter(_ % 2 == 1))
+    }
+    val tag = FixtureCache.sourceTag(dir, "documents")
+    val oldAppends = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_idx_${name}_$tag/appends")
+    // the rewrite's capture EXCLUDED y1 (it was mid-flight)
+    IndexStore.writeFence(oldAppends,
+      IndexStore.LaneFence("sealed", gen, Set("other")))
+    IndexStore.appendSegment(spark, dir, "documents", name, "y1") {
+      rowsDf(801L to 809L by 2)
+    }
+    val lane = IndexStore.readAppends(spark, dir, "documents", gen)
+    assert(lane.nonEmpty &&
+      contentOf(lane.get) === (801L to 809L by 2).toSet,
+      "the marked-but-uncaptured replay must re-land — the marker " +
+        "fast path cannot outrank the sealed capture")
+    // and the re-land is itself idempotent
+    IndexStore.appendSegment(spark, dir, "documents", name, "y1") {
+      rowsDf(900L to 999L)
+    }
+    assert(contentOf(IndexStore.readAppends(
+      spark, dir, "documents", gen).get) === (801L to 809L by 2).toSet)
+    // a CAPTURED marker stays a no-op (folded + carried)
+    IndexStore.writeFence(oldAppends,
+      IndexStore.LaneFence("sealed", gen, Set("other", "y1")))
+    IndexStore.appendSegment(spark, dir, "documents", name, "y1") {
+      rowsDf(900L to 999L)
+    }
+    assert(contentOf(IndexStore.readAppends(
+      spark, dir, "documents", gen).get) === (801L to 809L by 2).toSet)
+  }
+
+  test("segment ids starting with 'c' are rejected — the 'sc' dir " +
+    "namespace belongs to minor-compaction outputs the rewrite folds " +
+    "unconditionally") {
+    val name = s"mrwres${java.util.UUID.randomUUID.toString.take(6)}"
+    intercept[IllegalArgumentException] {
+      IndexStore.appendSegment(spark, dir, "documents", name, "c1") {
+        rowsDf(0L until 5L)
+      }
+    }
+  }
+
+  test("a lockstep counts append racing a completed rewrite follows its " +
+    "index rows to the new generation — the companion never splits " +
+    "across generations") {
+    val name = s"mrwcnt${java.util.UUID.randomUUID.toString.take(6)}"
+    val base = buildFixture(name)
+    val gen = IndexStore.majorRewrite(spark, dir, "documents", name, "g2",
+      4, Seq("h"), Seq("h"), Seq("doc_id"),
+      countsKeyCols = Some(Seq("h")), bloomKeyCol = Some("doc_id"),
+      bloomShards = 4) { base } {
+      rowsDf(((0L until 100L) ++ (200L until 220L)).filter(_ % 2 == 0))
+    }
+    // the maintenance job's lockstep pair arrives AFTER the seal: the
+    // index rows redirect; the counts delta must follow them, not land
+    // in the dying counts lane (which would trip the phantom guard on
+    // every old-generation serve and leave the new companion lagging)
+    IndexStore.appendSegment(spark, dir, "documents", name, "z1") {
+      rowsDf(421L to 429L by 2)
+    }
+    IndexStore.appendCountsSegment(
+      spark, dir, "documents", name, "z1", Seq("h")) {
+      rowsDf(421L to 429L by 2)
+    }
+    val tag = FixtureCache.sourceTag(dir, "documents")
+    val oldCntMarker = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_idx_${IndexStore.countsName(name)}_$tag/appends/_applied_z1")
+    assert(!java.nio.file.Files.exists(oldCntMarker),
+      "the racing counts delta landed in the dying generation's lane")
+    // the NEW generation's populations include the delta through its
+    // own lane (base companion ∪ redirected delta)
+    val pops = IndexStore.bucketPopulations(
+      spark, dir, "documents", gen, Seq("h"))(
+      IndexStore.openTable(spark, dir, "documents", gen))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pops.values.sum === 60L + 5L,
+      s"new-generation populations must include the redirected " +
+        s"lockstep delta: $pops")
+    // and the old generation's serve path still passes its lockstep
+    // guard (no phantom counts, no permanent lag)
+    IndexStore.bucketPopulations(
+      spark, dir, "documents", name, Seq("h"))(base).collect()
+  }
+
   test("a SECOND maintenance cycle rewrites the serving generation and " +
     "the alias chain resolves to its fixed point") {
     val name = s"mrwchain${java.util.UUID.randomUUID.toString.take(6)}"
