@@ -427,6 +427,60 @@ class MajorRewriteSpec extends SparkSuite {
       spark, dir, "documents", gen).get) === (801L to 809L by 2).toSet)
   }
 
+  test("an append waiting out a foreign rewrite's seal does NOT hold " +
+    "the JVM-global lock — other snapshots keep serving meanwhile") {
+    val name = s"mrwwait${java.util.UUID.randomUUID.toString.take(6)}"
+    IndexStore.cachedBucketTable(
+      spark, dir, "documents", name, 4, Seq("h"), Seq("h")) {
+      rowsDf(0L until 20L)
+    }
+    val other = s"mrwother${java.util.UUID.randomUUID.toString.take(6)}"
+    IndexStore.cachedBucketTable(
+      spark, dir, "documents", other, 4, Seq("h"), Seq("h")) {
+      rowsDf(0L until 20L)
+    }
+    val gen = s"${name}_g2"
+    val tag = FixtureCache.sourceTag(dir, "documents")
+    val appends = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_idx_${name}_$tag/appends")
+    // a foreign rewrite is mid-seal: fence present, not yet sealed
+    IndexStore.writeFence(appends,
+      IndexStore.LaneFence("sealing", gen, Set.empty, captured = true))
+    val waiter = new Thread(() =>
+      IndexStore.appendSegment(spark, dir, "documents", name, "w1") {
+        rowsDf(951L to 959L by 2)
+      })
+    waiter.start()
+    try {
+      Thread.sleep(500) // let the waiter reach its first retry sleep
+      assert(waiter.isAlive, "waiter should be blocked on the fence")
+      // the old behavior spun INSIDE the JVM-global monitor, so this
+      // unrelated serve would block for the rewrite's whole window;
+      // lock-free waiting must let it finish promptly
+      val t0 = System.currentTimeMillis()
+      IndexStore.openTable(spark, dir, "documents", other).count()
+      val elapsed = System.currentTimeMillis() - t0
+      assert(elapsed < 30000,
+        s"unrelated serve took ${elapsed} ms while an append waited " +
+          "out a foreign seal — the fence wait is holding the lock")
+      assert(waiter.isAlive, "waiter must still be waiting (not sealed)")
+    } finally {
+      // seal the fence so the waiter redirects and exits
+      IndexStore.cachedBucketTable(
+        spark, dir, "documents", gen, 4, Seq("h"), Seq("h")) {
+        rowsDf(0L until 20L)
+      }
+      IndexStore.writeFence(appends,
+        IndexStore.LaneFence("sealed", gen, Set.empty))
+      waiter.join(120000)
+    }
+    assert(!waiter.isAlive, "waiter never finished after the seal")
+    assert(contentOf(IndexStore.readAppends(
+      spark, dir, "documents", gen).get) === (951L to 959L by 2).toSet,
+      "the waited-out append must re-land in the sealed generation")
+  }
+
   test("segment ids starting with 'c' are rejected — the 'sc' dir " +
     "namespace belongs to minor-compaction outputs the rewrite folds " +
     "unconditionally") {
