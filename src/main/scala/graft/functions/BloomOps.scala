@@ -47,40 +47,51 @@ final case class BloomRef(bytes: Array[Byte]) {
   * positives. A serve that routes its arrival's keys first never hits
   * the fallback (every probed key's shard was loaded); the fallback is
   * the safety net that makes partial loading impossible to misuse. */
-final case class BloomFamily(shards: Int, bytes: Array[Array[Byte]]) {
+final case class BloomFamily(shards: Int,
+    bytes: java.util.concurrent.atomic.AtomicReferenceArray[Array[Byte]]) {
+  // `bytes` is an AtomicReferenceArray, not a plain array: the memoized
+  // family's slots fill IN PLACE as serves touch more shards (under
+  // IndexStore's lock) while probe threads read them with no common
+  // monitor — a plain-array store is an UNSAFE PUBLICATION (a reader
+  // could observe the reference before the byte contents, handing
+  // BloomFilter.readFrom torn state → spurious IOExceptions or, worst,
+  // a false negative that breaks the one-sided-error contract). The
+  // volatile set/get pair gives the happens-before edge (r15 review).
+
   /** Deserialize the CURRENTLY loaded slots — one fresh array per call.
     * Codegen hoists the result once per generated-class instance, and
     * an executor-side instance's `bytes` are a serialization-time
     * snapshot, so that hoist is exact. Deliberately NOT a cached
-    * `lazy val`: the memoized family's slots fill IN PLACE as serves
-    * touch more shards ([[graft.sources.IndexStore]]'s monotone
-    * upgrade), and a whole-array cache forced while the family was
+    * `lazy val`: a whole-array cache forced while the family was
     * PARTIAL would freeze the unloaded shards at the conservative
     * fallback forever — every later driver-side probe of an upgraded
     * shard would keep passing its non-members (r15 review). */
   def filters(): Array[org.apache.spark.util.sketch.BloomFilter] =
-    bytes.map(b =>
+    Array.tabulate(bytes.length()) { i =>
+      val b = bytes.get(i)
       if (b == null) null
       else org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(b)))
+        new java.io.ByteArrayInputStream(b))
+    }
 
   /** Per-SLOT deserialization cache for the row-at-a-time driver path:
     * a null (unloaded) slot is re-checked against `bytes` on every
     * probe — cheap, and it picks up in-place upgrades immediately —
-    * while a loaded slot deserializes once. Benign to race: fills are
-    * idempotent. */
+    * while a loaded slot deserializes once. Racing fills are idempotent
+    * and safely published (volatile slots). */
   @transient private lazy val slotCache =
-    new Array[org.apache.spark.util.sketch.BloomFilter](bytes.length)
+    new java.util.concurrent.atomic.AtomicReferenceArray[
+      org.apache.spark.util.sketch.BloomFilter](bytes.length())
 
   private def filterAt(i: Int): org.apache.spark.util.sketch.BloomFilter = {
-    val b = bytes(i)
+    val b = bytes.get(i)
     if (b == null) null
     else {
-      var f = slotCache(i)
+      var f = slotCache.get(i)
       if (f == null) {
         f = org.apache.spark.util.sketch.BloomFilter.readFrom(
           new java.io.ByteArrayInputStream(b))
-        slotCache(i) = f
+        slotCache.set(i, f)
       }
       f
     }
@@ -94,13 +105,40 @@ final case class BloomFamily(shards: Int, bytes: Array[Array[Byte]]) {
   /** Bytes actually resident (loaded shards only) — the quantity
     * arrival-routed loading bounds by the ARRIVAL instead of the
     * index (probe tooling records it per serve). */
-  def loadedBytes: Long =
-    bytes.iterator.filter(_ != null).map(_.length.toLong).sum
+  def loadedBytes: Long = {
+    var s = 0L
+    var i = 0
+    while (i < bytes.length()) {
+      val b = bytes.get(i)
+      if (b != null) s += b.length
+      i += 1
+    }
+    s
+  }
 
-  def loadedShards: Int = bytes.count(_ != null)
+  def loadedShards: Int = {
+    var n = 0
+    var i = 0
+    while (i < bytes.length()) {
+      if (bytes.get(i) != null) n += 1
+      i += 1
+    }
+    n
+  }
 }
 
 object BloomFamily {
+  /** Fully-loaded family from plain slot arrays (hand-built families
+    * in tests; production families share IndexStore's memoized
+    * AtomicReferenceArray directly). */
+  def apply(shards: Int, slots: Array[Array[Byte]]): BloomFamily = {
+    val a = new java.util.concurrent.atomic.AtomicReferenceArray[
+      Array[Byte]](slots.length)
+    var i = 0
+    while (i < slots.length) { a.set(i, slots(i)); i += 1 }
+    BloomFamily(shards, a)
+  }
+
   /** Shard routing: Spark's bucketing hash (`Murmur3_x86_32.hashLong`,
     * seed 42) pmod the shard count — one bloom shard per index bucket,
     * so the family's layout IS the index's. Build and probe must agree

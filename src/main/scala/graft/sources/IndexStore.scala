@@ -466,8 +466,16 @@ object IndexStore {
     * a TASK hosting that shard's partition reads them, which is what
     * makes serve residency per-executor O(hosted shards), not O(index):
     * at a 100 TB corpus no JVM ever holds the merged family. */
+  // Spark's SerializableConfiguration (public @DeveloperApi) rather than
+  // a hand-rolled wrapper: this map travels via broadcast(), which uses
+  // spark.serializer — under Kryo a writeObject/readObject-based wrapper
+  // silently drops its @transient conf field (Kryo ignores Java
+  // serialization hooks) and tasks NPE on a null conf; Spark registers
+  // its own class with a Java serializer inside KryoSerializer, so it
+  // survives both serializers (r15 review).
   final case class BloomShardMap(shards: Int, items: Long, bits: Long,
-      files: Map[Int, Seq[String]], conf: SerializableHadoopConf)
+      files: Map[Int, Seq[String]],
+      conf: org.apache.spark.util.SerializableConfiguration)
       extends Serializable {
     /** OR-merge of one shard's side-files, read task-side with the
       * SESSION's Hadoop conf (a blank `new Configuration()` would drop
@@ -505,7 +513,8 @@ object IndexStore {
         fs.makeQualified(s.getPath).toString)
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
     BloomShardMap(shards, items, bits, byShard,
-      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
   }
 
   /** The shared ensure: publish/heal the family version, backfill
@@ -650,7 +659,7 @@ object IndexStore {
           f(shards).toSeq.filter(i => i >= 0 && i < shards).sorted
         case _ => 0 until shards
       }
-      val missing = want.filter(entry.slots(_) == null)
+      val missing = want.filter(entry.slots.get(_) == null)
       if (missing.nonEmpty) {
         val byShard = shardFiles.groupBy(
           _.getPath.getName.drop(1).takeWhile(_ != '_').toInt)
@@ -685,26 +694,30 @@ object IndexStore {
           if (mergedShard != null) {
             val bos = new java.io.ByteArrayOutputStream()
             mergedShard.writeTo(bos)
-            entry.slots(i) = bos.toByteArray
-            bloomCacheCharge(root.toString, entry.slots(i).length.toLong)
+            val arr = bos.toByteArray
+            entry.slots.set(i, arr) // volatile store = safe publication
+            bloomCacheCharge(root.toString, arr.length.toLong)
           }
         }
       }
       entry.family
     }
 
-  /** One memoized snapshot family: the shared slot array fills shard by
-    * shard as serves touch them; `family` wraps the SAME array, so a
-    * later load of more shards upgrades every handed-out reference from
-    * conservative to exact MONOTONICALLY (an executor's copy is a
-    * serialization-time snapshot — correctness-neutral either way, the
-    * exact join behind the prefilter settles it). Reference equality of
-    * `family` across calls is a contract: BloomFamily comparisons must
-    * stay O(1) (see [[graft.functions.BloomRef]]). */
-  private final class BloomSlots(val guard: String,
-      val slots: Array[Array[Byte]]) {
+  /** One memoized snapshot family: the shared slot array (volatile —
+    * probe threads read it with no common monitor, so plain stores
+    * would be unsafe publication) fills shard by shard as serves touch
+    * them; `family` wraps the SAME array, so a later load of more
+    * shards upgrades every handed-out reference from conservative to
+    * exact MONOTONICALLY (an executor's copy is a serialization-time
+    * snapshot — correctness-neutral either way, the exact join behind
+    * the prefilter settles it). Reference equality of `family` across
+    * calls is a contract: BloomFamily comparisons must stay O(1) (see
+    * [[graft.functions.BloomRef]]). */
+  private final class BloomSlots(val guard: String, nShards: Int) {
     var bytes = 0L
-    val family = graft.functions.BloomFamily(slots.length, slots)
+    val slots = new java.util.concurrent.atomic.AtomicReferenceArray[
+      Array[Byte]](nShards)
+    val family = graft.functions.BloomFamily(nShards, slots)
   }
 
   // byte-budget LRU of lazily-merged family slots (r14 advice: the
@@ -728,13 +741,14 @@ object IndexStore {
   private def bloomCacheEntry(key: String, guard: String,
       shards: Int): BloomSlots = {
     val cur = bloomSlotCache.get(key) // refreshes LRU order
-    if (cur != null && cur.guard == guard && cur.slots.length == shards) cur
+    if (cur != null && cur.guard == guard &&
+      cur.slots.length() == shards) cur
     else {
       if (cur != null) {
         bloomSlotBytes -= cur.bytes
         bloomSlotCache.remove(key)
       }
-      val e = new BloomSlots(guard, new Array[Array[Byte]](shards))
+      val e = new BloomSlots(guard, shards)
       bloomSlotCache.put(key, e)
       e
     }
@@ -862,7 +876,7 @@ object IndexStore {
     // tasks (a blank Configuration drops spark.hadoop.* credentials /
     // endpoints and only resolves file://)
     val stageStr = fs.makeQualified(stage).toString
-    val taskConf = new SerializableHadoopConf(
+    val taskConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val written = df.select(col(keyCol).cast("long")).na.drop()
       .rdd.map(r => (graft.functions.BloomFamily
@@ -937,13 +951,26 @@ object IndexStore {
     // output, which [[capturedContent]] folds UNCONDITIONALLY into a
     // major rewrite — a user segment 's' + 'c…' would collide and be
     // both folded and re-landed (double-count; r15 review)
-    require(!segId.startsWith("c") && !segId.contains("/"),
+    // segment ids become fence-capture entries (comma-joined in the
+    // persisted _FENCE) and `_applied_*` / `s*` path components — and
+    // the sealed id set now ARBITRATES every append path, so an id the
+    // fence cannot round-trip verbatim is a correctness hole, not a
+    // cosmetic one (a ','-bearing id would parse back as two ids and
+    // the rewrite fold would drop its rows)
+    require(segId.matches("[A-Za-z0-9_-]+"),
+      s"segment id '$segId' must match [A-Za-z0-9_-]+ (ids are fence " +
+        "capture entries and path components)")
+    require(!segId.startsWith("c"),
       s"segment id '$segId' is reserved (ids starting with 'c' collide " +
         "with minor-compaction output dirs in the rewrite fold)")
-    val deadline = System.currentTimeMillis() + fenceWaitMs
+    // the wait budget starts when WAITING starts, not at entry — the
+    // publish itself (a parquet write; possibly minutes at scale) must
+    // not eat the window a mid-publish fence is then given to seal
+    // (r15 review: an entry-time deadline made a slow append throw
+    // 'never sealed' at a perfectly healthy rewrite)
+    var waitStart = -1L
     while (true) {
-      appendSegmentOnce(spark, dir, srcTable, name, segId, deadline)(
-        build) match {
+      appendSegmentOnce(spark, dir, srcTable, name, segId)(build) match {
         case AppendDone => return
         case AppendRedirect(gen) =>
           appendSegment(spark, dir, srcTable, gen, segId)(build)
@@ -955,6 +982,13 @@ object IndexStore {
           // lock — sleeping inside it would stall every other
           // snapshot's serve construction in this JVM for the whole
           // maintenance window (r15 review).
+          val now = System.currentTimeMillis()
+          if (waitStart < 0) waitStart = now
+          if (now - waitStart > fenceWaitMs)
+            throw new IllegalStateException(
+              s"lane fence of '$name' never sealed — the rewriting " +
+                "process died mid-maintenance; delete _FENCE to " +
+                "unfence the lane or re-run the rewrite to completion")
           Thread.sleep(100)
       }
     }
@@ -981,7 +1015,7 @@ object IndexStore {
     * generation forever (r15 review; the one silent-loss window the
     * r15 fence still had). */
   private def appendSegmentOnce(spark: SparkSession, dir: String,
-      srcTable: String, name: String, segId: String, deadline: Long)
+      srcTable: String, name: String, segId: String)
       (build: => DataFrame): AppendStep = synchronized {
     val appends = new Path(snapshotRoot(dir, srcTable, name), "appends")
     val fs = appends.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -999,12 +1033,7 @@ object IndexStore {
       if (f.state == "sealed") {
         if (f.ids.contains(segId)) AppendDone
         else AppendRedirect(f.gen)
-      } else if (System.currentTimeMillis() > deadline)
-        throw new IllegalStateException(
-          s"lane fence under $appends never sealed — the rewriting " +
-            "process died mid-maintenance; delete _FENCE to unfence " +
-            "the lane or re-run the rewrite to completion")
-      else AppendAwaitFence
+      } else AppendAwaitFence // mid-seal: the unlocked wrapper waits
 
     readFence(fs, appends) match {
       case Some(f) => arbitrate(f)
@@ -1380,6 +1409,25 @@ object IndexStore {
       val newName = s"${name}_$gen"
       val root = snapshotRoot(dir, srcTable, name)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // 0. contract check BEFORE any state changes: a snapshot whose
+      //    counts companion exists ON DISK must be rewritten WITH
+      //    countsKeyCols — rewriting the index lane alone would let a
+      //    racing lockstep append split across generations (its index
+      //    rows redirect while its counts delta lands in the unfenced
+      //    dying companion), and pre-seeding markers into a
+      //    never-published companion root is not an option (buildOnce's
+      //    staged publication trashes unpublished roots). Loud failure
+      //    over a latent split (r15 review).
+      if (countsKeyCols.isEmpty) {
+        val cntRoot = snapshotRoot(dir, srcTable, countsName(name))
+        if (fs.exists(new Path(cntRoot, "_READY")) ||
+            fs.exists(new Path(cntRoot, "appends")))
+          throw new IllegalStateException(
+            s"snapshot '$name' has a counts companion on disk but the " +
+              "rewrite was invoked without countsKeyCols — pass the " +
+              "companion's key columns so its lane is fenced and " +
+              "rebuilt in lockstep")
+      }
       // 1. seal the old lane toward the new generation and capture the
       //    applied-id set (frozen: post-seal appends redirect)
       val appends = new Path(root, "appends")
@@ -1468,6 +1516,18 @@ object IndexStore {
       val newName = s"${name}_$gen"
       val root = snapshotRoot(dir, srcTable, name)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // partitioned snapshots carry no companions by design — a counts
+      // root on disk means the caller wanted the bucketed form (same
+      // loud contract as majorRewrite's step 0)
+      locally {
+        val cntRoot = snapshotRoot(dir, srcTable, countsName(name))
+        if (fs.exists(new Path(cntRoot, "_READY")) ||
+            fs.exists(new Path(cntRoot, "appends")))
+          throw new IllegalStateException(
+            s"snapshot '$name' has a counts companion on disk; the " +
+              "partitioned rewrite rebuilds no companions — use " +
+              "majorRewrite with countsKeyCols")
+      }
       // same seal → captured fold → marker carry → sealed fence → CAS
       // promote flow as the bucketed form (see majorRewrite)
       val appends = new Path(root, "appends")

@@ -118,7 +118,8 @@ class BloomOpsSpec extends SparkSuite {
     // including any empty one — or merges throw
     def kOf(bytes: Array[Byte]): Int =
       java.nio.ByteBuffer.wrap(bytes, 4, 4).getInt
-    fam.bytes.foreach(b => assert(kOf(b) === 7,
+    (0 until fam.shards).map(fam.bytes.get).foreach(b => assert(
+      kOf(b) === 7,
       "every shard must carry the spec geometry's hash count"))
     // an EMPTY delta still merges (empty shards get spec-geometry blooms)
     import spark.implicits._
@@ -132,7 +133,8 @@ class BloomOpsSpec extends SparkSuite {
       IndexStore.bloomFamilyFor(spark, dir, "documents", name, "h", 4) {
         spark.range(100000L).toDF("h")
       }
-    fam2.bytes.foreach(b => assert(kOf(b) === 7,
+    (0 until fam2.shards).map(fam2.bytes.get).foreach(b => assert(
+      kOf(b) === 7,
       "post-empty-delta merge must keep the family geometry"))
   }
 

@@ -490,6 +490,39 @@ class MajorRewriteSpec extends SparkSuite {
         rowsDf(0L until 5L)
       }
     }
+    // ids are comma-joined into the persisted fence capture, which now
+    // ARBITRATES every append path — an id the fence cannot round-trip
+    // verbatim would parse back as two ids and lose rows in the fold
+    intercept[IllegalArgumentException] {
+      IndexStore.appendSegment(spark, dir, "documents", name, "a,b") {
+        rowsDf(0L until 5L)
+      }
+    }
+  }
+
+  test("a rewrite invoked WITHOUT countsKeyCols on a companion-bearing " +
+    "snapshot fails loudly before changing any state") {
+    val name = s"mrwguard${java.util.UUID.randomUUID.toString.take(6)}"
+    val base = buildFixture(name) // includes a counts companion lane
+    val e = intercept[IllegalStateException] {
+      IndexStore.majorRewrite(spark, dir, "documents", name, "g2",
+        4, Seq("h"), Seq("h"), Seq("doc_id")) { base } {
+        rowsDf((0L until 100L).filter(_ % 2 == 0))
+      }
+    }
+    assert(e.getMessage.contains("countsKeyCols"))
+    // nothing was sealed: the lane still takes appends normally
+    val tag = FixtureCache.sourceTag(dir, "documents")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_idx_${name}_$tag/appends/_FENCE")),
+      "the failed contract check must not have fenced the lane")
+    IndexStore.appendSegment(spark, dir, "documents", name, "ok1") {
+      rowsDf(777L to 779L)
+    }
+    assert(contentOf(IndexStore.readAppends(
+      spark, dir, "documents", name).get)
+      .intersect((777L to 779L).toSet) === (777L to 779L).toSet)
   }
 
   test("a lockstep counts append racing a completed rewrite follows its " +
