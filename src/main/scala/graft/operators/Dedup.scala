@@ -826,6 +826,93 @@ object Dedup {
       labelSum)
   }
 
+  /** Small-graph components gate (r16 optimization): near-dup edge sets
+    * are O(duplicate pairs), and at harness scale they are a few hundred
+    * rows — yet every CC consumer paid 4–6 iterative rounds of
+    * join+groupBy+materialize jobs (~0.1 s of pure scheduling each) to
+    * label them. This is the repo's adaptive-dispatch doctrine (the
+    * q_contamination_point limit+collect gate) applied to the cluster
+    * chains: the edge lineage is materialized ONCE (the same
+    * materialization job the distributed path's adjacency build paid
+    * anyway), its row count read off the persisted blocks, and when the
+    * graph is under the gate the components are resolved by a driver
+    * union-find over the collected pairs — one job total instead of one
+    * per round. Bounded by construction: the collect happens only under
+    * the gate (default 2^16 edges ≈ 1 MB of longs; conf-overridable),
+    * and the min-id-per-component labels are EXACTLY the iterative
+    * fixpoint, so results are identical on either path (pinned by
+    * CcEquivalenceSpec against the forced-distributed form). Above the
+    * gate the existing distributed loop runs unchanged — at 100 TB dup
+    * rates the dispatch always takes that branch. */
+  private def ccCollectGate(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.cc.collectThreshold")
+      .map(_.toLong).getOrElse(1L << 16)
+
+  /** Driver union-find over a bounded edge array: every endpoint labeled
+    * with the min id reachable from it — the same (doc_id, cluster_id)
+    * relation the iterative forms converge to. Path-halving find keeps
+    * the scan linear-ish; the result enters the plan as a LocalRelation,
+    * which downstream anti-joins broadcast without an exchange. */
+  private def smallComponents(
+      spark: SparkSession, edges: Array[(Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      // ensure both endpoints exist as nodes even when already same root
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val minOf = new java.util.HashMap[Long, Long]()
+    val nodes = new Array[Long](parent.size())
+    val it = parent.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { nodes(i) = it.next(); i += 1 }
+    nodes.foreach { n =>
+      val r = find(n)
+      val cur = minOf.getOrDefault(r, Long.MaxValue)
+      if (n < cur) minOf.put(r, n)
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList(nodes.length)
+    nodes.foreach { n =>
+      rows.add(org.apache.spark.sql.Row(n, minOf.get(find(n))))
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("cluster_id", LongType, nullable = false))))
+  }
+
+  /** Materialize an edge lineage once and dispatch: Left(result) when the
+    * graph fit under the gate and was resolved on the driver,
+    * Right(materialized frame) — persisted, count already forced — for
+    * the distributed loop to consume without re-evaluating the lineage. */
+  private def componentsDispatch(edges: DataFrame)
+      : Either[DataFrame, (DataFrame, () => Unit)] = {
+    val spark = edges.sparkSession
+    val rdd = edges.rdd.persist()
+    val n = rdd.count() // materializes the (expensive) edge lineage once
+    if (n <= ccCollectGate(spark)) {
+      val arr = rdd.map(r => (r.getLong(0), r.getLong(1))).collect()
+      rdd.unpersist(blocking = false)
+      Left(smallComponents(spark, arr))
+    } else Right((
+      spark.createDataFrame(rdd, edges.schema),
+      () => { rdd.unpersist(blocking = false); () }))
+  }
+
   /** Alternating large-star / small-star connected components (Kiveris et
     * al., "Connected Components in MapReduce and Beyond", SoCC'14):
     * converges in O(log n) rounds on ANY graph, where the min-label
@@ -878,44 +965,58 @@ object Dedup {
       val center = m.select(col("u"), col("m").as("v"))
       canon(moved.union(center))
     }
-    var (cur, free, metric) = mat(canon(
-      edges0.select(col("id_a").as("u"), col("id_b").as("v"))))
-    var converged = false
-    while (!converged) {
-      val (next, freeNext, nextMetric) = mat(smallStar(largeStar(cur)))
-      converged = nextMetric == metric
-      free(); cur = next; free = freeNext; metric = nextMetric
+    componentsDispatch(canon(
+      edges0.select(col("id_a").as("u"), col("id_b").as("v")))) match {
+      case Left(result) => result
+      case Right((canonEdges, freeE)) =>
+        var (cur, free, metric) = mat(canonEdges)
+        freeE()
+        var converged = false
+        while (!converged) {
+          val (next, freeNext, nextMetric) = mat(smallStar(largeStar(cur)))
+          converged = nextMetric == metric
+          free(); cur = next; free = freeNext; metric = nextMetric
+        }
+        // fixed point is a star forest rooted at each component's min id
+        cur.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+          .union(cur.select(col("v"), col("v")))
+          .distinct()
     }
-    // fixed point is a star forest rooted at each component's min id
-    cur.select(col("u").as("doc_id"), col("v").as("cluster_id"))
-      .union(cur.select(col("v"), col("v")))
-      .distinct()
   }
 
-  def connectedComponents(edges: DataFrame): DataFrame = {
-    val (adj, freeAdj, _) = materializeRound(
-      edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var (labels, freeLabels, labelSum) = materializeRound(
-      adj.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("comp")))
-    var converged = false
-    while (!converged) {
-      val prop = adj.join(labels, adj("dst") === labels("id"))
-        .select(adj("src").as("id"), col("comp"))
-      val (next, freeNext, nextSum) = materializeRound(
-        labels.union(prop).groupBy("id").agg(min("comp").as("comp")))
-      converged = nextSum == labelSum
-      freeLabels()
-      labels = next
-      freeLabels = freeNext
-      labelSum = nextSum
+  def connectedComponents(edges: DataFrame): DataFrame =
+    // the dispatch ALSO fixes a distributed-path inefficiency: the
+    // previous adjacency build unioned two selects over the raw edge
+    // lineage, so the (expensive) pair join ran twice — both union
+    // branches now read the one persisted edge materialization
+    componentsDispatch(edges.select(col("id_a"), col("id_b"))) match {
+      case Left(result) => result
+      case Right((e, freeE)) =>
+        val (adj, freeAdj, _) = materializeRound(
+          e.select(col("id_a").as("src"), col("id_b").as("dst"))
+            .union(e.select(col("id_b").as("src"), col("id_a").as("dst"))))
+        freeE()
+        var (labels, freeLabels, labelSum) = materializeRound(
+          adj.select(col("src").as("id")).distinct()
+            .select(col("id"), col("id").as("comp")))
+        var converged = false
+        while (!converged) {
+          val prop = adj.join(labels, adj("dst") === labels("id"))
+            .select(adj("src").as("id"), col("comp"))
+          val (next, freeNext, nextSum) = materializeRound(
+            labels.union(prop).groupBy("id").agg(min("comp").as("comp")))
+          converged = nextSum == labelSum
+          freeLabels()
+          labels = next
+          freeLabels = freeNext
+          labelSum = nextSum
+        }
+        freeAdj()
+        // the final frontier's RDD stays persisted until the returned
+        // frame is garbage-collected (ContextCleaner) — one label-table,
+        // not per-round.
+        labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
     }
-    freeAdj()
-    // the final frontier's RDD stays persisted until the returned frame is
-    // garbage-collected (ContextCleaner) — one label-table, not per-round.
-    labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
-  }
 
   /** Dedup cluster resolution: near-dup PAIRS are only half a dedup
     * pipeline — keep-one-per-group needs transitive closure (a~b, b~c ⇒

@@ -24,6 +24,14 @@ class ConnectedComponentsPropertySpec extends SparkSuite {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
+  /** Force the distributed CC loop (gate 0) for a block — the adaptive
+    * dispatch otherwise resolves every test-scale graph on the driver. */
+  private def forcedDistributed[T](body: => T): T = {
+    val key = "spark.graft.cc.collectThreshold"
+    spark.conf.set(key, "0")
+    try body finally spark.conf.unset(key)
+  }
+
   test("connectedComponents == union-find on random graphs (20 seeds)") {
     val edgeGen = for {
       n <- Gen.choose(2, 60)          // node id space
@@ -36,10 +44,17 @@ class ConnectedComponentsPropertySpec extends SparkSuite {
     (1 to 20).foreach { i =>
       val edges = edgeGen(Gen.Parameters.default, Seed(i.toLong))
         .getOrElse(Seq((0L, 1L)))
+      // default path (driver union-find under the gate at this scale)
       val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // forced-distributed path must produce the identical labeling
+      val gotDist = forcedDistributed {
+        Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
       val want = unionFind(edges)
       assert(got === want, s"seed $i, edges $edges")
+      assert(gotDist === want, s"distributed path, seed $i, edges $edges")
     }
   }
 
@@ -57,14 +72,24 @@ class ConnectedComponentsPropertySpec extends SparkSuite {
         .getOrElse(Seq((0L, 1L)))
       val got = Dedup.starComponents(edges.toDF("id_a", "id_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotDist = forcedDistributed {
+        Dedup.starComponents(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
       assert(got === unionFind(edges), s"seed $i, edges $edges")
+      assert(gotDist === unionFind(edges),
+        s"distributed path, seed $i, edges $edges")
     }
   }
 
   test("starComponents: 96-node chain converges (min-label would need 96 rounds)") {
+    // forced distributed: the chain exists to exercise the large-star/
+    // small-star convergence, which the driver gate would bypass
     val chain = (0L until 96L).sliding(2).map(s => (s(0), s(1))).toSeq
-    val got = Dedup.starComponents(chain.toDF("id_a", "id_b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = forcedDistributed {
+      Dedup.starComponents(chain.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
     assert(got.size === 96)
     assert(got.values.forall(_ == 0L))
   }
@@ -76,6 +101,15 @@ class ConnectedComponentsPropertySpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = Dedup.connectedComponents(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // and the forced-distributed forms agree on the real edge set too
+    val (aDist, bDist) = forcedDistributed {
+      (Dedup.starComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+        Dedup.connectedComponents(edges)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    }
     assert(a === b)
+    assert(aDist === a)
+    assert(bDist === b)
   }
 }
