@@ -94,7 +94,7 @@ object Dedup {
       denom: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
         org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
       threshold: Double, hasCountCol: Boolean = false,
-      materialize: Boolean = false): DataFrame = {
+      materialize: Boolean = false, ordered: Boolean = true): DataFrame = {
     // materialize = compute the exploded-token relation ONCE before the
     // self-join: both join sides otherwise re-evaluate the full upstream
     // lineage. Worth it exactly when that lineage is the expensive half
@@ -133,12 +133,14 @@ object Dedup {
           .join(cnt.withColumnRenamed("doc_id", "id_b")
             .withColumnRenamed("c", "cb"), "id_b")
       }
-    withCounts
+    val scored = withCounts
       .select(col("id_a"), col("id_b"), col("shared"),
         Star.ratio6(col("shared"), denom(col("ca"), col("cb"), col("shared")))
           .as(scoreName))
       .filter(col(scoreName) >= threshold)
-      .orderBy("id_a", "id_b")
+    // ordered=false for edge-set consumers (the CC chains): their
+    // materialization throws the range exchange + sort away
+    if (ordered) scored.orderBy("id_a", "id_b") else scored
   }
 
   /** Exact dedup: canonical id + multiplicity per distinct content hash. */
@@ -184,12 +186,16 @@ object Dedup {
     * 2^64 — at 100 TB-scale vocabularies this is the standard accepted
     * trade; the oracle cross-check would surface any collision as a hash
     * mismatch). */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(spark, dir, ordered = true)
+
+  private def ngramJaccardPairs(
+      spark: SparkSession, dir: String, ordered: Boolean): DataFrame = {
     val sh = shingles(Star.table(spark, dir, "documents"))
       .select(col("doc_id"), col("c"), xxhash64(col("s")).as("s"))
     similarityPairs(sh, "s",
       "jaccard", (ca, cb, shared) => ca + cb - shared, 0.5,
-      hasCountCol = true)
+      hasCountCol = true, ordered = ordered)
   }
 
   private val ngramJaccardSql =
@@ -231,7 +237,11 @@ object Dedup {
     * the full sketch by hash first). The per-doc kept-count then rides the
     * already-doc-keyed partitioning as a window, and the pair join
     * proceeds exactly as [[ngramJaccard]]. */
-  def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardCappedPairs(spark, dir, ordered = true)
+
+  private def ngramJaccardCappedPairs(
+      spark: SparkSession, dir: String, ordered: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Star.table(spark, dir, "documents")
     val sh = shingleRows(docs).select(col("doc_id"), xxhash64(col("s")).as("s"))
@@ -244,7 +254,7 @@ object Dedup {
       .withColumn("c", count(lit(1)).over(Window.partitionBy("doc_id")))
     similarityPairs(kept, "s",
       "jaccard", (ca, cb, shared) => ca + cb - shared, 0.5,
-      hasCountCol = true)
+      hasCountCol = true, ordered = ordered)
   }
 
   private val ngramJaccardCappedSql =
@@ -351,16 +361,23 @@ object Dedup {
     * DuckDB oracle computes the identical fold/family, so the gate
     * compares full band values, not just row counts. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    // the output sort lives HERE, on the registered query only: it is
+    // presentation order, and leaving it inside withMinhashBands taxed
+    // every band consumer (LSH pairs, index builds, per-trigger streaming
+    // bands) with a range exchange + sort the next join threw away
     withMinhashBands(shingleRows(Star.table(spark, dir, "documents")))
+      .orderBy("doc_id")
 
-  /** (doc_id, band_0..band_{numBands-1}) from exploded shingle rows. */
+  /** (doc_id, band_0..band_{numBands-1}) from exploded shingle rows.
+    * UNORDERED — callers that surface it as query output sort it
+    * themselves. */
   def withMinhashBands(sh: DataFrame): DataFrame = {
     val h = portableHash(col("s"), 131L, HashP1)
     val mins = (0 until numHashes).map(j =>
       min((h * lit(mhA(j)) + lit(mhB(j))) % lit(HashP1)).as(s"mh$j"))
     val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val bands = (0 until numBands).map(b => bandKey(b).as(s"band$b"))
-    sig.select(col("doc_id") +: bands: _*).orderBy("doc_id")
+    sig.select(col("doc_id") +: bands: _*)
   }
 
   private val minhashSignaturesSql = {
@@ -381,15 +398,22 @@ object Dedup {
   /** MinHash-LSH near-dup candidate pairs: docs sharing >= 1 band. The
     * banded self-join is the 100 TB path — candidates are generated per
     * band bucket, never all-pairs. Hash-oracled (portable family). */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val exploded = bandRows(minhashSignatures(spark, dir))
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashLshCandidates(spark, dir).orderBy("id_a", "id_b")
+
+  /** Unordered LSH candidate pairs — the keep chain's input (its verify
+    * join and CC edge materialization do not need the pair sort). */
+  private def minhashLshCandidates(
+      spark: SparkSession, dir: String): DataFrame = {
+    // unordered band form: the pair join does not need the signature sort
+    val exploded = bandRows(
+      withMinhashBands(shingleRows(Star.table(spark, dir, "documents"))))
     exploded.as("a")
       .join(exploded.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-      .orderBy("id_a", "id_b")
   }
 
   private val minhashLshPairsSql = {
@@ -1030,7 +1054,8 @@ object Dedup {
     * curationKeep) source [[dedupClustersCapped]] instead and this
     * exact chain exists to cross-check them at test scale. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(ngramJaccard(spark, dir).select("id_a", "id_b"))
+    connectedComponents(
+      ngramJaccardPairs(spark, dir, ordered = false).select("id_a", "id_b"))
       .orderBy("doc_id")
 
   /** Production cluster resolution: components over the DF-CAPPED
@@ -1040,7 +1065,8 @@ object Dedup {
     * scale hazard. Everything a 100 TB run consumes downstream
     * (dedupKeep, dedupClusterStats, curationKeep) sits on this chain. */
   def dedupClustersCapped(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(ngramJaccardCapped(spark, dir).select("id_a", "id_b"))
+    connectedComponents(ngramJaccardCappedPairs(spark, dir, ordered = false)
+      .select("id_a", "id_b"))
       .orderBy("doc_id")
 
   private val dedupClustersSql =
@@ -1232,7 +1258,7 @@ object Dedup {
     * same candidate-restricted exact Jaccard, and resolves components
     * with the recursive CTE the exact chain already uses. */
   def dedupLshKeep(spark: SparkSession, dir: String): DataFrame = {
-    val cand = minhashLshPairs(spark, dir)
+    val cand = minhashLshCandidates(spark, dir)
     val sh = shingles(Star.table(spark, dir, "documents"))
       .select(col("doc_id"), col("c"), xxhash64(col("s")).as("s"))
     val verified = cand
