@@ -1692,6 +1692,12 @@ object Dedup {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
     val sorted = keyed.select("doc_id", "s", "c", "k").orderBy("k", "doc_id")
+    // deliberately NOT persisted before zipWithIndex: its partition-count
+    // job does evaluate the shingle+sort lineage once at construction and
+    // the join re-evaluates it at execution, but the r16 A/B measured the
+    // persist variant WORSE (q_snm_multipass 1.51 → 2.45 s at sf0.1 —
+    // caching deserialized rows carrying shingle arrays costs more in
+    // store+GC than the recompute); recorded honest negative
     val schema = sorted.schema.add("rk", LongType)
     val ranked = spark.createDataFrame(
       sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },

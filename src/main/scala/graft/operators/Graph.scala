@@ -77,26 +77,74 @@ object Graph {
     // coalescing the leaf keeps every iteration a single-task stage
     // instead of 32 near-empty tasks per round
     val ewRdd = ewPlan.rdd.coalesce(1).persist()
-    ewRdd.count() // force the one materialization job
-    val ew = spark.createDataFrame(ewRdd, ewPlan.schema)
-    val nodes = Star.table(spark, dir, "nation")
+    val nEdges = ewRdd.count() // force the one materialization job
+    val nodesDf = Star.table(spark, dir, "nation")
       .select(col("n_name").as("node"))
-    var rank = nodes.withColumn("r", lit(Scale))
-    for (_ <- 1 to Iters) {
-      val inflow = ew.join(rank, col("src") === col("node"))
-        .select(col("dst"), expr("(r * share6) div 1000000").as("c"))
-        .groupBy("dst").agg(sum("c").as("inflow"))
-      rank = nodes
-        .join(inflow, col("node") === col("dst"), "left_outer")
-        .select(col("node"),
-          (lit(Scale * 15L / 100L) +
-            expr("(coalesce(inflow, bigint(0)) * 85) div 100")).as("r"))
+    // Small-graph gate (r16, the CC-dispatch doctrine applied to the
+    // iteration): the edge relation is ALREADY materialized and counted
+    // above; when both it and the node set fit under the gate, the five
+    // damping rounds run as driver integer arithmetic — identical by
+    // construction (every update is exact positive Long arithmetic whose
+    // truncating division equals the plan's IntegralDivide) — instead of
+    // 5 × (join + aggregate + left join) jobs over 25-row frames. Above
+    // the gate the distributed loop below runs unchanged.
+    val gate = spark.conf.getOption("spark.graft.graph.collectThreshold")
+      .map(_.toLong).getOrElse(1L << 16)
+    val nodesHead =
+      if (nEdges <= gate) nodesDf.take(math.min(gate, Int.MaxValue.toLong).toInt)
+      else null
+    if (nodesHead != null && nodesHead.length < gate) {
+      val edges = ewRdd.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      ewRdd.unpersist(blocking = false)
+      val nodes = nodesHead.map(_.getString(0))
+      var rank: Map[String, Long] = nodes.map(_ -> Scale).toMap
+      for (_ <- 1 to Iters) {
+        val inflow = new java.util.HashMap[String, Long]()
+        edges.foreach { case (src, dst, share6) =>
+          // inner-join semantics: an edge whose src is not a node row
+          // contributes nothing (mirrors ew ⋈ rank below)
+          rank.get(src).foreach(r =>
+            inflow.merge(dst, r * share6 / 1000000L, _ + _))
+        }
+        rank = nodes.map(n => n ->
+          (Scale * 15L / 100L +
+            inflow.getOrDefault(n, 0L) * 85L / 100L)).toMap
+      }
+      val outDeg = edges.groupBy(_._1).map { case (s, es) => s -> es.length }
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        new java.util.ArrayList(nodes.length)
+      nodes.foreach { n =>
+        rows.add(org.apache.spark.sql.Row(
+          n, outDeg.getOrElse(n, 0).toLong,
+          rank(n).toDouble / Scale.toDouble))
+      }
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(rows, StructType(Seq(
+        StructField("node", StringType, nullable = false),
+        StructField("out_deg", LongType, nullable = false),
+        StructField("rank", DoubleType, nullable = false))))
+        .orderBy(col("rank").desc, col("node"))
+    } else {
+      val ew = spark.createDataFrame(ewRdd, ewPlan.schema)
+      var rank = nodesDf.withColumn("r", lit(Scale))
+      for (_ <- 1 to Iters) {
+        val inflow = ew.join(rank, col("src") === col("node"))
+          .select(col("dst"), expr("(r * share6) div 1000000").as("c"))
+          .groupBy("dst").agg(sum("c").as("inflow"))
+        rank = nodesDf
+          .join(inflow, col("node") === col("dst"), "left_outer")
+          .select(col("node"),
+            (lit(Scale * 15L / 100L) +
+              expr("(coalesce(inflow, bigint(0)) * 85) div 100")).as("r"))
+      }
+      val outDeg = ew.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      rank.join(outDeg.withColumnRenamed("src", "node"),
+          Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          (col("r").cast("double") / Scale.toDouble).as("rank"))
+        .orderBy(col("rank").desc, col("node"))
     }
-    val outDeg = ew.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-    rank.join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left_outer")
-      .select(col("node"), coalesce(col("out_deg"), lit(0L)).as("out_deg"),
-        (col("r").cast("double") / Scale.toDouble).as("rank"))
-      .orderBy(col("rank").desc, col("node"))
   }
 
   private val pageRankSql: String = {

@@ -222,6 +222,9 @@ object Star {
                  sortCols: Column*): DataFrame = {
     import org.apache.spark.sql.Row
     val sorted = df.orderBy(sortCols: _*)
+    // deliberately NOT persisted before zipWithIndex (r16 A/B: caching
+    // the deserialized sorted rows measured slower than the recompute —
+    // see the snmPass note)
     val schema = sorted.schema.add(rankCol, LongType)
     spark.createDataFrame(
       sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },

@@ -31,6 +31,16 @@ class GraphSpec extends SparkSuite {
     assert(a.sameElements(b))
   }
 
+  test("pageRank: driver-gated path == forced-distributed iteration") {
+    val a = Graph.pageRank(spark, sf).collect().map(_.toString)
+    val key = "spark.graft.graph.collectThreshold"
+    spark.conf.set(key, "0")
+    val b =
+      try Graph.pageRank(spark, sf).collect().map(_.toString)
+      finally spark.conf.unset(key)
+    assert(a.sameElements(b))
+  }
+
   test("kmeans: partitions the corpus, deterministic across runs") {
     val a = Similarity.kmeans(spark, sf).collect()
     assert(a.map(_.getLong(1)).sum ===
