@@ -162,22 +162,32 @@ object Analytics {
       .select(explode(split(trim(col("text")), "\\s+")).as("word"))
       .select(col("word"),
         graft.functions.HashFunctions.polyHash(col("word"), 131L, P).as("h"))
-    // 4 (row, bucket) cells per token -> 2048-cell bucket sums
+    // 4 (row, bucket) cells per token -> 2048-cell bucket sums.
+    // Pinned ONCE (localCheckpoint): the estimate probe references the
+    // sketch per hash row, and the pre-r16 form — one join per row over
+    // a FILTERED view of this relation — re-ran the whole tokenize+hash+
+    // explode lineage four times (plus once for topk: five corpus passes
+    // per execution, caught by the r16 job-count decomposition). The
+    // sketch is 2 048 rows BY CONSTRUCTION (d×w), so the pin is bounded
+    // at any corpus size.
     val cells = toks.select(posexplode(array((0 until D).map(j =>
         ((col("h") * rowA(j) + rowB(j)) % P % W)): _*)))
       .groupBy(col("pos").as("j"), col("col").as("bucket"))
       .agg(count(lit(1)).as("cell_n"))
+      .localCheckpoint(true)
     val topk = toks.groupBy("word", "h").agg(count(lit(1)).as("true_n"))
       .orderBy(col("true_n").desc, col("word")).limit(20)
-    val est = (0 until D).map { j =>
-      cells.filter(col("j") === j)
-        .select(col("bucket").as(s"b$j"), col("cell_n").as(s"n$j"))
-    }.zipWithIndex.foldLeft(topk) { case (acc, (c, j)) =>
-      acc.join(c,
-        (col("h") * rowA(j) + rowB(j)) % P % W === col(s"b$j"))
-    }
-    est.select(col("word"), col("true_n"),
-        least((0 until D).map(j => col(s"n$j")): _*).as("est_n"))
+    // one probe join on (row, bucket) + a min per word replaces the four
+    // chained per-row joins: CMS estimate = min over rows of the hit cell
+    val probes = topk.select(col("word"), col("true_n"),
+        posexplode(array((0 until D).map(j =>
+          ((col("h") * rowA(j) + rowB(j)) % P % W)): _*)))
+      .select(col("word"), col("true_n"),
+        col("pos").as("j"), col("col").as("bucket"))
+    probes.join(cells, Seq("j", "bucket"))
+      .groupBy("word", "true_n")
+      .agg(min("cell_n").as("est_n"))
+      .select("word", "true_n", "est_n")
       .orderBy(col("true_n").desc, col("word"))
   }
 

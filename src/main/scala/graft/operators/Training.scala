@@ -205,17 +205,19 @@ object Training {
       .withColumn("lex_rank", row_number().over(Window.partitionBy("q_id")
         .orderBy(col("lex_score").desc, col("id"))).cast("long"))
       .select("q_id", "id", "lex_rank")
-    val qv = items.filter(col("id") < 5)
-      .select(col("id").as("q_id"), col("v").as("qv"))
-    val vec = items.crossJoin(broadcast(qv))
+    // codegen vector_dot (same left-to-right fold as the zip_with form —
+    // doubles identical), norms computed ONCE per side instead of one
+    // interpreted-lambda aggregate per (query, item) pair per side
+    val dotC = graft.functions.VectorFunctions.vectorDot _
+    val withNrm = items.withColumn("nrm", sqrt(dotC(col("v"), col("v"))))
+    val qv = withNrm.filter(col("id") < 5)
+      .select(col("id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val vec = withNrm.crossJoin(broadcast(qv))
       .filter(col("id") =!= col("q_id"))
       .select(col("q_id"), col("id"),
-        round(expr("aggregate(zip_with(qv, v, (a, b) -> a * b), " +
-          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)") /
-          (sqrt(expr("aggregate(zip_with(qv, qv, (a, b) -> a * b), " +
-            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")) *
-           sqrt(expr("aggregate(zip_with(v, v, (a, b) -> a * b), " +
-             "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))), 6).as("cosine"))
+        round(dotC(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+          .as("cosine"))
       .withColumn("vec_rank", row_number().over(Window.partitionBy("q_id")
         .orderBy(col("cosine").desc, col("id"))).cast("long"))
       .select("q_id", "id", "vec_rank")
