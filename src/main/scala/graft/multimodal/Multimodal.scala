@@ -1535,8 +1535,14 @@ object Multimodal {
         col("e.band_id").as("band_id"), col("e.k").as("k"))
 
   def mediaAudioDedup(spark: SparkSession, dir: String): DataFrame = {
+    // pinned ONCE: the band relation self-joins below, and the decode
+    // stage is opaque (mapPartitions), so without the pin BOTH join
+    // sides re-ran the REAL WAV decode of the whole corpus (r16:
+    // 1.93 -> ~1.2 s at sf0.1). The pin is 4 rows per clip — band keys
+    // + one 64-bit fingerprint — never the payload bytes.
     val bands =
       audioBands(decodeAudioFingerprint(wavNearMedia(spark, dir)).toDF())
+        .localCheckpoint(true)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.k") === col("b.k") &&
           col("a.media_id") < col("b.media_id"))
@@ -1729,6 +1735,10 @@ object Multimodal {
     * (never decoding a byte) and must land on identical pairs. */
   def mediaPhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val hashes = decodeDhash(pngNearMedia(spark, dir)).toDF()
+    // deliberately NOT pinned (unlike mediaAudioDedup): the r16 A/B
+    // measured the localCheckpoint variant WORSE here (0.61 -> 0.72 s at
+    // sf0.1) — decoding the tiny 16x16 PNGs twice is cheaper than the
+    // pin's materialization job; honest negative recorded
     val bands = hashes.select(col("media_id"), col("dhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_id"),
