@@ -74,7 +74,12 @@ object Quantiles {
     // with localCheckpoint and derive offsets from it: WORSE, 2.30 ->
     // 2.66 s same-window over the three quantile queries at sf0.1; the
     // histogram is near-data-sized for near-unique measures, so its
-    // materialization costs more than the extra serial scan.)
+    // materialization costs more than the extra serial scan. A second
+    // r16 probe — repartition the offs branch identically so
+    // ReuseExchange shares the hist shuffle — also measured worse,
+    // 2.26 -> 2.38 s same-window: the offs branch then consumes the
+    // FULL-ROW shuffle where its map-side partial aggregation needed
+    // only groups × buckets rows.)
     val offs = df.groupBy(
         g :+ shiftright(valueCol, 16).as("__b"): _*)
       .agg(count(lit(1)).as("__bt"))
