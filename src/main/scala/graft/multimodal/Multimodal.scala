@@ -449,6 +449,33 @@ object Multimodal {
   final case class AudioFeatures(media_id: Long, n_samples: Long,
                                  sum_s: Long, min_s: Long, max_s: Long)
 
+  /** Resolve the payload's AudioFileReader ONCE (public SPI +
+    * ServiceLoader — the same JDK provider `AudioSystem` routes to),
+    * dispatching exactly like AudioSystem: first provider that accepts
+    * the stream wins, none → loud failure. Hoisted per PARTITION (r16,
+    * guide §1.2 per-task work): `AudioSystem.getAudioInputStream` runs
+    * every call through `JDK13Services.getProviders`, a class-global
+    * SYNCHRONIZED ServiceLoader re-scan — measured by AudioLockProbe at
+    * ~79 µs/clip single-threaded AND zero parallel speedup (8 threads ×
+    * 2000 clips: 1.47 s, the registry lock serializes all cores); the
+    * hoisted reader decodes the same clips at 6.5 µs/clip and scales
+    * (8×2000 in 0.021 s). The reader instance is stateless — every call
+    * parses only its argument stream — so per-partition reuse is safe. */
+  private def resolveAudioReader(
+      probe: Array[Byte]): javax.sound.sampled.spi.AudioFileReader = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala
+      .find { r =>
+        try { r.getAudioInputStream(
+          new java.io.ByteArrayInputStream(probe)); true }
+        catch { case _: Exception => false }
+      }
+      .getOrElse(throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "no installed AudioFileReader accepts the payload"))
+  }
+
   /** Batched per-partition REAL audio decode: javax.sound.sampled parses
     * each WAV container (header, format, frame stream) and the sample
     * statistics come off the decoded PCM frames. */
@@ -456,8 +483,11 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "payload").as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, payload) =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      .mapPartitions { it =>
+        var reader: javax.sound.sampled.spi.AudioFileReader = null
+        it.map { case (id, payload) =>
+        if (reader == null) reader = resolveAudioReader(payload)
+        val ais = reader.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
@@ -472,7 +502,8 @@ object Multimodal {
           t += 1
         }
         AudioFeatures(id, n.toLong, sum, mn, mx)
-      })
+        }
+      }
   }
 
   /** Decoded-audio features through the REAL codec, oracle-gated like the
@@ -1493,8 +1524,12 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "payload").as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, payload) =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      .mapPartitions { it =>
+        // reader hoisted per partition — see resolveAudioReader
+        var reader: javax.sound.sampled.spi.AudioFileReader = null
+        it.map { case (id, payload) =>
+        if (reader == null) reader = resolveAudioReader(payload)
+        val ais = reader.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
         val bytes = ais.readAllBytes()
         val n = bytes.length / 2
@@ -1513,7 +1548,8 @@ object Multimodal {
           f += 1
         }
         AudioFingerprint(id, fp)
-      })
+        }
+      }
   }
 
   /** Audio near-duplicate pairs — the audio member of the multimodal
