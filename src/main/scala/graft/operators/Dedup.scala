@@ -496,33 +496,42 @@ object Dedup {
     * (what the Bench/Verify harnesses run between queries). */
   def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.WinnowFunctions
-    val d = Star.fan(spark, Star.table(spark, dir, "documents"))
-      .select(col("doc_id"),
-        WinnowFunctions.winnowFingerprint(col("text"), 12, 4).as("sk"))
     import org.apache.spark.sql.expressions.Window
-    val all = d.select(col("doc_id"), explode(col("sk")).as("h"))
+    // doc_id-keyed fan (the shingleRows doctrine): the per-doc
+    // denominator window below then runs exchange-free on the fanned
+    // partitioning instead of paying its own full-row exchange.
+    val all = Star.table(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        explode(WinnowFunctions.winnowFingerprint(col("text"), 12, 4))
+          .as("h"))
     // Document-frequency cap: a sketch hash present in >1% of the corpus
     // (stopword grams) carries no near-dup signal but quadratically
     // explodes the candidate join — drop such hashes before pairing.
-    // Both the cap and the per-doc kept-hash count (the containment
-    // denominator, over the SAME filtered hash space on both sides) are
-    // WINDOW counts on the one exploded-hash lineage: expressing them as
-    // separate aggregate + join branches made Catalyst re-evaluate the
-    // (expensive) fingerprint transform once per branch — measured ~6
-    // evaluations per query; this shape evaluates it twice (the
-    // self-join's two sides, the floor without materialization).
+    // r16 reshape (guide §2.3 "aggregate before you shuffle", §2.4):
+    // the cap is a HEAVY-HASH list (map-side partial groupBy — shuffles
+    // one (h, count) row per distinct hash) broadcast-anti-joined onto
+    // the exploded rows, the ngramJaccardCapped shape, replacing a
+    // WINDOW count by h that shuffled and sorted every exploded row.
+    // The per-doc kept-hash count (the containment denominator, over
+    // the SAME filtered hash space on both sides) stays a window on the
+    // doc_id-fanned lineage — zero extra exchange. Measured at sf0.1
+    // (narrowed best-of-3, same window, with winnow_capped):
+    // 3.83 → 2.29 s over the pair; plan: 4 full-row exchanges +
+    // 4 window-by-h sorts → 2 full-row exchanges, fingerprint evaluated
+    // 3× (2 self-join sides + the tiny heavy branch, whose broadcast is
+    // reused across sides) instead of 4×.
     val total = Star.table(spark, dir, "documents")
       .agg(count(lit(1)).as("n_docs"))
-    val f = all
+    val heavy = all.groupBy("h").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(total))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("df") <=
+      .filter(col("df") >
         greatest(lit(16L), (col("n_docs") / 100).cast("long")))
+      .select("h")
+    val f = all.join(broadcast(heavy), Seq("h"), "left_anti")
       .withColumn("c", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .select("doc_id", "h", "c")
     similarityPairs(f, "h", "containment",
-      (ca, cb, _) => least(ca, cb), 0.6, hasCountCol = true,
-      materialize = true)
+      (ca, cb, _) => least(ca, cb), 0.6, hasCountCol = true)
       .drop("shared")
   }
 
@@ -591,16 +600,28 @@ object Dedup {
   def winnowPairsCapped(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.WinnowFunctions
     import org.apache.spark.sql.expressions.Window
-    val d = Star.fan(spark, Star.table(spark, dir, "documents"))
+    // same r16 reshape as [[winnowPairs]] (heavy-hash aggregate +
+    // broadcast anti-join + exchange-free doc window on the
+    // doc_id-keyed fan), absolute df > 16 cap. The fingerprint is
+    // inlined into explode(): projecting it to a column first triggered
+    // InferFiltersFromGenerate, whose size(..)>0 ∧ isnotnull(..) filter
+    // was predicate-pushed below the fan exchange and re-evaluated the
+    // winnowing rolling-hash transform twice more per branch on the
+    // scan side (visible in the r16 before-plan: Filter(2) carries two
+    // winnow_fingerprint(text) calls under the exchange — 12
+    // evaluations per query across the 4 branches).
+    val all = Star.table(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
-        WinnowFunctions.winnowFingerprint(col("text"), 12, 4).as("sk"))
-    val all = d.select(col("doc_id"), explode(col("sk")).as("h"))
-    val f = all
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("df") <= lit(16L))
-      .select("doc_id", "h")
+        explode(WinnowFunctions.winnowFingerprint(col("text"), 12, 4))
+          .as("h"))
+    val heavy = all.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > lit(16L))
+      .select("h")
+    val f = all.join(broadcast(heavy), Seq("h"), "left_anti")
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("doc_id")))
     similarityPairs(f, "h", "containment",
-      (ca, cb, _) => least(ca, cb), 0.6)
+      (ca, cb, _) => least(ca, cb), 0.6, hasCountCol = true)
       .drop("shared")
   }
 
