@@ -703,9 +703,9 @@ object Dedup {
     // sets / k-means vector relation): one corpus scan + one aggregate,
     // and the leaf is 16 bytes/doc — ~1e-4 of corpus bytes at any scale.
     val plan = simhashSigs(spark, dir)
-    val rdd = plan.rdd.persist()
-    rdd.count()
-    val sh = spark.createDataFrame(rdd, plan.schema)
+    // localCheckpoint, NOT .rdd.persist (r16): InternalRows, no Row
+    // converter round-trip, plan stats kept (the bandProbeDropIds lesson)
+    val sh = plan.localCheckpoint(true)
     expandSigPairs(sh, simhashSigPairs(sh))
   }
 
@@ -725,9 +725,8 @@ object Dedup {
     * per-bucket quadratic grow with the corpus. */
   def simhashPairsCapped(spark: SparkSession, dir: String): DataFrame = {
     val plan = simhashSigs(spark, dir)
-    val rdd = plan.rdd.persist()
-    rdd.count()
-    val sh = spark.createDataFrame(rdd, plan.schema)
+    // localCheckpoint — see simhashPairs
+    val sh = plan.localCheckpoint(true)
     expandSigPairs(sh, simhashSigPairs(sh, bucketCap = Some(64L)))
   }
 

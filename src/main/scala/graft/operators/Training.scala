@@ -189,9 +189,9 @@ object Training {
       .select(col("doc_id").as("id"),
         explode(split(trim(col("text")), "\\s+")).as("term"))
       .distinct()
-    val tokRdd = tokPlan.rdd.persist()
-    tokRdd.count()
-    val tok = spark.createDataFrame(tokRdd, tokPlan.schema)
+    // localCheckpoint, NOT .rdd.persist (r16): InternalRows, no Row
+    // converter round-trip, plan stats kept (the bandProbeDropIds lesson)
+    val tok = tokPlan.localCheckpoint(true)
     val nItems = items.count()
     val df_ = tok.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("idf_m", Star.idiv(lit(nItems) * 1000L, col("df")))
