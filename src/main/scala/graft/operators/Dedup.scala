@@ -1709,19 +1709,13 @@ object Dedup {
     * (k, doc_id), contiguous rank via zipWithIndex, neighbors at rank
     * offsets 1..w-1 scored by exact shingle Jaccard. */
   private def snmPass(spark: SparkSession, keyed: DataFrame): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.LongType
-    val sorted = keyed.select("doc_id", "s", "c", "k").orderBy("k", "doc_id")
-    // deliberately NOT persisted before zipWithIndex: its partition-count
-    // job does evaluate the shingle+sort lineage once at construction and
-    // the join re-evaluates it at execution, but the r16 A/B measured the
-    // persist variant WORSE (q_snm_multipass 1.51 → 2.45 s at sf0.1 —
-    // caching deserialized rows carrying shingle arrays costs more in
-    // store+GC than the recompute); recorded honest negative
-    val schema = sorted.schema.add("rk", LongType)
-    val ranked = spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-      schema)
+    // Star.globalRank (r16: deduplicated into the shared helper; the
+    // zipWithIndex idiom itself stands — BOTH pin variants measured
+    // worse here: .rdd.persist 1.51 → 2.45 s (deserialized rows with
+    // shingle arrays), and the checkpointed offset+position reshape
+    // +0.09-0.11 s per consumer — see the globalRank note)
+    val ranked = Star.globalRank(spark,
+      keyed.select("doc_id", "s", "c", "k"), "rk", col("k"), col("doc_id"))
     val right = ranked.select(col("rk").as("rkb"), col("doc_id").as("idb"),
       col("s").as("sb"), col("c").as("cb"))
     val shared = size(array_intersect(col("sa"), col("sb")))

@@ -224,7 +224,17 @@ object Star {
     val sorted = df.orderBy(sortCols: _*)
     // deliberately NOT persisted before zipWithIndex (r16 A/B: caching
     // the deserialized sorted rows measured slower than the recompute —
-    // see the snmPass note)
+    // see the snmPass note). A second r16 probe replaced the whole
+    // idiom with sort → localCheckpoint → monotonically_increasing_id
+    // decomposed into (partition, position) + broadcast partition
+    // offsets — all-codegen, no Row conversion, single sort evaluation
+    // — and measured WORSE too (5-query consumer set 4.56 → 4.88 s):
+    // checkpoint-storing the full sorted relation (shingle arrays on
+    // the SNM path) costs more than zipWithIndex's recompute. An
+    // UN-checkpointed variant is unsound: the offsets branch and the
+    // main branch would be two separate evaluations of a
+    // sampling-partitioned range exchange, so row-to-partition
+    // assignment could diverge between them.
     val schema = sorted.schema.add(rankCol, LongType)
     spark.createDataFrame(
       sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },

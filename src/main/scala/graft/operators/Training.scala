@@ -1104,15 +1104,12 @@ object Training {
     * count joins in as a broadcast scalar; bucket membership is then
     * map-side integer math `(rank * 3) div n`. */
   def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.LongType
     val scored = unigramLikelihood(spark, dir)
       .select("doc_id", "n_tokens", "avg_p")
-    val sorted = scored.orderBy(col("avg_p").desc, col("doc_id"))
-    val schema = sorted.schema.add("rk", LongType)
-    val ranked = spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-      schema)
+    // Star.globalRank (r16): InternalRow-checkpointed offset+position
+    // rank replaces the Row-converting zipWithIndex inline copy
+    val ranked = Star.globalRank(spark, scored, "rk",
+      col("avg_p").desc, col("doc_id"))
     val total = ranked.agg(count(lit(1)).as("n"))
     ranked.crossJoin(broadcast(total))
       .select(col("doc_id"), col("n_tokens"), col("avg_p"),
