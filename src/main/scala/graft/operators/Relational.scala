@@ -289,7 +289,15 @@ object Relational {
     val s = when(col("l_orderkey") % 2 === 0,
       date_format(col("l_shipdate"), "yyyy/MM/dd"))
       .otherwise(date_format(col("l_shipdate"), "dd/MM/yyyy"))
-    li.select(Ingest.parseDateFlexible(s).as("d"))
+    // two-step select (r16): parseDateFlexible references its input 6×
+    // (3 RLIKE probes + 3 parse arms), and handing it the rendered-string
+    // EXPRESSION inlined the CASE/date_format render into every
+    // reference (the before-plan's Project carries six date_format
+    // pairs). Through an alias, CollapseProject keeps the render as its
+    // own projection — non-cheap expressions consumed more than once
+    // are not re-inlined — so each row renders once and parses once.
+    li.select(s.as("s"))
+      .select(Ingest.parseDateFlexible(col("s")).as("d"))
       .groupBy(year(col("d")).cast("long").as("ano"),
         month(col("d")).cast("long").as("mes"))
       .agg(count(lit(1)).as("n"))

@@ -93,8 +93,24 @@ object Star {
     * shuffle — an always-on fan-out taxes every cheap single-stage query
     * with one more exchange, which full-bench measurement showed is a net
     * loss. */
+  /** Fan a (typically single-file, hence single-split) scan out to the
+    * cluster's parallelism. HASH on the whole row, not round-robin
+    * (r16): every keyless `repartition(n)` first pays a local sort of
+    * its input (`spark.sql.execution.sortBeforeRepartition`, on by
+    * default since SPARK-23207, so retried tasks reproduce the same
+    * row-to-partition assignment) — measured at ~35 % of q_corr_matrix
+    * (1.05 → 0.68 s with the sort off). A DETERMINISTIC hash of all
+    * columns needs no such sort: re-run tasks re-derive the same
+    * placement from row content (the guide's pmod(xxhash64(...))
+    * doctrine). The hash keys on the FIRST column only — hashing every
+    * column was A/B'd a wash (long text/array columns cost as much to
+    * hash as the sort they replace); the contract, audited across all
+    * 29 call sites, is that fan consumers pass an ID-LED relation
+    * (doc_id / vec_id / media_id / l_orderkey first), whose
+    * cardinality ≫ partitions keeps the spread even. */
   def fan(spark: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(spark.sparkContext.defaultParallelism)
+    df.repartition(spark.sparkContext.defaultParallelism,
+      xxhash64(col(df.columns.head)))
 
   /** `events` has shipped as both parquet TIMESTAMP(NANOS) (which Spark's
     * vectorized reader rejects — read as long nanos, truncate to micros,
