@@ -359,7 +359,10 @@ object Breadth {
     // re-shuffled by term — previously that term-keyed join plus the
     // re-partition back to doc_id were the two dominant exchanges. At
     // vocabularies too big to broadcast, fall back to the shuffle join.
+    // tf pinned once (r16): referenced by the df branch and the scored
+    // join — see bm25Topk; same trade measured there.
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(broadcast(df_), "term")

@@ -93,7 +93,12 @@ object Training {
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("term"))
+    // tf pinned once (r16): the relation is referenced 4× (dl, df,
+    // corpus-via-dl, the scored join) and each branch re-ran the
+    // tokenize + explode + aggregate lineage; localCheckpoint keeps
+    // the doc_id partitioning the downstream join/window reuse.
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"),
